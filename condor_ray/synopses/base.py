@@ -1,0 +1,96 @@
+"""Synopsis trait lattice, mirroring Condor's interfaces as Python base classes.
+
+Reference interfaces (semantics, not code):
+- ``Synopsis.update``            core/.../synopsis/Synopsis.java:13-20
+- ``MergeableSynopsis.merge``    core/.../synopsis/MergeableSynopsis.java:13-24
+- ``CommutativeSynopsis``        core/.../synopsis/CommutativeSynopsis.java:5-8
+- ``InvertibleSynopsis``         core/.../synopsis/InvertibleSynopsis.java:5-13
+- ``StratifiedSynopsis``         core/.../synopsis/StratifiedSynopsis.java:4-16
+
+Differences by design (Ray-Data-first):
+- The hot-path API is **vectorized**: ``update_batch(np.ndarray)`` processes a
+  whole Arrow-column slice at once instead of row-at-a-time ``update``.
+- Serialization is explicit ``to_bytes``/``from_bytes`` (pickled state dict of
+  NumPy arrays + scalars) carried in Arrow ``binary`` columns, replacing Java
+  serialization.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any, Optional
+
+import numpy as np
+
+_SERDE_VERSION = 1
+
+
+class Synopsis:
+    """Base synopsis. Subclasses set trait flags and implement the kernel."""
+
+    mergeable: bool = False
+    commutative: bool = False
+    invertible: bool = False
+    timestamped: bool = False  # SamplerWithTimestamps marker
+    order_based: bool = False  # non-mergeable, order-sensitive (wavelets)
+
+    def __init__(self):
+        self.partition_value: Optional[Any] = None  # StratifiedSynopsis
+
+    # -- hot path ---------------------------------------------------------
+    def update_batch(self, values: np.ndarray, timestamps: np.ndarray | None = None) -> None:
+        raise NotImplementedError
+
+    def update(self, value) -> None:
+        """Row-at-a-time convenience (tests / tiny inputs only)."""
+        self.update_batch(np.asarray([value]))
+
+    # -- merge ------------------------------------------------------------
+    def merge(self, other: "Synopsis") -> "Synopsis":
+        raise NotImplementedError(f"{type(self).__name__} is not mergeable")
+
+    def invert(self, other: "Synopsis") -> "Synopsis":
+        raise NotImplementedError(f"{type(self).__name__} is not invertible")
+
+    def decrement_batch(self, values: np.ndarray) -> None:
+        raise NotImplementedError(f"{type(self).__name__} is not invertible")
+
+    # -- stratification ---------------------------------------------------
+    def set_partition_value(self, value) -> None:
+        # write-once, like StratifiedSynopsis.java:8-13
+        if self.partition_value is None:
+            self.partition_value = value
+
+    # -- serde ------------------------------------------------------------
+    def state_dict(self) -> dict:
+        raise NotImplementedError
+
+    def load_state(self, state: dict) -> None:
+        raise NotImplementedError
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps(
+            (_SERDE_VERSION, type(self).__name__, self._ctor_args(), self.state_dict(),
+             self.partition_value),
+            protocol=pickle.HIGHEST_PROTOCOL,
+        )
+
+    def _ctor_args(self) -> tuple:
+        """Constructor args needed to rebuild an empty instance."""
+        raise NotImplementedError
+
+    @staticmethod
+    def from_bytes(data: bytes) -> "Synopsis":
+        from .registry import get_synopsis_class
+
+        version, name, ctor_args, state, pv = pickle.loads(data)
+        if version != _SERDE_VERSION:
+            raise ValueError(f"unsupported synopsis serde version {version}")
+        cls = get_synopsis_class(name)
+        obj = cls(*ctor_args)
+        obj.load_state(state)
+        obj.partition_value = pv
+        return obj
+
+    def copy(self) -> "Synopsis":
+        return Synopsis.from_bytes(self.to_bytes())

@@ -1,0 +1,321 @@
+"""Hash-based sketches: Count-Min, HyperLogLog, Bloom filter, Fast-AGMS.
+
+Semantics follow the reference exactly (file:line cites per class), with the
+row-loop replaced by vectorized NumPy kernels (bincount scatter-adds).
+
+Preserved quirks:
+- keys are int32 (reference hashes ``Number.intValue()`` — CountMinSketch.java:58-64);
+- Bloom ``merge`` is bitwise **AND** (BloomFilter.java:121);
+- HLL ``merge`` recomputes + caches the estimate (HyperLogLogSketch.java:88);
+- H3 hash values are abs-valued before the modulo.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..hashing import EH3HashFunction, H3HashFunctions, XORShiftRandom, java_mod
+from .base import Synopsis
+
+
+class CountMinSketch(Synopsis):
+    """Count-Min sketch (core/.../Sketches/CountMinSketch.java:23-270).
+
+    update (:57-71): per row i, ``array[i][h_i(e) % width]++``;
+    query (:100-122): min over rows; merge (:156-173): elementwise add;
+    invert (:199-215) / decrement (:184-197): elementwise subtract.
+    """
+
+    mergeable = True
+    invertible = True
+    commutative = True  # counter adds commute; classified Invertible in the ref
+
+    def __init__(self, width: int, height: int, seed: int = 7):
+        super().__init__()
+        self.width = int(width)
+        self.height = int(height)
+        self.seed = int(seed)
+        self.hash_functions = H3HashFunctions(self.height, self.seed)
+        self.array = np.zeros((self.height, self.width), dtype=np.int64)
+        self.elements_processed = 0
+
+    def _indices(self, values: np.ndarray) -> np.ndarray:
+        h = self.hash_functions.hash_batch(values)  # (n, height) non-negative
+        return java_mod(h, self.width)
+
+    def update_batch(self, values: np.ndarray, timestamps=None) -> None:
+        idx = self._indices(values)
+        for i in range(self.height):
+            self.array[i] += np.bincount(idx[:, i], minlength=self.width)
+        self.elements_processed += len(values)
+
+    def decrement_batch(self, values: np.ndarray) -> None:
+        idx = self._indices(values)
+        for i in range(self.height):
+            self.array[i] -= np.bincount(idx[:, i], minlength=self.width)
+        self.elements_processed -= len(values)
+
+    def query_batch(self, values: np.ndarray) -> np.ndarray:
+        idx = self._indices(values)
+        ests = self.array[np.arange(self.height)[None, :], idx]  # (n, height)
+        return ests.min(axis=1)
+
+    def query(self, value) -> int:
+        return int(self.query_batch(np.asarray([value]))[0])
+
+    def _check(self, other: "CountMinSketch") -> None:
+        if not (
+            isinstance(other, CountMinSketch)
+            and other.width == self.width
+            and other.height == self.height
+            and other.hash_functions == self.hash_functions
+        ):
+            raise ValueError(
+                "Sketches to merge have to be the same size and hash functions"
+            )
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        self._check(other)
+        self.array += other.array
+        self.elements_processed += other.elements_processed
+        return self
+
+    def invert(self, other: "CountMinSketch") -> "CountMinSketch":
+        self._check(other)
+        self.array -= other.array
+        self.elements_processed -= other.elements_processed
+        return self
+
+    def _ctor_args(self):
+        return (self.width, self.height, self.seed)
+
+    def state_dict(self):
+        return {"array": self.array, "elements_processed": self.elements_processed}
+
+    def load_state(self, state):
+        self.array = state["array"]
+        self.elements_processed = state["elements_processed"]
+
+
+class HyperLogLogSketch(Synopsis):
+    """HyperLogLog (core/.../Sketches/HyperLogLogSketch.java:22-196).
+
+    64-bit hash from two abs-valued H3 32-bit hashes ``h0 + (h1 << 32)``
+    (:58-63); register index = top ``logRegNum`` bits, register value =
+    trailing-zeros + 1 (:65-68); merge = register max + estimate recompute
+    (:74-90); estimator with linear counting below 2.5m (:115-146).
+
+    Preserved reference quirk: because both H3 hashes are abs-valued, bit 63
+    of the combined hash is always 0, so only the lower HALF of the register
+    space is ever addressable.  Estimates are accurate for cardinalities well
+    below m but saturate at ``m*ln(2)`` (the linear-counting value when half
+    the registers stay zero).  We reproduce this for output parity.
+    """
+
+    mergeable = True
+    commutative = True
+
+    def __init__(self, log_reg_num: int, seed: int = 7):
+        super().__init__()
+        if log_reg_num > 16 or log_reg_num < 4:
+            raise ValueError("HLogLog initialized with logSpaceSize out of range")
+        self.log_reg_num = int(log_reg_num)
+        self.reg_num = 1 << self.log_reg_num
+        self.seed = int(seed)
+        self.hash_functions = H3HashFunctions(2, self.seed)
+        self.registers = np.zeros(self.reg_num, dtype=np.int8)
+        self.distinct_item_count = 0
+
+    def update_batch(self, values: np.ndarray, timestamps=None) -> None:
+        h = self.hash_functions.hash_batch(values)  # (n, 2) non-negative int32
+        h64 = (h[:, 1].astype(np.uint64) << np.uint64(32)) + h[:, 0].astype(np.uint64)
+        index = (h64 >> np.uint64(64 - self.log_reg_num)).astype(np.int64)
+        # trailing zeros: isolate lowest set bit; exact log2 of a power of two
+        low = h64 & (~h64 + np.uint64(1))
+        low_safe = np.where(h64 == 0, np.uint64(1), low).astype(np.float64)
+        tz = np.where(h64 == 0, 64, np.log2(low_safe).astype(np.int64))
+        zeros = (tz + 1).astype(np.int8)  # Java byte cast (65 fits)
+        np.maximum.at(self.registers, index, zeros)
+
+    def merge(self, other: "HyperLogLogSketch") -> "HyperLogLogSketch":
+        if not (
+            isinstance(other, HyperLogLogSketch)
+            and other.reg_num == self.reg_num
+            and other.hash_functions == self.hash_functions
+        ):
+            raise ValueError("attempted union of non matching HLogLog classes")
+        np.maximum(self.registers, other.registers, out=self.registers)
+        self.distinct_items_estimator()  # quirk: merge caches the estimate
+        return self
+
+    def distinct_items_estimator(self) -> int:
+        m = self.reg_num
+        alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(
+            self.log_reg_num, 0.7213 / (1 + (1.079 / m))
+        )
+        raw = 1.0 / np.power(2.0, -self.registers.astype(np.float64)).sum()
+        raw = raw * alpha * m * m
+        result = math.floor(raw + 0.5)  # Math.round
+        zero_regs = int((self.registers == 0).sum())
+        if zero_regs > 0 and raw < 2.5 * m:
+            result = math.floor(m * math.log(m / float(zero_regs)) + 0.5)
+        self.distinct_item_count = result
+        return result
+
+    def _ctor_args(self):
+        return (self.log_reg_num, self.seed)
+
+    def state_dict(self):
+        return {
+            "registers": self.registers,
+            "distinct_item_count": self.distinct_item_count,
+        }
+
+    def load_state(self, state):
+        self.registers = state["registers"]
+        self.distinct_item_count = state["distinct_item_count"]
+
+
+class BloomFilter(Synopsis):
+    """Bloom filter (core/.../Sketches/BloomFilter.java:24-169).
+
+    k = round(ln2 * numberBits / maxNumElements), min 1 (:40-42);
+    update sets bits ``h_i(e) % numberBits`` (:54-70); query = all bits set
+    (:72-86); merge = bitwise **AND** — quirk preserved (:116-134).
+    """
+
+    mergeable = True
+    commutative = True
+
+    def __init__(self, max_num_elements: int, number_bits: int, seed: int = 7):
+        super().__init__()
+        self.max_num_elements = int(max_num_elements)
+        self.number_bits = int(number_bits)
+        n_hash = int(round(math.log(2) * number_bits / max_num_elements))
+        self.n_hash_functions = max(n_hash, 1)
+        self.seed = int(seed)
+        self.hash_functions = H3HashFunctions(self.n_hash_functions, self.seed)
+        self.bits = np.zeros(self.number_bits, dtype=bool)
+        self.elements_processed = 0
+
+    def _indices(self, values: np.ndarray) -> np.ndarray:
+        return java_mod(self.hash_functions.hash_batch(values), self.number_bits)
+
+    def update_batch(self, values: np.ndarray, timestamps=None) -> None:
+        idx = self._indices(values)
+        self.bits[idx.ravel()] = True
+        self.elements_processed += len(values)
+
+    def query_batch(self, values: np.ndarray) -> np.ndarray:
+        idx = self._indices(values)
+        return self.bits[idx].all(axis=1)
+
+    def query(self, value) -> bool:
+        return bool(self.query_batch(np.asarray([value]))[0])
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        if not (
+            isinstance(other, BloomFilter)
+            and other.n_hash_functions == self.n_hash_functions
+            and other.number_bits == self.number_bits
+            and other.hash_functions == self.hash_functions
+        ):
+            raise ValueError("Sketches to merge have to be the same size and hash functions")
+        self.bits &= other.bits  # reference quirk: AND, not OR (BloomFilter.java:121)
+        self.elements_processed += other.elements_processed
+        return self
+
+    def _ctor_args(self):
+        return (self.max_num_elements, self.number_bits, self.seed)
+
+    def state_dict(self):
+        return {"bits": np.packbits(self.bits), "elements_processed": self.elements_processed}
+
+    def load_state(self, state):
+        self.bits = np.unpackbits(state["bits"], count=self.number_bits).astype(bool)
+        self.elements_processed = state["elements_processed"]
+
+
+class FastAGMS(Synopsis):
+    """Fast-AGMS / AMS sketch (core/.../Sketches/FastAGMS.java:28-258).
+
+    update (:93-117): position = abs(h_i(e) % width), array += ±1 by the EH3
+    bit; merge (:176-193): elementwise add; invert (:134-148): subtract;
+    estimateF2 (:219-232): median over rows of sum of squares.
+    """
+
+    mergeable = True
+    invertible = True
+    commutative = True
+
+    def __init__(self, width: int, height: int, seed: int | None = None):
+        super().__init__()
+        if seed is None:
+            # reference draws from an unseeded XORShiftRandom (FastAGMS.java:75-77);
+            # we require determinism, so derive from numpy's global RNG only when
+            # explicitly unseeded.
+            seed = int(np.random.default_rng().integers(-(2**63), 2**63 - 1))
+        self.width = int(width)
+        self.height = int(height)
+        self.seed = int(seed)
+        self.hash_functions = H3HashFunctions(self.height, self.seed)
+        self.eh3 = EH3HashFunction(self.seed, self.height)
+        self.array = np.zeros((self.height, self.width), dtype=np.int64)
+
+    def _pos_sign(self, values: np.ndarray):
+        h = self.hash_functions.hash_batch(values)
+        pos = np.abs(java_mod(h, self.width))
+        b = self.eh3.rand_batch(values)  # (n, height) bool
+        sign = np.where(b, 1, -1).astype(np.int64)
+        return pos, sign
+
+    def update_batch(self, values: np.ndarray, timestamps=None) -> None:
+        pos, sign = self._pos_sign(values)
+        for i in range(self.height):
+            self.array[i] += np.bincount(pos[:, i], weights=sign[:, i], minlength=self.width).astype(np.int64)
+
+    def decrement_batch(self, values: np.ndarray) -> None:
+        pos, sign = self._pos_sign(values)
+        for i in range(self.height):
+            self.array[i] -= np.bincount(pos[:, i], weights=sign[:, i], minlength=self.width).astype(np.int64)
+
+    def _check(self, other: "FastAGMS"):
+        if not (
+            isinstance(other, FastAGMS)
+            and other.width == self.width
+            and other.height == self.height
+            and other.seed == self.seed
+        ):
+            raise ValueError("AGMS sketches must share width/height/seed")
+
+    def merge(self, other: "FastAGMS") -> "FastAGMS":
+        self._check(other)
+        self.array += other.array
+        return self
+
+    def invert(self, other: "FastAGMS") -> "FastAGMS":
+        self._check(other)
+        self.array -= other.array
+        return self
+
+    def estimate_f2(self) -> int:
+        f2 = (self.array.astype(np.float64) ** 2).sum(axis=1).astype(np.int64)
+        f2.sort()
+        return int(f2[self.height // 2])
+
+    def error_bound(self) -> float:
+        return self.estimate_f2() / math.sqrt(self.width)
+
+    def error_probability(self) -> float:
+        return 1.0 / (2**self.height)
+
+    def _ctor_args(self):
+        return (self.width, self.height, self.seed)
+
+    def state_dict(self):
+        return {"array": self.array}
+
+    def load_state(self, state):
+        self.array = state["array"]

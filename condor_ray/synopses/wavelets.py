@@ -1,0 +1,665 @@
+"""Haar wavelet synopsis (order-based, non-mergeable) + distributed managers.
+
+Reference:
+- WaveletSynopsis:  core/.../Wavelets/WaveletSynopsis.java:10-550
+  (update 47-68: pairwise climbup + discard-2 past budget; climbup 266-347;
+  discard 352-411; error propagation 416-500; padding 200-256; pointQuery
+  76-119; rangeSumQuery 128-194)
+- DataNode:         core/.../Wavelets/DataNode.java (error values, MA,
+  index arithmetic, compareTo by (maxabserror, level, orderinlevel))
+- FrontlineNode:    core/.../Wavelets/FrontlineNode.java
+- DistributedWaveletsManager: core/.../Wavelets/DistributedWaveletsManager.java:7-81
+  (round-robin: synopsis = i % parallelism, local = i // parallelism)
+- SliceWaveletsManager: core/.../Wavelets/SliceWaveletsManager.java:8-99
+  (prefix-sum slice offsets)
+- NonMergeableSynopsisManager: core/.../synopsis/NonMergeableSynopsisManager.java:5-36
+
+Java's ``PriorityQueue`` with ``remove(Object)`` is replaced by an indexed
+lazy-deletion heap keyed by the reference's exact compareTo tuple
+``(maxabserror, level, orderinlevel)``, so poll order (including ties) matches.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+from .base import Synopsis
+
+LEFT, RIGHT, NONE = 0, 1, 2  # Utils.relationship
+
+
+class DataNode:
+    __slots__ = (
+        "data", "maxerrorleft", "minerrorleft", "maxerrorright", "minerrorright",
+        "maxabserror", "level", "orderinlevel", "front", "left_most_child",
+        "parent", "reltoparent", "next_sibling", "previous_sibling",
+    )
+
+    def __init__(self, data, level, orderinlevel, left_child, previous_sibling):
+        self.data = data
+        self.maxerrorleft = 0.0
+        self.minerrorleft = 0.0
+        self.maxerrorright = 0.0
+        self.minerrorright = 0.0
+        self.maxabserror = 0.0
+        self.level = level
+        self.orderinlevel = orderinlevel
+        self.front = None
+        self.left_most_child = None
+        self.parent = None
+        self.reltoparent = NONE
+        self.next_sibling = None
+        self.previous_sibling = None
+        if left_child is not None:
+            self.left_most_child = left_child
+            left_child.set_parent(self)
+        if previous_sibling is not None:
+            self.previous_sibling = previous_sibling
+            previous_sibling.next_sibling = self
+
+    def compute_error_values(self, prev_frontline) -> bool:
+        oldmaxl, oldminl = self.maxerrorleft, self.minerrorleft
+        oldmaxr, oldminr = self.maxerrorright, self.minerrorright
+        child = self.left_most_child
+        while child is not None:
+            maxerr = max(child.maxerrorleft, child.maxerrorright)
+            minerr = min(child.minerrorleft, child.minerrorright)
+            if child.reltoparent == LEFT:
+                self.maxerrorleft = max(self.maxerrorleft, maxerr)
+                self.minerrorleft = min(self.minerrorleft, minerr)
+            elif child.reltoparent == RIGHT:
+                self.maxerrorright = max(self.maxerrorright, maxerr)
+                self.minerrorright = min(self.minerrorright, minerr)
+            child = child.next_sibling
+        if prev_frontline is not None and prev_frontline.errorhanging:
+            self.maxerrorleft = max(self.maxerrorleft, prev_frontline.positiveerror)
+            self.minerrorleft = min(self.minerrorleft, prev_frontline.negativeerror)
+        return not (
+            oldmaxl == self.maxerrorleft
+            and oldminl == self.minerrorleft
+            and oldmaxr == self.maxerrorright
+            and oldminr == self.minerrorright
+        )
+
+    def compute_ma(self) -> float:
+        left = max(abs(self.maxerrorleft - self.data), abs(self.minerrorleft - self.data))
+        right = max(abs(self.maxerrorright + self.data), abs(self.minerrorright + self.data))
+        self.maxabserror = max(left, right)
+        return self.maxabserror
+
+    def index_in_subtree(self, query_index: int, max_level: int) -> int:
+        coeffs_in_level = 2 ** (max_level - self.level)
+        tree_size = 2 ** max_level
+        lower = tree_size // coeffs_in_level * (self.orderinlevel - 1)
+        upper = tree_size // coeffs_in_level * self.orderinlevel
+        if lower <= query_index < (lower + upper) // 2:
+            return 1
+        if (lower + upper) // 2 <= query_index < upper:
+            return -1
+        return 0
+
+    def count_left_leaves(self, li: int, ri: int, max_level: int) -> int:
+        coeffs = 2 ** (max_level - self.level)
+        tree = 2 ** max_level
+        start_left = tree // coeffs * (self.orderinlevel - 1)
+        start_right = ((tree // coeffs * self.orderinlevel) + start_left) // 2
+        return max(min(ri + 1, start_right) - max(start_left, li), 0)
+
+    def count_right_leaves(self, li: int, ri: int, max_level: int) -> int:
+        coeffs = 2 ** (max_level - self.level)
+        tree = 2 ** max_level
+        start_left = tree // coeffs * (self.orderinlevel - 1)
+        end_right = tree // coeffs * self.orderinlevel
+        start_right = (end_right + start_left) // 2
+        return max(min(ri + 1, end_right) - max(start_right, li), 0)
+
+    def set_parent(self, parent) -> None:
+        self.parent = parent
+        if parent is not None:
+            if parent.level > self.level:
+                self.reltoparent = self.ancestor_relationship(parent)
+        else:
+            self.reltoparent = NONE
+        if self.next_sibling is not None:
+            self.next_sibling.set_parent(parent)
+
+    def ancestor_relationship(self, ancestor) -> int:
+        if (2 * self.orderinlevel - 1) < (
+            (2 * ancestor.orderinlevel - 1) * 2 ** (ancestor.level - self.level)
+        ):
+            return LEFT
+        return RIGHT
+
+    def sort_key(self):
+        return (self.maxabserror, self.level, self.orderinlevel)
+
+
+class FrontlineNode:
+    __slots__ = ("hung_child", "value", "next", "prev", "positiveerror",
+                 "negativeerror", "errorhanging", "level")
+
+    def __init__(self, value, level):
+        self.hung_child = None
+        self.value = value
+        self.next = None
+        self.prev = None
+        self.positiveerror = 0.0
+        self.negativeerror = 0.0
+        self.errorhanging = False
+        self.level = level
+
+    def merge_error(self, min_error, max_error):
+        self.positiveerror = max(max_error, self.positiveerror)
+        self.negativeerror = min(min_error, self.negativeerror)
+
+
+class _ErrorHeap:
+    """Indexed min-heap over DataNodes with Java-PriorityQueue-compatible
+    poll ordering (compareTo tuple) and O(log n) remove via lazy deletion."""
+
+    def __init__(self):
+        self._heap: list = []
+        self._live: dict[int, list] = {}  # id(node) -> entry
+
+    def add(self, node: DataNode):
+        entry = [node.sort_key(), node, True]
+        self._live[id(node)] = entry
+        heapq.heappush(self._heap, _HeapEntry(entry))
+
+    def remove(self, node: DataNode):
+        entry = self._live.pop(id(node), None)
+        if entry is not None:
+            entry[2] = False
+
+    def poll(self) -> DataNode | None:
+        while self._heap:
+            entry = heapq.heappop(self._heap).entry
+            if entry[2]:
+                node = entry[1]
+                del self._live[id(node)]
+                return node
+        return None
+
+    def __len__(self):
+        return len(self._live)
+
+
+class _HeapEntry:
+    __slots__ = ("entry",)
+
+    def __init__(self, entry):
+        self.entry = entry
+
+    def __lt__(self, other):
+        return self.entry[0] < other.entry[0]
+
+
+class WaveletSynopsis(Synopsis):
+    order_based = True
+
+    def __init__(self, size: int):
+        super().__init__()
+        if size < 2:
+            raise ValueError("Wavelet size must be bigger than 1.")
+        self.size = int(size)
+        self.stream_element_counter = 0
+        self.frontline_bottom: FrontlineNode | None = None
+        self.frontline_top: FrontlineNode | None = None
+        self.rootnode: FrontlineNode | None = None
+        self.error_heap = _ErrorHeap()
+        self._data1 = 0.0
+
+    # -- update (WaveletSynopsis.java:47-68) -------------------------------
+    def update_batch(self, values: np.ndarray, timestamps=None) -> None:
+        for v in np.asarray(values, dtype=np.float64).tolist():
+            self._update_one(v)
+
+    def _update_one(self, element: float) -> None:
+        self.stream_element_counter += 1
+        if self.stream_element_counter % 2 == 0:
+            self._climbup(self._data1, element)
+            if self.stream_element_counter > self.size:
+                self._discard()
+        else:
+            self._data1 = element
+
+    # -- climbup (:266-347) ------------------------------------------------
+    def _climbup(self, data1: float, data2: float) -> None:
+        frontline = self.frontline_bottom
+        prev_frontline = None
+        order = self.stream_element_counter
+        current_average = 0.0
+        average = 0.0
+        level = 0
+        first_loop = True
+        while order > 0 and order % 2 == 0:
+            child = None
+            sibling = None
+            order //= 2
+            level += 1
+            if first_loop:
+                average = (data1 + data2) / 2
+                value = data1 - average
+                first_loop = False
+            else:
+                average = (average + current_average) / 2
+                value = current_average - average
+                child = prev_frontline.hung_child
+                prev_frontline.hung_child = None
+            if frontline is not None and frontline.level == level:
+                sibling = frontline.hung_child
+                if sibling is not None:
+                    while sibling.next_sibling is not None:
+                        sibling = sibling.next_sibling
+            current = DataNode(value, level, order, child, sibling)
+            current.compute_error_values(prev_frontline)
+            current.compute_ma()
+            self.error_heap.add(current)
+            if prev_frontline is not None:
+                if child is not None:
+                    child.front = None
+                if frontline is not None:
+                    frontline.prev = None
+            new_frontline = frontline
+            if frontline is None:
+                new_frontline = FrontlineNode(average, level)
+                self.frontline_top = new_frontline
+                self.frontline_bottom = new_frontline
+            elif frontline.level != level:
+                new_frontline = FrontlineNode(average, level)
+                self.frontline_bottom = new_frontline
+                new_frontline.next = frontline
+                frontline.prev = new_frontline
+            else:
+                current_average = frontline.value
+            if new_frontline.hung_child is None:
+                new_frontline.hung_child = current
+                current.front = new_frontline
+            prev_frontline = frontline
+            frontline = new_frontline.next
+
+    # -- discard (:352-411) ------------------------------------------------
+    def _discard(self) -> None:
+        for _ in range(2):
+            discarded = self.error_heap.poll()
+            if discarded is None:
+                continue
+            self._propagate_error(discarded)
+            if discarded.left_most_child is not None:
+                child = discarded.left_most_child
+                while child is not None:
+                    child.set_parent(discarded.parent)
+                    child = child.next_sibling
+                child = discarded.left_most_child
+                if discarded.front is not None:
+                    child.front = discarded.front
+                    discarded.front.hung_child = child
+                if discarded.previous_sibling is not None:
+                    discarded.previous_sibling.next_sibling = child
+                    child.previous_sibling = discarded.previous_sibling
+                if discarded.next_sibling is not None:
+                    while child.next_sibling is not None:
+                        child = child.next_sibling
+                    child.next_sibling = discarded.next_sibling
+                    discarded.next_sibling.previous_sibling = child
+            else:
+                if discarded.front is not None:
+                    if discarded.next_sibling is not None:
+                        discarded.next_sibling.front = discarded.front
+                    discarded.front.hung_child = discarded.next_sibling
+                if discarded.previous_sibling is not None:
+                    discarded.previous_sibling.next_sibling = discarded.next_sibling
+                if discarded.next_sibling is not None:
+                    discarded.next_sibling.previous_sibling = discarded.previous_sibling
+            if discarded.parent is not None and discarded.parent.left_most_child is discarded:
+                if discarded.left_most_child is not None:
+                    discarded.left_most_child.parent = discarded.parent
+                    discarded.parent.left_most_child = discarded.left_most_child
+                else:
+                    if discarded.next_sibling is not None:
+                        discarded.next_sibling.parent = discarded.parent
+                    discarded.parent.left_most_child = discarded.next_sibling
+
+    def _propagate_error(self, discarded: DataNode) -> None:
+        discarded.minerrorleft -= discarded.data
+        discarded.maxerrorleft -= discarded.data
+        discarded.minerrorright += discarded.data
+        discarded.maxerrorright += discarded.data
+        if discarded.left_most_child is not None:
+            self._propagate_error_down(discarded.left_most_child, discarded)
+        if discarded.parent is None:
+            min_error = min(discarded.minerrorleft, discarded.minerrorright)
+            max_error = max(discarded.maxerrorleft, discarded.maxerrorright)
+            if discarded.front is None:
+                sibling = discarded.previous_sibling
+                while sibling.previous_sibling is not None:
+                    sibling = sibling.previous_sibling
+                sibling.front.merge_error(min_error, max_error)
+                # NOTE: the reference never sets errorhanging=true (latent bug:
+                # FrontlineNode.errorhanging is only ever false), so merged
+                # errors are never re-read in computeErrorValues; preserved.
+            else:
+                discarded.front.merge_error(min_error, max_error)
+        else:
+            self._propagate_error_up(discarded.parent)
+
+    def _propagate_error_up(self, parent: DataNode | None) -> None:
+        necessary = True
+        while necessary and parent is not None:
+            necessary = parent.compute_error_values(None)
+            if necessary:
+                self.error_heap.remove(parent)
+                parent.compute_ma()
+                self.error_heap.add(parent)
+            parent = parent.parent
+
+    def _propagate_error_down(self, descendant: DataNode, ancestor: DataNode) -> None:
+        self.error_heap.remove(descendant)
+        if descendant.ancestor_relationship(ancestor) == LEFT:
+            descendant.minerrorleft -= ancestor.data
+            descendant.maxerrorleft -= ancestor.data
+            descendant.minerrorright -= ancestor.data
+            descendant.maxerrorright -= ancestor.data
+        else:
+            descendant.minerrorleft += ancestor.data
+            descendant.maxerrorleft += ancestor.data
+            descendant.minerrorright += ancestor.data
+            descendant.maxerrorright += ancestor.data
+        descendant.compute_ma()
+        self.error_heap.add(descendant)
+        if descendant.left_most_child is not None:
+            self._propagate_error_down(descendant.left_most_child, ancestor)
+        if descendant.next_sibling is not None:
+            self._propagate_error_down(descendant.next_sibling, ancestor)
+
+    # -- padding (:200-256) ------------------------------------------------
+    def padding(self) -> None:
+        if self.stream_element_counter % 2 == 1:
+            self._update_one(self._data1)
+            self.stream_element_counter -= 1
+        if self.frontline_bottom is self.frontline_top:
+            self.rootnode = self.frontline_top
+        else:
+            max_level = self.frontline_top.level + 1
+            average = 0.0
+            previous_coefficient = None
+            first_iteration = True
+            fb = self.frontline_bottom
+            while fb.next is not None:
+                lower_hanging = fb.hung_child
+                upper_hanging = fb.next.hung_child
+                average = (
+                    (fb.value + fb.next.value) / 2
+                    if first_iteration
+                    else (average + fb.next.value) / 2
+                )
+                coefficient_value = fb.next.value - average
+                level = fb.next.level + 1
+                order_in_level = 2 ** (max_level - level)
+                new_coefficient = DataNode(
+                    coefficient_value, level, order_in_level, upper_hanging, None
+                )
+                if upper_hanging is not None:
+                    upper_hanging.front = None
+                    if previous_coefficient is not None:
+                        upper_hanging.next_sibling = previous_coefficient
+                        previous_coefficient.previous_sibling = upper_hanging
+                        previous_coefficient.set_parent(new_coefficient)
+                    elif lower_hanging is not None:
+                        upper_hanging.next_sibling = lower_hanging
+                        lower_hanging.previous_sibling = upper_hanging
+                else:
+                    if previous_coefficient is not None:
+                        previous_coefficient.set_parent(new_coefficient)
+                        new_coefficient.left_most_child = previous_coefficient
+                    elif lower_hanging is not None:
+                        lower_hanging.set_parent(new_coefficient)
+                        new_coefficient.left_most_child = lower_hanging
+                if lower_hanging is not None:
+                    lower_hanging.front = None
+                previous_coefficient = new_coefficient
+                fb = fb.next
+                self.frontline_bottom = fb
+                fb.prev = None
+                first_iteration = False
+            root = FrontlineNode(average, max_level)
+            root.hung_child = previous_coefficient
+            previous_coefficient.front = root
+            if previous_coefficient.left_most_child is not None:
+                previous_coefficient.left_most_child.front = None
+            self.rootnode = root
+
+    # -- queries (:76-194) -------------------------------------------------
+    def point_query(self, index: int) -> float:
+        if index > self.stream_element_counter or index < 0:
+            raise ValueError(f"index out of range: {index}")
+        if self.rootnode is None:
+            self.padding()
+        return self._point_query(index, self.rootnode.hung_child, self.rootnode.value)
+
+    def _point_query(self, index: int, current: DataNode, parent_average: float) -> float:
+        current_average = parent_average
+        while current.index_in_subtree(index, self.rootnode.level) == 0:
+            current = current.next_sibling
+            if current is None:
+                return current_average
+        if current.index_in_subtree(index, self.rootnode.level) == 1:
+            current_average += current.data
+        else:
+            current_average -= current.data
+        if current.left_most_child is None:
+            return current_average
+        return self._point_query(index, current.left_most_child, current_average)
+
+    def range_sum_query(self, left_index: int, right_index: int) -> float:
+        if right_index < left_index:
+            raise ValueError("rightIndex has to be greater than leftIndex.")
+        if (
+            left_index > self.stream_element_counter
+            or left_index < 0
+            or right_index > self.stream_element_counter
+            or right_index < 0
+        ):
+            raise ValueError(f"index out of range: [{left_index}, {right_index}]")
+        if self.rootnode is None:
+            self.padding()
+        range_sum = (right_index - left_index + 1) * self.rootnode.value
+        return self._range_traversal(left_index, right_index, self.rootnode.hung_child, range_sum)
+
+    def _range_traversal(self, li: int, ri: int, current: DataNode, ancestor_contribution: float) -> float:
+        max_level = self.rootnode.level
+        on_left = current
+        on_right = current
+        while on_left is not None and on_left.index_in_subtree(li, max_level) == 0:
+            on_left = on_left.next_sibling
+        while on_right is not None and on_right.index_in_subtree(ri, max_level) == 0:
+            on_right = on_right.next_sibling
+        left_contrib = right_contrib = 0.0
+        if on_left is not None:
+            left_contrib = (
+                on_left.count_left_leaves(li, ri, max_level)
+                - on_left.count_right_leaves(li, ri, max_level)
+            ) * on_left.data
+        if on_right is not None and on_right is not on_left:
+            right_contrib = (
+                on_right.count_left_leaves(li, ri, max_level)
+                - on_right.count_right_leaves(li, ri, max_level)
+            ) * on_right.data
+        current_value = ancestor_contribution + left_contrib + right_contrib
+        if on_left is not None and on_right is not None and on_left is not on_right:
+            if on_left.left_most_child is not None:
+                current_value = self._range_traversal(li, ri, on_left.left_most_child, current_value)
+            if on_right.left_most_child is not None:
+                current_value += self._range_traversal(li, ri, on_right.left_most_child, 0.0)
+        else:
+            if on_left is not None and on_left.left_most_child is not None:
+                current_value = self._range_traversal(li, ri, on_left.left_most_child, current_value)
+            if on_right is not None and on_right is not on_left and on_right.left_most_child is not None:
+                current_value = self._range_traversal(li, ri, on_right.left_most_child, current_value)
+        return current_value
+
+    # -- serde: pickle the whole linked structure --------------------------
+    def _ctor_args(self):
+        return (self.size,)
+
+    def state_dict(self):
+        import pickle
+        import sys
+
+        old = sys.getrecursionlimit()
+        sys.setrecursionlimit(max(old, 100000))
+        try:
+            payload = pickle.dumps(
+                (
+                    self.stream_element_counter,
+                    self.frontline_bottom,
+                    self.frontline_top,
+                    self.rootnode,
+                    self._data1,
+                    [(e[1], e[2]) for e in self.error_heap._live.values()],
+                ),
+                protocol=pickle.HIGHEST_PROTOCOL,
+            )
+        finally:
+            sys.setrecursionlimit(old)
+        return {"payload": payload}
+
+    def load_state(self, state):
+        import pickle
+
+        (
+            self.stream_element_counter,
+            self.frontline_bottom,
+            self.frontline_top,
+            self.rootnode,
+            self._data1,
+            live_nodes,
+        ) = pickle.loads(state["payload"])
+        self.error_heap = _ErrorHeap()
+        for node, alive in live_nodes:
+            if alive:
+                self.error_heap.add(node)
+
+
+class NonMergeableSynopsisManager(Synopsis):
+    """core/.../synopsis/NonMergeableSynopsisManager.java:5-36."""
+
+    order_based = True
+
+    def __init__(self):
+        super().__init__()
+        self.unified_synopses: list = []
+        self.elements_processed = 0
+
+    def get_synopsis_index(self, stream_index: int) -> int:
+        raise NotImplementedError
+
+    def add_synopsis(self, synopsis) -> None:
+        self.unified_synopses.append(synopsis)
+
+    def unify(self, other: "NonMergeableSynopsisManager") -> None:
+        self.elements_processed += other.elements_processed
+        self.unified_synopses.extend(other.unified_synopses)
+
+
+class DistributedWaveletsManager(NonMergeableSynopsisManager):
+    """Round-robin wavelet manager (DistributedWaveletsManager.java:7-81)."""
+
+    def __init__(self, parallelism: int = 0, unified_synopses: list | None = None):
+        super().__init__()
+        self.parallelism = parallelism
+        if unified_synopses is not None:
+            self.unified_synopses = list(unified_synopses)
+
+    def get_synopsis_index(self, stream_index: int) -> int:
+        return stream_index % self.parallelism
+
+    def get_local_index(self, index: int) -> int:
+        return index // self.parallelism
+
+    def add_synopsis(self, synopsis: WaveletSynopsis) -> None:
+        self.parallelism += 1
+        self.elements_processed += synopsis.stream_element_counter
+        super().add_synopsis(synopsis)
+
+    def point_query(self, index: int) -> float:
+        wavelet = self.unified_synopses[self.get_synopsis_index(index)]
+        local = self.get_local_index(index)
+        if local > wavelet.stream_element_counter:
+            return -1.0
+        return wavelet.point_query(local)
+
+    def range_sum_query(self, left_index: int, right_index: int) -> float:
+        range_sum = 0.0
+        left_local = self.get_local_index(left_index)
+        right_local = self.get_local_index(right_index)
+        for i in range(self.parallelism):
+            pl = left_local
+            if i + left_local * self.parallelism < left_index:
+                pl += 1
+            pr = right_local
+            if i + right_local * self.parallelism > right_index:
+                pr -= 1
+            range_sum += self.unified_synopses[i].range_sum_query(pl, pr)
+        return range_sum
+
+
+class SliceWaveletsManager(NonMergeableSynopsisManager):
+    """Slice-offset wavelet manager (SliceWaveletsManager.java:8-99)."""
+
+    def __init__(self, unified_synopses: list | None = None):
+        super().__init__()
+        self.slice_start_indices: list[int] = []
+        self.slices_per_window = 0
+        if unified_synopses:
+            self.unified_synopses = list(unified_synopses)
+            self.slices_per_window = len(self.unified_synopses)
+            self.elements_processed = 0
+            for s in self.unified_synopses:
+                self.slice_start_indices.append(self.elements_processed)
+                self.elements_processed += s.stream_element_counter
+
+    def get_synopsis_index(self, stream_index: int) -> int:
+        index = -1
+        for start in self.slice_start_indices:
+            if start > stream_index:
+                return index
+            index += 1
+        return index
+
+    def add_synopsis(self, synopsis: WaveletSynopsis) -> None:
+        self.slices_per_window += 1
+        self.elements_processed += synopsis.stream_element_counter
+        if not self.unified_synopses:
+            self.slice_start_indices.append(0)
+        else:
+            self.slice_start_indices.append(
+                self.slice_start_indices[-1]
+                + self.unified_synopses[-1].stream_element_counter
+            )
+        super().add_synopsis(synopsis)
+
+    def unify(self, other: "SliceWaveletsManager") -> None:
+        for s in other.unified_synopses:
+            self.add_synopsis(s)
+
+    def point_query(self, index: int) -> float:
+        mi = self.get_synopsis_index(index)
+        return self.unified_synopses[mi].point_query(index - self.slice_start_indices[mi])
+
+    def range_sum_query(self, left_index: int, right_index: int) -> float:
+        lm = self.get_synopsis_index(left_index)
+        rm = self.get_synopsis_index(right_index)
+        total = 0.0
+        for i in range(lm, rm + 1):
+            prev = self.slice_start_indices[i]
+            ll = left_index - prev if i == lm else 0
+            rl = (
+                right_index - prev
+                if i == rm
+                else self.slice_start_indices[i + 1] - prev - 1
+            )
+            total += self.unified_synopses[i].range_sum_query(ll, rl)
+        return total
