@@ -1,0 +1,166 @@
+"""Headline pipelines composing the engine stages, each with a DuckDB-oracle
+counterpart in ``__ray_entry__.oracle_sql`` where SQL can express it."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..config import BuildConfiguration, KeySpec
+from ..engine.batch import build_windowed_synopses
+from ..hashing import java_string_hash_array
+from ..stages.extract import ts_to_us
+from ..synopses.base import Synopsis
+from ..windows import TumblingWindow
+
+
+def windowed_distinct_convs(ds, window: TumblingWindow):
+    """Exact distinct conversations per tumbling window.
+
+    Dedups (window, conv) pairs inside each batch before the shuffle, so the
+    exchange carries near-distinct pairs, not raw rows; the second tiny
+    groupby counts pairs per window."""
+    from ray.data.aggregate import Count
+
+    size_us = window.size_us
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ts = ts_to_us(batch["ts"])
+        wid = ts // size_us
+        conv = batch["conv_id"]
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        dic = conv.dictionary_encode()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        gkey = wid * (len(dic.dictionary) + 1) + codes
+        uniq = np.unique(gkey)
+        m = len(dic.dictionary) + 1
+        return pa.table(
+            {
+                "window_id": pa.array(uniq // m, type=pa.int64()),
+                "conv_id": dic.dictionary.take(pa.array(uniq % m, type=pa.int64())),
+            }
+        )
+
+    p = ds.map_batches(pairs, batch_format="pyarrow")
+    dedup = p.groupby(["window_id", "conv_id"]).count()
+    out = dedup.groupby("window_id").aggregate(Count(alias_name="n_convs"))
+
+    def bounds(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "window_start": df["window_id"] * size_us,
+                "n_convs": df["n_convs"].astype(np.int64),
+            }
+        )
+
+    return out.map_batches(bounds, batch_format="pandas")
+
+
+def cm_tool_frequencies(ds, window: TumblingWindow, width=65536, height=5, seed=7):
+    """Count-Min sketch per window over tool names, then point-query every
+    tool observed in that window.  With the reference-standard CM{65536,5,7}
+    and a ~20-name tool universe the estimates are collision-free, so the
+    output equals exact GROUP BY counts — a SQL-verifiable sketch pipeline.
+
+    Returns: window_start:int64, tool:str, est:int64
+    """
+    cfg = BuildConfiguration(
+        synopsis="CountMinSketch",
+        params=(width, height, seed),
+        windows=[window],
+        key=KeySpec("tool", "java_hash"),
+    )
+    import pyarrow.compute as pc
+
+    tool_rows = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t["tool"])), batch_format="pyarrow"
+    )
+    syn = build_windowed_synopses(tool_rows, cfg, concurrency=2)
+
+    # tools per window (exact, tiny) to know which keys to query
+    size_us = window.size_us
+
+    def wt_pairs(batch: pa.Table) -> pa.Table:
+        ts = ts_to_us(batch["ts"])
+        wid = ts // size_us
+        tool = batch["tool"]
+        if isinstance(tool, pa.ChunkedArray):
+            tool = tool.combine_chunks()
+        dic = tool.dictionary_encode()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        gkey = wid * (len(dic.dictionary) + 1) + codes
+        uniq = np.unique(gkey)
+        m = len(dic.dictionary) + 1
+        return pa.table(
+            {
+                "window_start": pa.array((uniq // m) * size_us, type=pa.int64()),
+                "tool": dic.dictionary.take(pa.array(uniq % m, type=pa.int64())),
+            }
+        )
+
+    wt = (
+        tool_rows.map_batches(wt_pairs, batch_format="pyarrow")
+        .groupby(["window_start", "tool"])
+        .count()
+        .drop_columns(["count()"])
+    )
+
+    # join (broadcast the small synopsis stream into the per-window tool list)
+    syn_pd = syn.to_pandas()  # small: one row per window
+
+    def query(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for ws, grp in df.groupby("window_start"):
+            row = syn_pd[syn_pd["window_start"] == ws]
+            if row.empty:
+                continue
+            cm = Synopsis.from_bytes(row["payload"].iloc[0])
+            keys = java_string_hash_array(grp["tool"].tolist())
+            est = cm.query_batch(keys)
+            out.append(
+                pd.DataFrame(
+                    {"window_start": ws, "tool": grp["tool"].to_numpy(), "est": est}
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {"window_start": pd.Series(dtype=np.int64),
+                 "tool": pd.Series(dtype=object),
+                 "est": pd.Series(dtype=np.int64)}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return wt.map_batches(query, batch_format="pandas")
+
+
+def flagship_hll_pipeline(ds, window: TumblingWindow):
+    """Flagship: HLL-per-window distinct-conversation estimates with exact
+    counts carried alongside (the reference's HLLSketchAccuracy job shape,
+    bench/.../reliablility/HLLSketchAccuracy.java:49-72).
+
+    Returns: window_start, window_end (int64 us), n_rows, distinct_est
+    """
+    cfg = BuildConfiguration(
+        synopsis="HyperLogLogSketch",
+        params=(16, 7),  # reference accuracy-job shape HLL{16,7}
+        windows=[window],
+        key=KeySpec("conv_id", "java_hash"),
+    )
+    syn = build_windowed_synopses(ds, cfg, concurrency=2)
+
+    def estimate(df: pd.DataFrame) -> pd.DataFrame:
+        ests = [
+            Synopsis.from_bytes(b).distinct_items_estimator() for b in df["payload"]
+        ]
+        return pd.DataFrame(
+            {
+                "window_start": df["window_start"].astype(np.int64),
+                "window_end": df["window_end"].astype(np.int64),
+                "n_rows": df["n_rows"].astype(np.int64),
+                "distinct_est": np.asarray(ests, dtype=np.int64),
+            }
+        )
+
+    return syn.map_batches(estimate, batch_format="pandas")

@@ -1,0 +1,217 @@
+"""Deterministic synthetic transcripts stream (FIXTURES.md F1/F2/F3).
+
+Replaces the reference's rate-limited synthetic sources
+(bench/.../sources/input/UniformDistributionSource.java:18-128,
+ZipfDistributionSource.java:33-222, UnorderedSource.java:114-127) with a
+seeded Parquet generator whose files are the stream's micro-batch fragments:
+fragment order = arrival order, and every 10th arrival carries an event-time
+20 s in the past (UnorderedSource semantics) to exercise watermark drops.
+
+Schema (BASELINE.json input_hint):
+    conv_id:string  turn_idx:int32  role:string  text:string  tool:string
+    ts:timestamp[us]   (+ arrival_seq:int64, the global arrival ordinal)
+
+Zipf-skewed conversation lengths make some conv_ids hot (hot-key splitting
+fixtures).  Everything derives from numpy's seeded Generator — same args,
+same bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+BASE_TS_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in epoch micros
+LATENESS_US = 20_000_000  # 20 s, UnorderedSource.java:120
+_VOCAB_SIZE = 1000
+_TOOLS = [f"tool_{i:02d}" for i in range(20)]
+_ROLES = ["user", "assistant", "tool"]
+
+_CACHE_ROOT = os.environ.get("CONDOR_RAY_CACHE", "/tmp/condor_ray_fixtures")
+
+
+def _vocab(rng: np.random.Generator) -> np.ndarray:
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    words = []
+    for _ in range(_VOCAB_SIZE):
+        ln = rng.integers(3, 10)
+        words.append("".join(letters[rng.integers(0, 26, ln)]))
+    return np.array(words)
+
+
+def generate_stream_fixture(
+    n_rows: int = 60_000,
+    n_convs: int = 2_000,
+    seed: int = 42,
+    n_fragments: int = 8,
+    turn_gap_ms: int = 1_000,
+    out_dir: str | None = None,
+) -> str:
+    """Generate (or reuse cached) transcripts + tool_calls + queries fixture.
+
+    Returns the fixture directory containing:
+      transcripts/fragment-{i:05d}.parquet   (arrival-ordered stream)
+      tool_calls.parquet                     (F2 join stream)
+      queries.parquet                        (F3 evaluation stream)
+    """
+    spec = f"v3:{n_rows}:{n_convs}:{seed}:{n_fragments}:{turn_gap_ms}"
+    if out_dir is None:
+        digest = hashlib.sha256(spec.encode()).hexdigest()[:12]
+        out_dir = os.path.join(_CACHE_ROOT, digest)
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        return out_dir
+    os.makedirs(os.path.join(out_dir, "transcripts"), exist_ok=True)
+
+    rng = np.random.default_rng(seed)
+    vocab = _vocab(rng)
+
+    # Zipf-skewed conversation lengths (ZipfDistributionSource analogue)
+    raw = rng.zipf(1.5, n_convs).astype(np.int64)
+    lengths = np.clip(raw * 3, 3, max(20, n_rows // 10))
+    scale_f = n_rows / lengths.sum()
+    lengths = np.maximum((lengths * scale_f).astype(np.int64), 1)
+    total = int(lengths.sum())
+
+    conv_ids_u = np.array([f"c{i:08d}" for i in range(n_convs)])
+    conv_col = np.repeat(np.arange(n_convs), lengths)
+    turn_idx = np.concatenate([np.arange(l, dtype=np.int32) for l in lengths])
+
+    # per-conversation start offset across the stream span, ~1s per turn
+    span_us = int(total * turn_gap_ms * 1000 / max(n_convs, 1) * 4)
+    conv_start = rng.integers(0, max(span_us, 1), n_convs)
+    nominal_ts = (
+        BASE_TS_US
+        + conv_start[conv_col]
+        + turn_idx.astype(np.int64) * (turn_gap_ms * 1000)
+        + rng.integers(0, turn_gap_ms * 1000, total)
+    )
+
+    role = np.array(_ROLES)[turn_idx % 3]
+    tool_choice = np.array(_TOOLS)[rng.integers(0, len(_TOOLS), total)]
+    is_tool = role == "tool"
+
+    # token-soup text, 3..40 words
+    n_words = rng.integers(3, 40, total)
+    flat_words = vocab[rng.integers(0, _VOCAB_SIZE, int(n_words.sum()))]
+    offsets = np.concatenate([[0], np.cumsum(n_words)])
+    text = np.array(
+        [" ".join(flat_words[offsets[i] : offsets[i + 1]]) for i in range(total)]
+    )
+
+    # arrival order = nominal event order; every 10th arrival is 20 s late
+    order = np.argsort(nominal_ts, kind="stable")
+    ts = nominal_ts[order].copy()
+    late_mask = (np.arange(total) % 10) == 9  # every 10th arrival
+    ts[late_mask] -= LATENESS_US
+
+    conv_sorted = conv_ids_u[conv_col[order]]
+    table = pa.table(
+        {
+            "conv_id": pa.array(conv_sorted),
+            "turn_idx": pa.array(turn_idx[order], type=pa.int32()),
+            "role": pa.array(role[order]),
+            "text": pa.array(text[order]),
+            "tool": pa.array(
+                np.where(is_tool[order], tool_choice[order], None), type=pa.string()
+            ),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+            "arrival_seq": pa.array(np.arange(total, dtype=np.int64)),
+        }
+    )
+
+    bounds = np.linspace(0, total, n_fragments + 1).astype(int)
+    for i in range(n_fragments):
+        pq.write_table(
+            table.slice(bounds[i], bounds[i + 1] - bounds[i]),
+            os.path.join(out_dir, "transcripts", f"fragment-{i:05d}.parquet"),
+        )
+
+    # F2: tool_calls — one row per tool turn, +5% orphans, +5% duplicates
+    tool_rows = table.filter(pa.compute.equal(table["role"], "tool"))
+    n_tc = tool_rows.num_rows
+    tc_conv = tool_rows["conv_id"].to_numpy(zero_copy_only=False)
+    tc_turn = tool_rows["turn_idx"].to_numpy(zero_copy_only=False)
+    tc_tool = tool_rows["tool"].to_numpy(zero_copy_only=False)
+    tc_ts = tool_rows["ts"].cast(pa.int64()).to_numpy() + rng.integers(
+        0, 5_000_000, n_tc
+    )
+    call_id = np.array([f"{c}_{t}" for c, t in zip(tc_conv, tc_turn)])
+    status = np.where(rng.random(n_tc) < 0.9, "ok", "error")
+    n_orph = max(n_tc // 20, 1)
+    n_dup = max(n_tc // 20, 1)
+    dup_idx = rng.integers(0, n_tc, n_dup)
+    orph_conv = np.array([f"orphan{i:06d}" for i in range(n_orph)])
+    tc = pa.table(
+        {
+            "conv_id": pa.array(np.concatenate([tc_conv, tc_conv[dup_idx], orph_conv])),
+            "call_id": pa.array(
+                np.concatenate(
+                    [call_id, call_id[dup_idx], np.char.add("call_", orph_conv)]
+                )
+            ),
+            "tool": pa.array(
+                np.concatenate(
+                    [tc_tool, tc_tool[dup_idx],
+                     np.array(_TOOLS)[rng.integers(0, len(_TOOLS), n_orph)]]
+                )
+            ),
+            "status": pa.array(
+                np.concatenate(
+                    [status, status[dup_idx],
+                     np.where(rng.random(n_orph) < 0.9, "ok", "error")]
+                )
+            ),
+            "ts": pa.array(
+                np.concatenate(
+                    [tc_ts, tc_ts[dup_idx],
+                     rng.integers(ts.min(), ts.max(), n_orph)]
+                ),
+                type=pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(tc, os.path.join(out_dir, "tool_calls.parquet"))
+
+    # F3: queries — keys from the conv_id hash domain, ts across the span
+    from ..hashing import java_string_hash_array
+
+    n_q = max(n_rows // 10, 100)
+    q_convs = conv_ids_u[rng.integers(0, n_convs, n_q)]
+    q_keys = java_string_hash_array(q_convs.tolist())
+    q_ts = rng.integers(ts.min(), ts.max(), n_q)
+    q_strata = np.where(
+        rng.random(n_q) < 0.5, np.array(_ROLES)[rng.integers(0, 3, n_q)], None
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "query_key": pa.array(q_keys, type=pa.int32()),
+                "query_ts": pa.array(q_ts, type=pa.timestamp("us")),
+                "stratum": pa.array(q_strata, type=pa.string()),
+            }
+        ),
+        os.path.join(out_dir, "queries.parquet"),
+    )
+
+    with open(done, "w") as f:
+        f.write(spec)
+    return out_dir
+
+
+def transcript_fragments(fixture_dir: str) -> list[str]:
+    frag_dir = os.path.join(fixture_dir, "transcripts")
+    return sorted(
+        os.path.join(frag_dir, f) for f in os.listdir(frag_dir) if f.endswith(".parquet")
+    )
+
+
+def read_transcripts(fixture_dir: str, columns: list[str] | None = None):
+    """Transcripts as a Ray Dataset (fragment order preserved by path sort)."""
+    import ray.data as rd
+
+    return rd.read_parquet(transcript_fragments(fixture_dir), columns=columns)

@@ -1,0 +1,69 @@
+"""Vectorized key extraction from Arrow transcript batches.
+
+Mirrors the reference's one-field key extractors
+(bench/.../sources/utils/SyntheticExtractKeyField.java:7-21,
+NYCExtractKeyField) — but as Arrow column projections inside ``map_batches``
+instead of per-row map functions.  String keys hash with
+``java.lang.String.hashCode`` semantics through a per-extractor cache
+(conv_ids and tool names repeat heavily, so the cache amortizes to O(unique)).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import KeySpec
+from ..hashing import java_string_hash
+
+
+def ts_to_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """timestamp[us] column -> int64 epoch-microsecond ndarray (zero-copy)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.cast(pa.int64()).to_numpy()
+
+
+class KeyExtractor:
+    """Callable: Arrow batch -> int32/float64 key ndarray per KeySpec."""
+
+    def __init__(self, spec: KeySpec):
+        self.spec = spec
+        self._cache: dict[str, int] = {}
+
+    def __call__(self, batch: pa.Table) -> np.ndarray:
+        col = batch[self.spec.field]
+        t = self.spec.transform
+        if t == "java_hash":
+            return self._hash_strings(col)
+        if t == "length":
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return pc.utf8_length(col).cast(pa.int64()).to_numpy().astype(np.int32)
+        if t == "value":
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return col.to_numpy(zero_copy_only=False)
+        raise ValueError(f"unknown key transform {t!r}")
+
+    def _hash_strings(self, col) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        dic = col.dictionary_encode()
+        uniques = dic.dictionary.to_pylist()
+        cache = self._cache
+        lut = np.empty(len(uniques), dtype=np.int32)
+        for i, s in enumerate(uniques):
+            h = cache.get(s)
+            if h is None:
+                h = java_string_hash(s) if s is not None else 0
+                cache[s] = h
+            lut[i] = h
+        indices = dic.indices.to_numpy(zero_copy_only=False)
+        # null strings -> index null; map to 0 like a Java null guard would NPE
+        # in the reference; we use 0 (documented: nulls keyed as 0)
+        idx = np.where(np.isnan(indices) if indices.dtype.kind == "f" else indices < 0,
+                       0, indices).astype(np.int64)
+        out = lut[idx]
+        return out
