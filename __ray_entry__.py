@@ -96,6 +96,13 @@ def _q_flagship_hll(sf_dir: str):
     return flagship_hll_pipeline(ds, TumblingWindow(WINDOW_MS))
 
 
+def _q_streaming_windowed_counts(sf_dir: str):
+    from condor_ray.pipelines.core import streaming_windowed_counts
+    from condor_ray.windows import TumblingWindow
+
+    return streaming_windowed_counts(sf_dir, TumblingWindow(WINDOW_MS))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "transcripts_derivation": _q_transcripts,
@@ -104,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_distinct_convs": _q_windowed_distinct,
         "cm_tool_frequencies": _q_cm_tool_frequencies,
         "flagship_hll": _q_flagship_hll,  # rows-only (estimates)
+        "streaming_windowed_counts": _q_streaming_windowed_counts,
     }
 
 
@@ -122,6 +130,11 @@ SELECT (epoch_us(ts) // {_W_US}) * {_W_US} AS window_start,
        role AS stratum,
        count(*) AS n_rows
 FROM transcripts GROUP BY 1, 2, 3""",
+        "streaming_windowed_counts": f"""{cte}
+SELECT (epoch_us(ts) // {_W_US}) * {_W_US} AS window_start,
+       (epoch_us(ts) // {_W_US}) * {_W_US} + {_W_US} AS window_end,
+       count(*) AS n_rows
+FROM transcripts GROUP BY 1, 2""",
         "windowed_distinct_convs": f"""{cte}
 SELECT (epoch_us(ts) // {_W_US}) * {_W_US} AS window_start,
        count(DISTINCT conv_id) AS n_convs

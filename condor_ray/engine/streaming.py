@@ -1,0 +1,409 @@
+"""Streaming synopsis job: micro-batch replay of ts-ordered Parquet fragments
+through hash-partitioned state-store actors with event-time watermarks,
+exactly-once emission, and checkpoint/resume.
+
+This is the north-rule heart (BASELINE.json): the Ray-native counterpart of
+Condor's Scotty path (conn/.../processor/SynopsisBuilder.java:298-342 +
+KeyedScottyWindowOperator) with the reliability features the reference
+delegates to Flink (and never enables — no ``enableCheckpointing`` anywhere in
+the repo) designed in explicitly:
+
+- **Stream**: the fragment file sequence IS the stream; fragment order =
+  arrival order (sources write them ts-ordered with 10% late arrivals).
+- **Partitioning**: an explicit shuffle — a split task per fragment cuts it
+  into P shards by ``murmur(hash32(conv_id)) % P`` (separate Ray object per
+  shard, so each shard moves only to its actor).  Hot conversations (rows in
+  fragment > ``hot_key_threshold``) are salted round-robin across partitions —
+  safe because mergeable-synopsis state is keyed by (stratum, slice), not by
+  conv (SURVEY §4 skew row).
+- **Watermark**: global, advanced at fragment boundaries to
+  ``max ts seen`` (the reference's max-seen assigner,
+  bench/.../sources/utils/SyntheticTimestampsAndWatermarks.java:17-28, at
+  Flink's periodic-watermark granularity).  A row is LATE iff its slice end
+  <= the watermark of the previous fragment; late rows are dropped and
+  counted (UnorderedSource semantics — late-by-20s rows never reach closed
+  windows).
+- **Window close**: window w closes when watermark >= end(w); its slices are
+  frozen by then (any update to them would be late), so the close cycle
+  snapshots slice partials from all P stores, merges per slice then per
+  window, and emits.  Slices are evicted once no remaining window needs them.
+- **Exactly-once**: each fragment k's close cycle writes
+  ``emit-f{k:05d}.parquet`` atomically (tmp + rename).  Replaying fragment k
+  after a crash rewrites byte-identical files, so task retries and
+  checkpoint resume cannot duplicate or lose windows.  A manifest JSON lines
+  file records per-fragment lineage {fragment, rows, late_dropped,
+  watermark, windows_emitted}.
+- **Checkpoint/resume**: every ``checkpoint_every`` fragments the driver
+  collects actor snapshots + its own cursor and writes an atomic checkpoint
+  dir; ``resume=True`` restores the newest checkpoint and replays only the
+  remaining fragments.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from ..config import BuildConfiguration
+from ..hashing import java_string_hash, murmur_hash_int
+from ..stages.extract import ts_to_us
+from ..state.store import PartitionStateStore
+from ..synopses.base import Synopsis
+from ..windows import SlidingWindow, TumblingWindow, slices_of_window
+from .batch import _common_slice_us, _window_kind
+
+_NEG_INF = -(2**62)
+
+
+def _partition_fragment(
+    path: str,
+    parallelism: int,
+    slice_us: int,
+    watermark_us: int,
+    hot_key_threshold: int | None,
+    columns: list[str] | None,
+):
+    """Split one fragment into P shards by conv hash; drop+count late rows.
+
+    Returns (meta_dict, shard_0, ..., shard_{P-1}) — shards are separate
+    return values so Ray ships each one only to its partition's actor."""
+    table = pq.read_table(path, columns=columns)
+    n = table.num_rows
+    ts = ts_to_us(table["ts"])
+    frag_max = int(ts.max()) if n else _NEG_INF
+    frag_min = int(ts.min()) if n else 2**62
+
+    # late rule: slice already frozen by the carry-in watermark
+    late = (ts // slice_us + 1) * slice_us <= watermark_us
+    n_late = int(late.sum())
+    if n_late:
+        table = table.filter(pa.array(~late))
+        ts = ts[~late]
+
+    conv = table["conv_id"]
+    if isinstance(conv, pa.ChunkedArray):
+        conv = conv.combine_chunks()
+    dic = conv.dictionary_encode()
+    uniq = dic.dictionary.to_pylist()
+    lut = np.asarray(
+        [murmur_hash_int(java_string_hash(c)) % parallelism for c in uniq],
+        dtype=np.int64,
+    )
+    codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    part = lut[codes]
+
+    if hot_key_threshold is not None and len(uniq):
+        counts = np.bincount(codes, minlength=len(uniq))
+        hot = np.flatnonzero(counts > hot_key_threshold)
+        if len(hot):
+            hot_mask = np.isin(codes, hot)
+            # salt: spread each hot conversation round-robin over partitions
+            part = part.copy()
+            part[hot_mask] = (
+                part[hot_mask] + np.arange(int(hot_mask.sum())) % parallelism
+            ) % parallelism
+
+    shards = []
+    for p in range(parallelism):
+        shards.append(table.filter(pa.array(part == p)))
+    meta = {"n_rows": n, "n_late": n_late, "frag_max_ts": frag_max, "frag_min_ts": frag_min}
+    return (meta, *shards)
+
+
+def _evict_horizon(wm_us: int, windows, slice_us: int) -> int:
+    """Largest slice-end H such that every slice with end <= H has ALL its
+    covering windows closed (end <= wm) under every window definition."""
+    if wm_us == _NEG_INF:
+        return _NEG_INF
+    h = wm_us
+    for w in windows:
+        if isinstance(w, TumblingWindow):
+            # slice s evictable iff its tumbling window end <= wm
+            h = min(h, (wm_us // w.size_us) * w.size_us)
+        else:
+            # last window covering slice ending at e has end e' =
+            # floor((e - slice)/slide)*slide + size <= wm
+            # -> e <= floor((wm - size)/slide)*slide + slide + slice... solve
+            # conservatively: iterate back from wm
+            max_e = wm_us - w.size_us + w.slide_us
+            h = min(h, (max_e // w.slide_us) * w.slide_us)
+    return h
+
+
+class StreamingSynopsisJob:
+    def __init__(
+        self,
+        config: BuildConfiguration,
+        out_dir: str,
+        checkpoint_dir: str | None = None,
+        checkpoint_every: int = 4,
+        columns: list[str] | None = None,
+    ):
+        if not config.windows:
+            raise ValueError("config.windows must not be empty")
+        self.config = config
+        self.windows = list(config.windows)
+        self.slice_us = _common_slice_us(self.windows)
+        self.parallelism = config.parallelism
+        self.out_dir = out_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = checkpoint_every
+        self.columns = columns
+        os.makedirs(out_dir, exist_ok=True)
+        if checkpoint_dir:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+        self.stores = [
+            PartitionStateStore.remote(p, config, self.slice_us)
+            for p in range(self.parallelism)
+        ]
+        # driver cursor
+        self.watermark = _NEG_INF
+        self.min_ts = 2**62
+        self.next_fragment = 0
+        self.closed_through: list[int] = [_NEG_INF] * len(self.windows)
+        self.total_late = 0
+        self.total_rows = 0
+
+    # -- checkpointing -----------------------------------------------------
+    def _checkpoint(self) -> None:
+        if not self.checkpoint_dir:
+            return
+        snaps = ray.get([s.snapshot.remote() for s in self.stores])
+        tmp = os.path.join(self.checkpoint_dir, f".tmp-ckpt-{self.next_fragment:05d}")
+        final = os.path.join(self.checkpoint_dir, f"ckpt-{self.next_fragment:05d}")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        for p, blob in enumerate(snaps):
+            with open(os.path.join(tmp, f"part-{p:04d}.bin"), "wb") as f:
+                f.write(blob)
+        meta = {
+            "next_fragment": self.next_fragment,
+            "watermark": self.watermark,
+            "min_ts": self.min_ts,
+            "closed_through": self.closed_through,
+            "total_late": self.total_late,
+            "total_rows": self.total_rows,
+            "parallelism": self.parallelism,
+        }
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+
+    def resume(self) -> bool:
+        """Restore the newest checkpoint; returns True if one was found."""
+        if not self.checkpoint_dir:
+            return False
+        ckpts = sorted(
+            d for d in os.listdir(self.checkpoint_dir) if d.startswith("ckpt-")
+        )
+        if not ckpts:
+            return False
+        path = os.path.join(self.checkpoint_dir, ckpts[-1])
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        if meta["parallelism"] != self.parallelism:
+            raise ValueError("cannot resume with a different parallelism")
+        futures = []
+        for p, store in enumerate(self.stores):
+            with open(os.path.join(path, f"part-{p:04d}.bin"), "rb") as f:
+                futures.append(store.restore.remote(f.read()))
+        ray.get(futures)
+        self.next_fragment = meta["next_fragment"]
+        self.watermark = meta["watermark"]
+        self.min_ts = meta.get("min_ts", 2**62)
+        self.closed_through = list(meta["closed_through"])
+        self.total_late = meta["total_late"]
+        self.total_rows = meta["total_rows"]
+        return True
+
+    # -- close cycle -------------------------------------------------------
+    def _close_windows(self, fragment_idx: int) -> int:
+        """Emit every window whose end <= watermark and not yet emitted.
+        Returns number of windows emitted.  Idempotent per fragment index."""
+        wm = self.watermark
+        to_emit: list[tuple[int, int]] = []  # (window_def_idx, window_id)
+        for wi, w in enumerate(self.windows):
+            stride = w.size_us if isinstance(w, TumblingWindow) else w.slide_us
+            size = w.size_us
+            if self.closed_through[wi] == _NEG_INF:
+                # first close: start at the earliest window containing data
+                if self.min_ts >= 2**62:
+                    continue
+                first = max(0, (self.min_ts - size) // stride + 1)
+            else:
+                first = self.closed_through[wi]
+            wid = first
+            while wid * stride + size <= wm:
+                to_emit.append((wi, wid))
+                wid += 1
+            self.closed_through[wi] = wid
+        emit_path = os.path.join(self.out_dir, f"emit-f{fragment_idx:05d}.parquet")
+        if not to_emit:
+            return 0
+
+        needed = sorted(
+            {
+                s
+                for wi, wid in to_emit
+                for s in slices_of_window(
+                    wid, _as_sliding(self.windows[wi]), self.slice_us
+                )
+            }
+        )
+        horizon = _evict_horizon(wm, self.windows, self.slice_us)
+        tables = ray.get(
+            [s.collect_closed_slices_snapshot.remote(needed, horizon) for s in self.stores]
+        )
+        merged: dict[tuple[str, int], tuple[Synopsis, int]] = {}
+        for t in tables:
+            for stratum, sid, payload, cnt in zip(
+                t["stratum"].to_pylist(),
+                t["slice_id"].to_pylist(),
+                t["payload"].to_pylist(),
+                t["n_rows"].to_pylist(),
+            ):
+                syn = Synopsis.from_bytes(payload)
+                key = (stratum, sid)
+                if key in merged:
+                    cur, c = merged[key]
+                    merged[key] = (cur.merge(syn), c + cnt)
+                else:
+                    merged[key] = (syn, cnt)
+
+        rows = []
+        strata = sorted({k[0] for k in merged}) or [""]
+        for wi, wid in to_emit:
+            w = self.windows[wi]
+            stride = w.size_us if isinstance(w, TumblingWindow) else w.slide_us
+            w_slices = list(slices_of_window(wid, _as_sliding(w), self.slice_us))
+            for stratum in strata:
+                syn_total = None
+                n_total = 0
+                for sid in w_slices:
+                    entry = merged.get((stratum, sid))
+                    if entry is None:
+                        continue
+                    syn, cnt = entry
+                    piece = Synopsis.from_bytes(syn.to_bytes())  # copy
+                    if syn_total is None:
+                        syn_total = piece
+                    else:
+                        syn_total = syn_total.merge(piece)
+                    n_total += cnt
+                if syn_total is None:
+                    continue  # empty window: reference emits nothing
+                rows.append(
+                    {
+                        "window_kind": _window_kind(w),
+                        "window_start": wid * stride,
+                        "window_end": wid * stride + w.size_us,
+                        "stratum": stratum or None,
+                        "synopsis_type": self.config.synopsis,
+                        "payload": syn_total.to_bytes(),
+                        "n_rows": n_total,
+                    }
+                )
+        if rows:
+            out = pa.Table.from_pandas(
+                pd.DataFrame(rows), preserve_index=False
+            )
+            tmp = emit_path + ".tmp"
+            pq.write_table(out, tmp)
+            os.replace(tmp, emit_path)  # atomic: exactly-once emission
+        return len(rows)
+
+    # -- main loop ---------------------------------------------------------
+    def run(
+        self, fragment_paths: list[str], resume: bool = False, final_flush: bool = True
+    ) -> dict:
+        """Process fragments from the restored/initial cursor.  With
+        ``final_flush=False`` the bounded-stream end-of-input flush (watermark
+        -> +inf) is skipped — used to simulate a crash mid-stream."""
+        if resume:
+            self.resume()
+        manifest_path = os.path.join(self.out_dir, "manifest.jsonl")
+        split = ray.remote(num_returns=1 + self.parallelism)(_partition_fragment)
+        for k in range(self.next_fragment, len(fragment_paths)):
+            path = fragment_paths[k]
+            refs = split.remote(
+                path,
+                self.parallelism,
+                self.slice_us,
+                self.watermark,
+                self.config.hot_key_threshold,
+                self.columns,
+            )
+            meta_ref, shard_refs = refs[0], refs[1:]
+            ingest_futs = [
+                store.ingest.remote(shard)
+                for store, shard in zip(self.stores, shard_refs)
+            ]
+            meta = ray.get(meta_ref)
+            ray.get(ingest_futs)
+            self.total_rows += meta["n_rows"]
+            self.total_late += meta["n_late"]
+            if meta["frag_min_ts"] < self.min_ts:
+                self.min_ts = meta["frag_min_ts"]
+            self.watermark = max(self.watermark, meta["frag_max_ts"])
+            n_emitted = self._close_windows(k)
+            with open(manifest_path, "a") as f:
+                f.write(
+                    json.dumps(
+                        {
+                            "fragment": k,
+                            "path": os.path.basename(path),
+                            "rows": meta["n_rows"],
+                            "late_dropped": meta["n_late"],
+                            "watermark": self.watermark,
+                            "windows_emitted": n_emitted,
+                        }
+                    )
+                    + "\n"
+                )
+            self.next_fragment = k + 1
+            if self.checkpoint_dir and self.next_fragment % self.checkpoint_every == 0:
+                self._checkpoint()
+        if final_flush and self.watermark > _NEG_INF:
+            # end of stream: advance the watermark just past the last window
+            # containing data (a literal +inf would make the close loop
+            # enumerate windows forever)
+            max_span = max(w.size_us for w in self.windows)
+            self.watermark = self.watermark + max_span + self.slice_us
+            self._close_windows(len(fragment_paths))
+        return {
+            "rows": self.total_rows,
+            "late_dropped": self.total_late,
+            "fragments": self.next_fragment,
+        }
+
+    def result_dataset(self):
+        import ray.data as rd
+
+        files = sorted(
+            os.path.join(self.out_dir, f)
+            for f in os.listdir(self.out_dir)
+            if f.startswith("emit-") and f.endswith(".parquet")
+        )
+        return rd.read_parquet(files)
+
+    def shutdown(self) -> None:
+        for s in self.stores:
+            ray.kill(s)
+        self.stores = []
+
+
+def _as_sliding(w) -> SlidingWindow:
+    if isinstance(w, SlidingWindow):
+        return w
+    return SlidingWindow(w.size_ms, w.size_ms)

@@ -164,3 +164,62 @@ def flagship_hll_pipeline(ds, window: TumblingWindow):
         )
 
     return syn.map_batches(estimate, batch_format="pandas")
+
+
+def streaming_windowed_counts(sf_dir: str, window: TumblingWindow, parallelism: int = 4):
+    """Run the STREAMING engine (state-store actors, watermarks, exactly-once
+    sink) over the events-derived transcript stream and return per-window
+    exact counts — SQL-checkable because the events stream has no late rows.
+    """
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..engine.streaming import StreamingSynopsisJob
+    from ..sources.events_adapter import transcripts_from_events
+
+    cache = os.path.join(
+        "/tmp/condor_ray_fixtures",
+        "events_stream_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:10],
+    )
+    done = os.path.join(cache, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(cache, exist_ok=True)
+        df = transcripts_from_events(sf_dir).to_pandas()
+        df = df.sort_values(["ts", "conv_id", "turn_idx"], kind="mergesort").reset_index(
+            drop=True
+        )
+        n_frag = 4
+        bounds = np.linspace(0, len(df), n_frag + 1).astype(int)
+        for i in range(n_frag):
+            pq.write_table(
+                pa.Table.from_pandas(df.iloc[bounds[i] : bounds[i + 1]], preserve_index=False),
+                os.path.join(cache, f"fragment-{i:05d}.parquet"),
+            )
+        open(done, "w").write("ok")
+    frags = sorted(
+        os.path.join(cache, f) for f in os.listdir(cache) if f.endswith(".parquet")
+    )
+
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="condor_stream_q_")
+    cfg = BuildConfiguration(
+        synopsis="CountMinSketch",
+        params=(1024, 3, 7),
+        windows=[window],
+        key=KeySpec("conv_id", "java_hash"),
+        parallelism=parallelism,
+    )
+    job = StreamingSynopsisJob(cfg, out_dir)
+    job.run(frags)
+    out = job.result_dataset().to_pandas()
+    job.shutdown()
+    return pd.DataFrame(
+        {
+            "window_start": out["window_start"].astype(np.int64),
+            "window_end": out["window_end"].astype(np.int64),
+            "n_rows": out["n_rows"].astype(np.int64),
+        }
+    ).sort_values("window_start").reset_index(drop=True)

@@ -1,0 +1,150 @@
+"""Per-partition streaming state store (Ray actor).
+
+The Ray-native equivalent of Condor's keyed Scotty window operator state
+(conn/.../processor/compute/scotty/SynopsisFunction.java:15-138): one synopsis
+per (stratum, slice) per partition, updated incrementally per micro-batch and
+merged across slices/partitions at window close.  The actor boundary replaces
+Flink's keyed state backend: a key's state lives on exactly one actor
+(partition = hash(conv_id) % P, salted for hot keys upstream).
+
+Raw ``@ray.remote`` is justified here (SURVEY §7): state must outlive any
+single batch and survive across micro-batches — the Dataset API cannot express
+a shared mutable slice store.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..config import BuildConfiguration
+from ..stages.extract import KeyExtractor, ts_to_us
+from ..synopses.base import Synopsis
+from ..synopses.registry import make_synopsis
+
+
+@ray.remote
+class PartitionStateStore:
+    """Holds dict[(stratum, slice_id)] -> synopsis for one partition."""
+
+    def __init__(self, partition_id: int, config: BuildConfiguration, slice_us: int):
+        self.partition_id = partition_id
+        self.config = config
+        self.slice_us = slice_us
+        self.extractor = KeyExtractor(config.key)
+        self.stratify_by = config.stratify_by
+        self.sample_elements = config.sample_elements
+        self.timestamped = make_synopsis(config.synopsis, config.params).timestamped
+        # mutable state
+        self.slices: dict[tuple[str, int], Synopsis] = {}
+        self.slice_counts: dict[tuple[str, int], int] = {}
+        self.rows_ingested = 0
+
+    # -- ingest one micro-batch shard (already partition-filtered, already
+    #    late-dropped upstream where arrival order is known) ---------------
+    def ingest(self, batch: pa.Table) -> int:
+        n = batch.num_rows
+        if n == 0:
+            return 0
+        ts = ts_to_us(batch["ts"])
+        sid = ts // self.slice_us
+        if self.sample_elements:
+            conv = batch["conv_id"].to_pylist()
+            turn = batch["turn_idx"].to_pylist()
+            values = np.asarray([f"{c}:{t}" for c, t in zip(conv, turn)], dtype=object)
+        else:
+            values = self.extractor(batch)
+        if self.stratify_by is not None:
+            strat_col = batch[self.stratify_by]
+            if isinstance(strat_col, pa.ChunkedArray):
+                strat_col = strat_col.combine_chunks()
+            dic = strat_col.dictionary_encode()
+            svals = dic.dictionary.to_pylist()
+            codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            gkey = sid * (len(svals) + 1) + codes
+        else:
+            svals = None
+            gkey = sid
+
+        order = np.argsort(gkey, kind="stable")
+        gsorted = gkey[order]
+        bounds = np.concatenate([[0], np.nonzero(np.diff(gsorted))[0] + 1, [n]])
+        cfg = self.config
+        for b in range(len(bounds) - 1):
+            lo, hi = bounds[b], bounds[b + 1]
+            idx = order[lo:hi]
+            s = int(sid[idx[0]])
+            stratum = svals[int(gkey[idx[0]] % (len(svals) + 1))] if svals else ""
+            key = (stratum, s)
+            syn = self.slices.get(key)
+            if syn is None:
+                syn = make_synopsis(cfg.synopsis, cfg.params)
+                if stratum:
+                    syn.set_partition_value(stratum)
+                self.slices[key] = syn
+                self.slice_counts[key] = 0
+            if self.timestamped:
+                syn.update_batch(values[idx], timestamps=ts[idx])
+            else:
+                syn.update_batch(values[idx])
+            self.slice_counts[key] += hi - lo
+        self.rows_ingested += n
+        return n
+
+    # -- window close ------------------------------------------------------
+    def collect_closed_slices_snapshot(
+        self, slice_ids: list[int], evict_before_us: int
+    ) -> pa.Table:
+        """Snapshot partials for the requested (frozen) slices, then evict
+        every slice whose end <= ``evict_before_us`` (no remaining window
+        needs it).  Snapshot-then-evict keeps slices shared by still-open
+        sliding windows available for later close cycles."""
+        wanted = set(slice_ids)
+        out_stratum, out_slice, out_payload, out_n = [], [], [], []
+        for (stratum, sid) in sorted(self.slices.keys(), key=lambda k: (k[1], k[0])):
+            if sid in wanted:
+                out_stratum.append(stratum)
+                out_slice.append(sid)
+                out_payload.append(self.slices[(stratum, sid)].to_bytes())
+                out_n.append(self.slice_counts[(stratum, sid)])
+        for key in [k for k in self.slices if (k[1] + 1) * self.slice_us <= evict_before_us]:
+            del self.slices[key]
+            del self.slice_counts[key]
+        return pa.table(
+            {
+                "slice_id": pa.array(out_slice, type=pa.int64()),
+                "stratum": pa.array(out_stratum, type=pa.string()),
+                "payload": pa.array(out_payload, type=pa.binary()),
+                "n_rows": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+    # -- checkpoint / restore ---------------------------------------------
+    def snapshot(self) -> bytes:
+        return pickle.dumps(
+            {
+                "partition_id": self.partition_id,
+                "slices": {k: s.to_bytes() for k, s in self.slices.items()},
+                "slice_counts": dict(self.slice_counts),
+                "rows_ingested": self.rows_ingested,
+            },
+            protocol=pickle.HIGHEST_PROTOCOL,
+        )
+
+    def restore(self, blob: bytes) -> None:
+        state = pickle.loads(blob)
+        self.slices = {
+            k: Synopsis.from_bytes(b) for k, b in state["slices"].items()
+        }
+        self.slice_counts = dict(state["slice_counts"])
+        self.rows_ingested = state["rows_ingested"]
+
+    def stats(self) -> dict:
+        return {
+            "partition_id": self.partition_id,
+            "rows_ingested": self.rows_ingested,
+            "open_slices": len(self.slices),
+        }

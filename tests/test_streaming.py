@@ -1,0 +1,199 @@
+"""Streaming driver: watermark/late-drop semantics, partition-count
+invariance, exactly-once resume, hot-key salting."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from condor_ray.config import BuildConfiguration, KeySpec
+from condor_ray.engine.streaming import StreamingSynopsisJob
+from condor_ray.hashing import java_string_hash_array
+from condor_ray.sources.transcripts import transcript_fragments
+from condor_ray.synopses import CountMinSketch, Synopsis
+from condor_ray.windows import SlidingWindow, TumblingWindow
+
+W_MS = 60_000  # 60 s tumbling
+W_US = W_MS * 1000
+
+
+def oracle_stream(fragments, slice_us):
+    """Sequential replay oracle: per-fragment watermark, late-slice drops."""
+    wm = -(2**62)
+    kept = []
+    n_late = 0
+    for f in fragments:
+        df = pq.read_table(f).to_pandas()
+        ts = df["ts"].astype("int64").to_numpy()
+        late = (ts // slice_us + 1) * slice_us <= wm
+        n_late += int(late.sum())
+        kept.append(df[~late])
+        wm = max(wm, int(ts.max()))
+    return pd.concat(kept, ignore_index=True), n_late
+
+
+@pytest.fixture(scope="module")
+def stream_result(ray_session, tiny_fixture, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("stream_out"))
+    cfg = BuildConfiguration(
+        synopsis="CountMinSketch",
+        params=(512, 3, 7),
+        windows=[TumblingWindow(W_MS)],
+        key=KeySpec("conv_id", "java_hash"),
+        parallelism=3,
+    )
+    job = StreamingSynopsisJob(cfg, out)
+    frags = transcript_fragments(tiny_fixture)
+    summary = job.run(frags)
+    result = job.result_dataset().to_pandas()
+    job.shutdown()
+    return summary, result, frags
+
+
+class TestStreamingSemantics:
+    def test_late_rows_dropped_and_counted(self, stream_result):
+        summary, result, frags = stream_result
+        kept, n_late = oracle_stream(frags, W_US)
+        assert summary["late_dropped"] == n_late
+        assert n_late > 0  # the fixture has 10% late arrivals
+        assert summary["rows"] == sum(pq.read_metadata(f).num_rows for f in frags)
+
+    def test_window_counts_match_oracle(self, stream_result):
+        _, result, frags = stream_result
+        kept, _ = oracle_stream(frags, W_US)
+        ts = kept["ts"].astype("int64")
+        expected = (ts // W_US).value_counts().sort_index()
+        got = result.set_index(result["window_start"] // W_US)["n_rows"].sort_index()
+        assert (got == expected).all()
+
+    def test_synopsis_state_parity(self, stream_result):
+        _, result, frags = stream_result
+        kept, _ = oracle_stream(frags, W_US)
+        ts = kept["ts"].astype("int64").to_numpy()
+        keys = java_string_hash_array(kept["conv_id"].tolist())
+        wids = ts // W_US
+        for wid in np.unique(wids)[:10]:
+            oracle = CountMinSketch(512, 3, 7)
+            oracle.update_batch(keys[wids == wid])
+            row = result[result["window_start"] == wid * W_US]
+            assert len(row) == 1
+            got = Synopsis.from_bytes(row["payload"].iloc[0])
+            assert (got.array == oracle.array).all()
+
+    def test_each_window_emitted_once(self, stream_result):
+        _, result, _ = stream_result
+        assert result.duplicated(["window_kind", "window_start", "stratum"]).sum() == 0
+
+
+class TestPartitionInvariance:
+    def test_parallelism_does_not_change_output(self, ray_session, tiny_fixture, tmp_path):
+        frags = transcript_fragments(tiny_fixture)
+        outs = []
+        for p in (1, 5):
+            out = str(tmp_path / f"out_p{p}")
+            cfg = BuildConfiguration(
+                synopsis="CountMinSketch",
+                params=(256, 3, 7),
+                windows=[TumblingWindow(W_MS)],
+                key=KeySpec("conv_id", "java_hash"),
+                parallelism=p,
+            )
+            job = StreamingSynopsisJob(cfg, out)
+            job.run(frags)
+            df = job.result_dataset().to_pandas().sort_values("window_start")
+            job.shutdown()
+            outs.append(df.reset_index(drop=True))
+        a, b = outs
+        assert (a["n_rows"] == b["n_rows"]).all()
+        for pa_, pb_ in zip(a["payload"], b["payload"]):
+            sa, sb = Synopsis.from_bytes(pa_), Synopsis.from_bytes(pb_)
+            assert (sa.array == sb.array).all()
+
+    def test_hot_key_salting_preserves_output(self, ray_session, tiny_fixture, tmp_path):
+        frags = transcript_fragments(tiny_fixture)
+        outs = []
+        for thresh in (None, 5):
+            out = str(tmp_path / f"out_salt_{thresh}")
+            cfg = BuildConfiguration(
+                synopsis="CountMinSketch",
+                params=(256, 3, 7),
+                windows=[TumblingWindow(W_MS)],
+                key=KeySpec("conv_id", "java_hash"),
+                parallelism=4,
+                hot_key_threshold=thresh,
+            )
+            job = StreamingSynopsisJob(cfg, out)
+            job.run(frags)
+            df = job.result_dataset().to_pandas().sort_values("window_start")
+            job.shutdown()
+            outs.append(df.reset_index(drop=True))
+        a, b = outs
+        assert (a["n_rows"] == b["n_rows"]).all()
+        for pa_, pb_ in zip(a["payload"], b["payload"]):
+            assert (
+                Synopsis.from_bytes(pa_).array == Synopsis.from_bytes(pb_).array
+            ).all()
+
+
+class TestExactlyOnceResume:
+    def test_crash_resume_identical_output(self, ray_session, tiny_fixture, tmp_path):
+        frags = transcript_fragments(tiny_fixture)
+
+        def make_cfg():
+            return BuildConfiguration(
+                synopsis="CountMinSketch",
+                params=(256, 3, 7),
+                windows=[TumblingWindow(W_MS)],
+                key=KeySpec("conv_id", "java_hash"),
+                parallelism=2,
+            )
+
+        # reference run (no interruption)
+        ref_out = str(tmp_path / "ref")
+        job = StreamingSynopsisJob(make_cfg(), ref_out)
+        job.run(frags)
+        ref = job.result_dataset().to_pandas().sort_values("window_start").reset_index(drop=True)
+        job.shutdown()
+
+        # crashed run: process only the first 3 fragments with checkpointing
+        out = str(tmp_path / "crashy")
+        ckpt = str(tmp_path / "ckpt")
+        job1 = StreamingSynopsisJob(make_cfg(), out, checkpoint_dir=ckpt, checkpoint_every=1)
+        job1.run(frags[:3], final_flush=False)  # "crash" after 3 fragments
+        job1.shutdown()
+        job2 = StreamingSynopsisJob(make_cfg(), out, checkpoint_dir=ckpt, checkpoint_every=1)
+        assert job2.resume()
+        # resume points at the checkpoint written after fragment 3
+        assert job2.next_fragment == 3
+        job2.run(frags, resume=False)  # continues from restored cursor
+        got = job2.result_dataset().to_pandas().sort_values("window_start").reset_index(drop=True)
+        job2.shutdown()
+
+        assert (got["n_rows"].to_numpy() == ref["n_rows"].to_numpy()).all()
+        assert (got["window_start"].to_numpy() == ref["window_start"].to_numpy()).all()
+        for pa_, pb_ in zip(got["payload"], ref["payload"]):
+            assert (
+                Synopsis.from_bytes(pa_).array == Synopsis.from_bytes(pb_).array
+            ).all()
+
+    def test_manifest_lineage(self, ray_session, tiny_fixture, tmp_path):
+        import json
+
+        frags = transcript_fragments(tiny_fixture)
+        out = str(tmp_path / "mani")
+        cfg = BuildConfiguration(
+            synopsis="CountMinSketch",
+            params=(128, 3, 7),
+            windows=[TumblingWindow(W_MS)],
+            parallelism=2,
+        )
+        job = StreamingSynopsisJob(cfg, out)
+        job.run(frags)
+        job.shutdown()
+        lines = [json.loads(l) for l in open(os.path.join(out, "manifest.jsonl"))]
+        assert [l["fragment"] for l in lines] == list(range(len(frags)))
+        assert all(l["watermark"] > 0 for l in lines)
+        wm = [l["watermark"] for l in lines]
+        assert wm == sorted(wm)  # watermark monotone
