@@ -1,0 +1,210 @@
+#!/usr/bin/env python
+"""Headline benchmark: synopsis-updates/sec (turns/s ingested into windowed
+synopses) over the transcripts stream, plus the batch-path pipelines.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+     "throughput_rows_per_s": ...}
+
+``--scaling`` runs the headline job at num_cpus=8 and num_cpus=32 in fresh
+processes on the SAME input and reports both throughputs + efficiency
+(the two-cluster-size criterion evidenced at two parallelism levels).
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf = _sf_from_dir(sf_dir)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=ncpu,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from condor_ray.config import BuildConfiguration, KeySpec
+    from condor_ray.engine.batch import build_windowed_synopses, windowed_counts
+    from condor_ray.engine.streaming import StreamingSynopsisJob
+    from condor_ray.sources.transcripts import (
+        generate_stream_fixture,
+        read_transcripts,
+        transcript_fragments,
+    )
+    from condor_ray.windows import SlidingWindow, TumblingWindow
+
+    # deterministic synthetic transcript stream sized to the scale factor;
+    # 600M rows/sf (60M at the driver's sf0.1) keeps kernel compute
+    # (hashing + scatter-adds) dominant over per-fragment orchestration, so
+    # the two-parallelism scaling measurement reflects the engine, not the
+    # driver loop's critical path
+    n_rows = min(max(int(600_000_000 * sf), 120_000), 60_000_000)
+    fixture = generate_stream_fixture(
+        n_rows=n_rows,
+        n_convs=min(max(int(600_000 * sf), 600), 60_000),
+        seed=42,
+        n_fragments=128,
+    )
+    frags = transcript_fragments(fixture)
+
+    # warm the page cache (measure compute + shuffle, not first disk read)
+    for f in frags:
+        with open(f, "rb") as fh:
+            fh.read()
+
+    queries: dict[str, float] = {}
+    total_rows = sum(
+        __import__("pyarrow.parquet", fromlist=["x"]).read_metadata(f).num_rows
+        for f in frags
+    )
+
+    # q1 (headline): streaming CM{65536,5,7} tumbling 60 s — the reference
+    # standard sketch (CountMinSlicing.java:53-56) at a window-count/rows
+    # density comparable to its 60 s-runtime jobs (~20 windows in flight)
+    p = max(2, min(16, ncpu // 2))
+    out = tempfile.mkdtemp(prefix="bench_stream_")
+    cfg = BuildConfiguration(
+        synopsis="CountMinSketch",
+        params=(65536, 5, 7),
+        windows=[TumblingWindow(60_000)],
+        key=KeySpec("conv_id", "java_hash"),
+        parallelism=p,
+    )
+    job = StreamingSynopsisJob(cfg, out, columns=["conv_id", "ts"])
+    t0 = time.perf_counter()
+    job.run(frags)
+    queries["stream_cm_tumbling_60s"] = time.perf_counter() - t0
+    job.shutdown()
+
+    # q1b: same sketch at tumbling 5 s (240+ windows — state-amplification
+    # stress; per-window overhead dominates at low row density)
+    out = tempfile.mkdtemp(prefix="bench_stream5_")
+    cfg = BuildConfiguration(
+        synopsis="CountMinSketch",
+        params=(65536, 5, 7),
+        windows=[TumblingWindow(5_000)],
+        key=KeySpec("conv_id", "java_hash"),
+        parallelism=p,
+    )
+    job = StreamingSynopsisJob(cfg, out, columns=["conv_id", "ts"])
+    t0 = time.perf_counter()
+    job.run(frags)
+    queries["stream_cm_tumbling_5s"] = time.perf_counter() - t0
+    job.shutdown()
+
+    # q2: streaming HLL{16,7} sliding 5 s / 2.5 s (Scotty slicing shape)
+    out = tempfile.mkdtemp(prefix="bench_stream_hll_")
+    cfg = BuildConfiguration(
+        synopsis="HyperLogLogSketch",
+        params=(16, 7),
+        windows=[SlidingWindow(5_000, 2_500)],
+        key=KeySpec("conv_id", "java_hash"),
+        parallelism=p,
+    )
+    job = StreamingSynopsisJob(cfg, out, columns=["conv_id", "ts"])
+    t0 = time.perf_counter()
+    job.run(frags)
+    queries["stream_hll_sliding_5s_2.5s"] = time.perf_counter() - t0
+    job.shutdown()
+
+    # q3: batch-path DDSketch quantiles over text length, tumbling 60 s
+    ds = read_transcripts(fixture, columns=["text", "ts"])
+    cfg = BuildConfiguration(
+        synopsis="DDSketch",
+        params=(0.01, 2048),
+        windows=[TumblingWindow(60_000)],
+        key=KeySpec("text", "length"),
+    )
+    t0 = time.perf_counter()
+    build_windowed_synopses(ds, cfg, concurrency=max(2, ncpu // 2)).materialize()
+    queries["batch_ddsketch_tumbling_60s"] = time.perf_counter() - t0
+
+    # q4: exact stratified windowed counts (pure Ray Data groupby path)
+    ds = read_transcripts(fixture, columns=["role", "ts"])
+    t0 = time.perf_counter()
+    windowed_counts(ds, TumblingWindow(60_000), stratify_by="role").materialize()
+    queries["windowed_counts_by_role"] = time.perf_counter() - t0
+
+    total = sum(queries.values())
+    headline_tput = total_rows / queries["stream_cm_tumbling_60s"]
+    return {
+        "metric": "synopsis-pipeline suite wall time (headline: streaming CM tumbling 60s)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": sf,
+        "num_cpus": ncpu,
+        "rows": total_rows,
+        "throughput_rows_per_s": round(headline_tput),
+    }
+
+
+def run_scaling() -> dict:
+    """Same headline input at num_cpus=8 and 32 in fresh processes."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    t_lo = r_lo["queries"]["stream_cm_tumbling_60s"]
+    t_hi = r_hi["queries"]["stream_cm_tumbling_60s"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency, streaming CM tumbling 60s, 8 vs 32 CPUs",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "rows": r_lo["rows"],
+        "tput_8": round(r_lo["rows"] / t_lo),
+        "tput_32": round(r_hi["rows"] / t_hi),
+        "scaling_efficiency": round(eff, 3),
+        "suite_sec_8": r_lo["value"],
+        "suite_sec_32": r_hi["value"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        result = run_bench()
+        import ray
+
+        ray.shutdown()
+        print(json.dumps(result))

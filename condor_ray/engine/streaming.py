@@ -53,7 +53,7 @@ import pyarrow.parquet as pq
 import ray
 
 from ..config import BuildConfiguration
-from ..hashing import java_string_hash, murmur_hash_int
+from ..hashing import java_string_hash_arrow
 from ..stages.extract import ts_to_us
 from ..state.store import PartitionStateStore
 from ..synopses.base import Synopsis
@@ -63,6 +63,35 @@ from .batch import _common_slice_us, _window_kind
 _NEG_INF = -(2**62)
 
 
+def _murmur_mix_array(codes: np.ndarray) -> np.ndarray:
+    """Vectorized Flink MathUtils.murmurHash(int) (see hashing.murmur_hash_int)
+    for partition routing — avalanches the java hash so partitions balance."""
+    c = codes.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    M = np.uint64(0xFFFFFFFF)
+
+    def mul(a, b):
+        return (a * np.uint64(b)) & M
+
+    def rotl(v, n):
+        return ((v << np.uint64(n)) | (v >> np.uint64(32 - n))) & M
+
+    c = mul(c, 0xCC9E2D51)
+    c = rotl(c, 15)
+    c = mul(c, 0x1B873593)
+    c = rotl(c, 13)
+    c = (mul(c, 5) + np.uint64(0xE6546B64)) & M
+    c ^= np.uint64(4)
+    c ^= c >> np.uint64(16)
+    c = mul(c, 0x85EBCA6B)
+    c ^= c >> np.uint64(13)
+    c = mul(c, 0xC2B2AE35)
+    c ^= c >> np.uint64(16)
+    s = c.astype(np.int64)
+    s = np.where(s >= 1 << 31, s - (1 << 32), s)
+    out = np.where(s >= 0, s, np.where(s != -(1 << 31), -s, 0))
+    return out.astype(np.int64)
+
+
 def _partition_fragment(
     path: str,
     parallelism: int,
@@ -70,6 +99,7 @@ def _partition_fragment(
     watermark_us: int,
     hot_key_threshold: int | None,
     columns: list[str] | None,
+    key_spec=None,
 ):
     """Split one fragment into P shards by conv hash; drop+count late rows.
 
@@ -92,16 +122,13 @@ def _partition_fragment(
     if isinstance(conv, pa.ChunkedArray):
         conv = conv.combine_chunks()
     dic = conv.dictionary_encode()
-    uniq = dic.dictionary.to_pylist()
-    lut = np.asarray(
-        [murmur_hash_int(java_string_hash(c)) % parallelism for c in uniq],
-        dtype=np.int64,
-    )
+    hashes = java_string_hash_arrow(dic.dictionary)
+    lut = _murmur_mix_array(hashes) % parallelism
     codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     part = lut[codes]
 
-    if hot_key_threshold is not None and len(uniq):
-        counts = np.bincount(codes, minlength=len(uniq))
+    if hot_key_threshold is not None and len(dic.dictionary):
+        counts = np.bincount(codes, minlength=len(dic.dictionary))
         hot = np.flatnonzero(counts > hot_key_threshold)
         if len(hot):
             hot_mask = np.isin(codes, hot)
@@ -111,11 +138,99 @@ def _partition_fragment(
                 part[hot_mask] + np.arange(int(hot_mask.sum())) % parallelism
             ) % parallelism
 
-    shards = []
-    for p in range(parallelism):
-        shards.append(table.filter(pa.array(part == p)))
+    if key_spec is not None:
+        # compute the synopsis key here (once) so the state actors don't
+        # re-hash; lands in the shards as __key32
+        from ..stages.extract import KeyExtractor
+
+        key_col = KeyExtractor(key_spec)(table)
+        table = table.append_column(
+            "__key32", pa.array(np.ascontiguousarray(key_col))
+        )
+    # one stable sort + zero-copy slices instead of P masked filters
+    # (P filters cost O(P*n) per fragment — anti-scaling as P grows)
+    order = np.argsort(part, kind="stable")
+    sorted_tbl = table.take(pa.array(order))
+    counts_per_part = np.bincount(part, minlength=parallelism)
+    offsets = np.concatenate([[0], np.cumsum(counts_per_part)])
+    shards = [
+        sorted_tbl.slice(offsets[p], counts_per_part[p]) for p in range(parallelism)
+    ]
     meta = {"n_rows": n, "n_late": n_late, "frag_max_ts": frag_max, "frag_min_ts": frag_min}
     return (meta, *shards)
+
+
+@ray.remote
+def _merge_and_emit(
+    emit_path: str, emit_spec: list[dict], synopsis_type: str, *tables: pa.Table
+) -> int:
+    """Conquer step off the driver: merge per-partition slice partials, merge
+    slices into windows per emit_spec, write the emission file atomically.
+    Returns the number of emitted (window, stratum) rows."""
+    merged: dict[tuple[str, int], tuple[Synopsis, int]] = {}
+    for t in tables:
+        for stratum, sid, payload, cnt in zip(
+            t["stratum"].to_pylist(),
+            t["slice_id"].to_pylist(),
+            t["payload"].to_pylist(),
+            t["n_rows"].to_pylist(),
+        ):
+            syn = Synopsis.from_bytes(payload)
+            key = (stratum, sid)
+            if key in merged:
+                cur, c = merged[key]
+                merged[key] = (cur.merge(syn), c + cnt)
+            else:
+                merged[key] = (syn, cnt)
+
+    strata = sorted({k[0] for k in merged}) or [""]
+    kinds, starts, ends, strs, payloads, counts = [], [], [], [], [], []
+    for spec in emit_spec:
+        for stratum in strata:
+            syn_total: Synopsis | None = None
+            n_total = 0
+            for sid in spec["slices"]:
+                entry = merged.get((stratum, sid))
+                if entry is None:
+                    continue
+                syn, cnt = entry
+                piece = Synopsis.from_bytes(syn.to_bytes())  # keep partial intact
+                syn_total = piece if syn_total is None else syn_total.merge(piece)
+                n_total += cnt
+            if syn_total is None:
+                continue  # empty window: reference emits nothing
+            kinds.append(spec["kind"])
+            starts.append(spec["start"])
+            ends.append(spec["start"] + spec["size"])
+            strs.append(stratum or None)
+            payloads.append(syn_total.to_bytes())
+            counts.append(n_total)
+    n = len(kinds)
+    if n:
+        out = pa.table(
+            {
+                "window_kind": pa.array(kinds, type=pa.string()),
+                "window_start": pa.array(starts, type=pa.int64()),
+                "window_end": pa.array(ends, type=pa.int64()),
+                "stratum": pa.array(strs, type=pa.string()),
+                "synopsis_type": pa.array([synopsis_type] * n, type=pa.string()),
+                "payload": pa.array(payloads, type=pa.binary()),
+                "n_rows": pa.array(counts, type=pa.int64()),
+            }
+        )
+        tmp = emit_path + f".tmp-{os.getpid()}"
+        pq.write_table(out, tmp)
+        os.replace(tmp, emit_path)  # atomic: exactly-once emission
+    return n
+
+
+@ray.remote
+def _fragment_ts_stats(path: str) -> tuple[int, int]:
+    """(min_ts, max_ts) of one fragment — reads only the ts column."""
+    ts = ts_to_us(pq.read_table(path, columns=["ts"])["ts"])
+    if len(ts) == 0:
+        return (2**62, _NEG_INF)
+    return (int(ts.min()), int(ts.max()))
 
 
 def _evict_horizon(wm_us: int, windows, slice_us: int) -> int:
@@ -228,9 +343,12 @@ class StreamingSynopsisJob:
         return True
 
     # -- close cycle -------------------------------------------------------
-    def _close_windows(self, fragment_idx: int) -> int:
+    def _close_windows(self, fragment_idx: int):
         """Emit every window whose end <= watermark and not yet emitted.
-        Returns number of windows emitted.  Idempotent per fragment index."""
+        Fires an async merge+emit task and returns its ObjectRef (or None if
+        nothing closed) — close cycles from successive fragments overlap, so
+        the conquer step parallelizes instead of serializing the driver loop.
+        Idempotent per fragment index."""
         wm = self.watermark
         to_emit: list[tuple[int, int]] = []  # (window_def_idx, window_id)
         for wi, w in enumerate(self.windows):
@@ -250,7 +368,7 @@ class StreamingSynopsisJob:
             self.closed_through[wi] = wid
         emit_path = os.path.join(self.out_dir, f"emit-f{fragment_idx:05d}.parquet")
         if not to_emit:
-            return 0
+            return None
 
         needed = sorted(
             {
@@ -262,76 +380,62 @@ class StreamingSynopsisJob:
             }
         )
         horizon = _evict_horizon(wm, self.windows, self.slice_us)
-        tables = ray.get(
-            [s.collect_closed_slices_snapshot.remote(needed, horizon) for s in self.stores]
+        # merge + emit run in a Ray task fed directly by the actor outputs
+        # (object refs — the driver never touches synopsis payloads)
+        table_refs = [
+            s.collect_closed_slices_snapshot.remote(needed, horizon)
+            for s in self.stores
+        ]
+        emit_spec = [
+            {
+                "kind": _window_kind(self.windows[wi]),
+                "start": wid
+                * (
+                    self.windows[wi].size_us
+                    if isinstance(self.windows[wi], TumblingWindow)
+                    else self.windows[wi].slide_us
+                ),
+                "size": self.windows[wi].size_us,
+                "slices": list(
+                    slices_of_window(wid, _as_sliding(self.windows[wi]), self.slice_us)
+                ),
+            }
+            for wi, wid in to_emit
+        ]
+        return _merge_and_emit.remote(
+            emit_path, emit_spec, self.config.synopsis, *table_refs
         )
-        merged: dict[tuple[str, int], tuple[Synopsis, int]] = {}
-        for t in tables:
-            for stratum, sid, payload, cnt in zip(
-                t["stratum"].to_pylist(),
-                t["slice_id"].to_pylist(),
-                t["payload"].to_pylist(),
-                t["n_rows"].to_pylist(),
-            ):
-                syn = Synopsis.from_bytes(payload)
-                key = (stratum, sid)
-                if key in merged:
-                    cur, c = merged[key]
-                    merged[key] = (cur.merge(syn), c + cnt)
-                else:
-                    merged[key] = (syn, cnt)
-
-        rows = []
-        strata = sorted({k[0] for k in merged}) or [""]
-        for wi, wid in to_emit:
-            w = self.windows[wi]
-            stride = w.size_us if isinstance(w, TumblingWindow) else w.slide_us
-            w_slices = list(slices_of_window(wid, _as_sliding(w), self.slice_us))
-            for stratum in strata:
-                syn_total = None
-                n_total = 0
-                for sid in w_slices:
-                    entry = merged.get((stratum, sid))
-                    if entry is None:
-                        continue
-                    syn, cnt = entry
-                    piece = Synopsis.from_bytes(syn.to_bytes())  # copy
-                    if syn_total is None:
-                        syn_total = piece
-                    else:
-                        syn_total = syn_total.merge(piece)
-                    n_total += cnt
-                if syn_total is None:
-                    continue  # empty window: reference emits nothing
-                rows.append(
-                    {
-                        "window_kind": _window_kind(w),
-                        "window_start": wid * stride,
-                        "window_end": wid * stride + w.size_us,
-                        "stratum": stratum or None,
-                        "synopsis_type": self.config.synopsis,
-                        "payload": syn_total.to_bytes(),
-                        "n_rows": n_total,
-                    }
-                )
-        if rows:
-            out = pa.Table.from_pandas(
-                pd.DataFrame(rows), preserve_index=False
-            )
-            tmp = emit_path + ".tmp"
-            pq.write_table(out, tmp)
-            os.replace(tmp, emit_path)  # atomic: exactly-once emission
-        return len(rows)
 
     # -- main loop ---------------------------------------------------------
     def run(
-        self, fragment_paths: list[str], resume: bool = False, final_flush: bool = True
+        self,
+        fragment_paths: list[str],
+        resume: bool = False,
+        final_flush: bool = True,
+        pipelined: bool | None = None,
     ) -> dict:
         """Process fragments from the restored/initial cursor.  With
         ``final_flush=False`` the bounded-stream end-of-input flush (watermark
-        -> +inf) is skipped — used to simulate a crash mid-stream."""
+        -> +inf) is skipped — used to simulate a crash mid-stream.
+
+        ``pipelined`` (default: True unless checkpointing): precompute every
+        fragment's watermark from a parallel metadata pass, then run ALL
+        split + ingest tasks concurrently — exact-output-equivalent because
+        (a) the late filter depends only on each fragment's carry-in
+        watermark, which is a prefix-max of per-fragment max timestamps, and
+        (b) mergeable-synopsis ingest is commutative across fragments.  Close
+        cycles still run in fragment order, so emission files are identical
+        to the sequential mode.  Incompatible with checkpointing (an actor
+        snapshot taken at fragment k could already contain later fragments),
+        so checkpoint_dir forces the sequential path."""
         if resume:
             self.resume()
+        if pipelined is None:
+            pipelined = self.checkpoint_dir is None
+        if self.checkpoint_dir is not None:
+            pipelined = False
+        if pipelined:
+            return self._run_pipelined(fragment_paths, final_flush)
         manifest_path = os.path.join(self.out_dir, "manifest.jsonl")
         split = ray.remote(num_returns=1 + self.parallelism)(_partition_fragment)
         for k in range(self.next_fragment, len(fragment_paths)):
@@ -343,6 +447,7 @@ class StreamingSynopsisJob:
                 self.watermark,
                 self.config.hot_key_threshold,
                 self.columns,
+                None if self.config.sample_elements else self.config.key,
             )
             meta_ref, shard_refs = refs[0], refs[1:]
             ingest_futs = [
@@ -356,7 +461,11 @@ class StreamingSynopsisJob:
             if meta["frag_min_ts"] < self.min_ts:
                 self.min_ts = meta["frag_min_ts"]
             self.watermark = max(self.watermark, meta["frag_max_ts"])
-            n_emitted = self._close_windows(k)
+            emit_ref = self._close_windows(k)
+            if emit_ref is not None:
+                # checkpointed (sequential) mode: emission must be durable
+                # before the checkpoint that assumes it happened
+                ray.get(emit_ref)
             with open(manifest_path, "a") as f:
                 f.write(
                     json.dumps(
@@ -366,7 +475,6 @@ class StreamingSynopsisJob:
                             "rows": meta["n_rows"],
                             "late_dropped": meta["n_late"],
                             "watermark": self.watermark,
-                            "windows_emitted": n_emitted,
                         }
                     )
                     + "\n"
@@ -380,11 +488,117 @@ class StreamingSynopsisJob:
             # enumerate windows forever)
             max_span = max(w.size_us for w in self.windows)
             self.watermark = self.watermark + max_span + self.slice_us
-            self._close_windows(len(fragment_paths))
+            ref = self._close_windows(len(fragment_paths))
+            if ref is not None:
+                ray.get(ref)
         return {
             "rows": self.total_rows,
             "late_dropped": self.total_late,
             "fragments": self.next_fragment,
+        }
+
+    def _run_pipelined(self, fragment_paths: list[str], final_flush: bool) -> dict:
+        manifest_path = os.path.join(self.out_dir, "manifest.jsonl")
+        paths = fragment_paths[self.next_fragment :]
+        if not paths:
+            return {
+                "rows": self.total_rows,
+                "late_dropped": self.total_late,
+                "fragments": self.next_fragment,
+            }
+        # phase A: parallel metadata pass -> per-fragment (min, max) ts
+        stats = ray.get([_fragment_ts_stats.remote(p) for p in paths])
+        # carry-in watermark per fragment = prefix max of prior fragment maxes
+        wms = []
+        wm = self.watermark
+        for lo, hi in stats:
+            wms.append(wm)
+            wm = max(wm, hi)
+        emit_refs: list = []
+        # phase B+C: splits + ingests run ahead of the close cursor by a
+        # bounded lookahead, so in-flight slice state stays O(lookahead
+        # fragment span) instead of the whole stream span
+        split = ray.remote(num_returns=1 + self.parallelism)(_partition_fragment)
+        try:
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            ncpu = 8
+        # enough fragments in flight to saturate the CPU budget; bounded so
+        # in-flight slice state stays proportional to the budget, not the
+        # stream length
+        lookahead = max(4, 2 * ncpu)
+        metas: list = [None] * len(paths)
+        ingests: list = [None] * len(paths)
+
+        def submit(i: int) -> None:
+            refs = split.remote(
+                paths[i],
+                self.parallelism,
+                self.slice_us,
+                wms[i],
+                self.config.hot_key_threshold,
+                self.columns,
+                None if self.config.sample_elements else self.config.key,
+            )
+            metas[i] = refs[0]
+            ingests[i] = [
+                store.ingest.remote(shard)
+                for store, shard in zip(self.stores, refs[1:])
+            ]
+
+        for i in range(min(lookahead, len(paths))):
+            submit(i)
+        base = self.next_fragment
+        for i, path in enumerate(paths):
+            meta = ray.get(metas[i])
+            ray.get(ingests[i])
+            metas[i] = ingests[i] = None
+            nxt = i + lookahead
+            if nxt < len(paths):
+                submit(nxt)
+            k = base + i
+            self.total_rows += meta["n_rows"]
+            self.total_late += meta["n_late"]
+            if meta["frag_min_ts"] < self.min_ts:
+                self.min_ts = meta["frag_min_ts"]
+            self.watermark = max(self.watermark, meta["frag_max_ts"])
+            ref = self._close_windows(k)
+            if ref is not None:
+                emit_refs.append(ref)
+            with open(manifest_path, "a") as f:
+                f.write(
+                    json.dumps(
+                        {
+                            "fragment": k,
+                            "path": os.path.basename(path),
+                            "rows": meta["n_rows"],
+                            "late_dropped": meta["n_late"],
+                            "watermark": self.watermark,
+                        }
+                    )
+                    + "\n"
+                )
+            self.next_fragment = k + 1
+        if final_flush and self.watermark > _NEG_INF:
+            max_span = max(w.size_us for w in self.windows)
+            self.watermark = self.watermark + max_span + self.slice_us
+            ref = self._close_windows(len(fragment_paths))
+            if ref is not None:
+                emit_refs.append(ref)
+        n_windows = sum(ray.get(emit_refs)) if emit_refs else 0
+        with open(manifest_path, "a") as f:
+            f.write(
+                json.dumps(
+                    {"summary": True, "windows_emitted": n_windows,
+                     "rows": self.total_rows, "late_dropped": self.total_late}
+                )
+                + "\n"
+            )
+        return {
+            "rows": self.total_rows,
+            "late_dropped": self.total_late,
+            "fragments": self.next_fragment,
+            "windows_emitted": n_windows,
         }
 
     def result_dataset(self):

@@ -142,17 +142,29 @@ class H3HashFunctions:
             for i in range(32):
                 q[a, i] = rng.next_int()
         self._q = q.astype(np.int32)
+        # byte-level lookup tables: hash(x) = XOR over the 4 bytes of x of
+        # lut[k][byte_k] — 4 gathers instead of 32 bit-masked XOR passes,
+        # exactly equivalent to the reference's per-bit loop
+        lut = np.zeros((4, 256, self.num_functions), dtype=np.int32)
+        for k in range(4):
+            for b in range(256):
+                acc = np.zeros(self.num_functions, dtype=np.int32)
+                for j in range(8):
+                    if (b >> j) & 1:
+                        acc ^= self._q[:, 8 * k + j]
+                lut[k, b] = acc
+        self._lut = lut
 
     def hash_batch(self, values: np.ndarray) -> np.ndarray:
         v = np.ascontiguousarray(values, dtype=np.int32)
-        n = v.shape[0]
-        out = np.zeros((n, self.num_functions), dtype=np.int32)
+        vv = v.view(np.uint32)
         with np.errstate(over="ignore"):
-            vv = v.view(np.uint32)
-            for j in range(32):
-                bit = ((vv >> np.uint32(j)) & np.uint32(1)).astype(bool)
-                # XOR in q[:, j] where bit set
-                out[bit] ^= self._q[:, j]
+            out = (
+                self._lut[0][vv & np.uint32(0xFF)]
+                ^ self._lut[1][(vv >> np.uint32(8)) & np.uint32(0xFF)]
+                ^ self._lut[2][(vv >> np.uint32(16)) & np.uint32(0xFF)]
+                ^ self._lut[3][vv >> np.uint32(24)]
+            )
             # Java: if (current < 0) result = -current  (wraps at MIN_VALUE)
             np.negative(out, out=out, where=out < 0)
         return out
@@ -238,3 +250,63 @@ def java_mod(a: np.ndarray, m: int) -> np.ndarray:
     reference would throw ArrayIndexOutOfBounds); we floor-mod that one case."""
     r = np.remainder(a, m)  # floor mod == Java mod for non-negative a
     return r
+
+
+def java_string_hash_arrow(arr) -> np.ndarray:
+    """Vectorized ``String.hashCode`` over a pyarrow StringArray.
+
+    ASCII strings (the common case: conv ids, tool names) are hashed by a
+    length-grouped polynomial over the raw UTF-8 buffer — no per-row Python.
+    Rows containing non-ASCII bytes fall back to ``java_string_hash`` (UTF-16
+    semantics).  Nulls hash to 0.
+    """
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_dictionary(arr.type):
+        lut = _java_hash_string_array(arr.dictionary)
+        idx = arr.indices.to_numpy(zero_copy_only=False)
+        idx = np.where(np.isnan(idx) if idx.dtype.kind == "f" else idx < 0, 0, idx)
+        return lut[idx.astype(np.int64)]
+    if pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.string())
+    if len(arr) > 1024:
+        # hash only the distinct values (conv ids / tools repeat heavily)
+        return java_string_hash_arrow(arr.dictionary_encode())
+    return _java_hash_string_array(arr)
+
+
+def _java_hash_string_array(arr) -> np.ndarray:
+    import pyarrow as pa
+
+    if pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.string())
+    buffers = arr.buffers()
+    offsets = np.frombuffer(buffers[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(buffers[2], dtype=np.uint8)
+    lengths = offsets[1:] - offsets[:-1]
+    out = np.zeros(len(arr), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for L in np.unique(lengths):
+            if L == 0:
+                continue
+            rows = np.flatnonzero(lengths == L)
+            idx = offsets[rows][:, None] + np.arange(L)
+            b = data[idx].astype(np.int64)
+            non_ascii = (b >= 128).any(axis=1)
+            # 31^k mod 2^32 powers
+            pw = np.empty(L, dtype=np.int64)
+            p = 1
+            for k in range(L - 1, -1, -1):
+                pw[k] = p
+                p = (p * 31) & _MASK32
+            h = (b * pw[None, :]).sum(axis=1) & _MASK32
+            out[rows] = h
+            if non_ascii.any():
+                for r in rows[non_ascii]:
+                    out[r] = java_string_hash(arr[int(r)].as_py()) & _MASK32
+    out &= _MASK32
+    return np.where(out >= 1 << 31, out - (1 << 32), out).astype(np.int32)

@@ -58,7 +58,7 @@ def generate_stream_fixture(
       tool_calls.parquet                     (F2 join stream)
       queries.parquet                        (F3 evaluation stream)
     """
-    spec = f"v3:{n_rows}:{n_convs}:{seed}:{n_fragments}:{turn_gap_ms}"
+    spec = f"v6:{n_rows}:{n_convs}:{seed}:{n_fragments}:{turn_gap_ms}"
     if out_dir is None:
         digest = hashlib.sha256(spec.encode()).hexdigest()[:12]
         out_dir = os.path.join(_CACHE_ROOT, digest)
@@ -72,7 +72,10 @@ def generate_stream_fixture(
 
     # Zipf-skewed conversation lengths (ZipfDistributionSource analogue)
     raw = rng.zipf(1.5, n_convs).astype(np.int64)
-    lengths = np.clip(raw * 3, 3, max(20, n_rows // 10))
+    # cap conversation length (~400 turns) so the stream tail stays dense —
+    # unbounded zipf tails stretch single conversations hours past the main
+    # span, creating thousands of near-empty windows
+    lengths = np.clip(raw * 3, 3, 400)
     scale_f = n_rows / lengths.sum()
     lengths = np.maximum((lengths * scale_f).astype(np.int64), 1)
     total = int(lengths.sum())
@@ -91,17 +94,20 @@ def generate_stream_fixture(
         + rng.integers(0, turn_gap_ms * 1000, total)
     )
 
-    role = np.array(_ROLES)[turn_idx % 3]
-    tool_choice = np.array(_TOOLS)[rng.integers(0, len(_TOOLS), total)]
-    is_tool = role == "tool"
+    tool_idx = rng.integers(0, len(_TOOLS), total).astype(np.int8)
+    is_tool = (turn_idx % 3) == 2  # _ROLES[2] == "tool"
 
-    # token-soup text, 3..40 words
-    n_words = rng.integers(3, 40, total)
-    flat_words = vocab[rng.integers(0, _VOCAB_SIZE, int(n_words.sum()))]
-    offsets = np.concatenate([[0], np.cumsum(n_words)])
-    text = np.array(
-        [" ".join(flat_words[offsets[i] : offsets[i + 1]]) for i in range(total)]
+    # token-soup text drawn from a pool of 8192 pre-joined sentences
+    # (per-row join of word lists is O(rows * words) Python work — a pooled
+    # draw keeps generation fast at millions of rows while staying
+    # deterministic; lengths still span ~15-350 chars)
+    pool_words = rng.integers(3, 40, 8192)
+    pool_flat = vocab[rng.integers(0, _VOCAB_SIZE, int(pool_words.sum()))]
+    pool_off = np.concatenate([[0], np.cumsum(pool_words)])
+    pool = pa.array(
+        [" ".join(pool_flat[pool_off[i] : pool_off[i + 1]]) for i in range(8192)]
     )
+    text_idx = rng.integers(0, 8192, total).astype(np.int32)
 
     # arrival order = nominal event order; every 10th arrival is 20 s late
     order = np.argsort(nominal_ts, kind="stable")
@@ -109,27 +115,58 @@ def generate_stream_fixture(
     late_mask = (np.arange(total) % 10) == 9  # every 10th arrival
     ts[late_mask] -= LATENESS_US
 
-    conv_sorted = conv_ids_u[conv_col[order]]
-    table = pa.table(
-        {
-            "conv_id": pa.array(conv_sorted),
-            "turn_idx": pa.array(turn_idx[order], type=pa.int32()),
-            "role": pa.array(role[order]),
-            "text": pa.array(text[order]),
-            "tool": pa.array(
-                np.where(is_tool[order], tool_choice[order], None), type=pa.string()
-            ),
-            "ts": pa.array(ts, type=pa.timestamp("us")),
-            "arrival_seq": pa.array(np.arange(total, dtype=np.int64)),
-        }
-    )
+    # string columns as Arrow dictionary arrays — indices only, no per-row
+    # Python strings (a 60M-row fixture would need ~80 GB as numpy unicode)
+    conv_dict = pa.array(conv_ids_u.tolist())
+    role_dict = pa.array(_ROLES)
+    tool_dict = pa.array(_TOOLS)
+    conv_idx_sorted = conv_col[order].astype(np.int32)
+    turn_sorted = turn_idx[order]
+    role_idx_sorted = (turn_sorted % 3).astype(np.int8)
+    tool_idx_sorted = np.where(is_tool[order], tool_idx[order], -1).astype(np.int8)
+    text_idx_sorted = text_idx[order]
+
+    def _fragment_table(lo: int, hi: int) -> pa.Table:
+        sl = slice(lo, hi)
+        tool_i = tool_idx_sorted[sl]
+        return pa.table(
+            {
+                "conv_id": pa.DictionaryArray.from_arrays(
+                    pa.array(conv_idx_sorted[sl]), conv_dict
+                ).cast(pa.string()),
+                "turn_idx": pa.array(turn_sorted[sl], type=pa.int32()),
+                "role": pa.DictionaryArray.from_arrays(
+                    pa.array(role_idx_sorted[sl]), role_dict
+                ).cast(pa.string()),
+                "text": pa.DictionaryArray.from_arrays(
+                    pa.array(text_idx_sorted[sl]), pool
+                ).cast(pa.string()),
+                "tool": pa.DictionaryArray.from_arrays(
+                    pa.array(tool_i, mask=tool_i < 0), tool_dict
+                ).cast(pa.string()),
+                "ts": pa.array(ts[sl], type=pa.timestamp("us")),
+                "arrival_seq": pa.array(
+                    np.arange(lo, hi, dtype=np.int64)
+                ),
+            }
+        )
 
     bounds = np.linspace(0, total, n_fragments + 1).astype(int)
     for i in range(n_fragments):
         pq.write_table(
-            table.slice(bounds[i], bounds[i + 1] - bounds[i]),
+            _fragment_table(bounds[i], bounds[i + 1]),
             os.path.join(out_dir, "transcripts", f"fragment-{i:05d}.parquet"),
         )
+
+    if total > 10_000_000:
+        # throughput-scale fixture: skip the F2/F3 side tables (join and
+        # query-stream tests use the small fixtures)
+        with open(done, "w") as f:
+            f.write(spec)
+        return out_dir
+    table = pa.concat_tables(
+        [_fragment_table(bounds[i], bounds[i + 1]) for i in range(n_fragments)]
+    )
 
     # F2: tool_calls — one row per tool turn, +5% orphans, +5% duplicates
     tool_rows = table.filter(pa.compute.equal(table["role"], "tool"))

@@ -15,7 +15,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..config import KeySpec
-from ..hashing import java_string_hash
+from ..hashing import java_string_hash_arrow
 
 
 def ts_to_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -48,22 +48,5 @@ class KeyExtractor:
         raise ValueError(f"unknown key transform {t!r}")
 
     def _hash_strings(self, col) -> np.ndarray:
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        dic = col.dictionary_encode()
-        uniques = dic.dictionary.to_pylist()
-        cache = self._cache
-        lut = np.empty(len(uniques), dtype=np.int32)
-        for i, s in enumerate(uniques):
-            h = cache.get(s)
-            if h is None:
-                h = java_string_hash(s) if s is not None else 0
-                cache[s] = h
-            lut[i] = h
-        indices = dic.indices.to_numpy(zero_copy_only=False)
-        # null strings -> index null; map to 0 like a Java null guard would NPE
-        # in the reference; we use 0 (documented: nulls keyed as 0)
-        idx = np.where(np.isnan(indices) if indices.dtype.kind == "f" else indices < 0,
-                       0, indices).astype(np.int64)
-        out = lut[idx]
-        return out
+        # vectorized over the Arrow buffer (nulls hash to 0, documented)
+        return java_string_hash_arrow(col)

@@ -26,7 +26,7 @@ from ..synopses.base import Synopsis
 from ..synopses.registry import make_synopsis
 
 
-@ray.remote
+@ray.remote(num_cpus=0.5)
 class PartitionStateStore:
     """Holds dict[(stratum, slice_id)] -> synopsis for one partition."""
 
@@ -55,6 +55,12 @@ class PartitionStateStore:
             conv = batch["conv_id"].to_pylist()
             turn = batch["turn_idx"].to_pylist()
             values = np.asarray([f"{c}:{t}" for c, t in zip(conv, turn)], dtype=object)
+        elif "__key32" in batch.column_names:
+            # key precomputed by the split task — no re-hash in the actor
+            col = batch["__key32"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            values = col.to_numpy(zero_copy_only=False)
         else:
             values = self.extractor(batch)
         if self.stratify_by is not None:

@@ -26,6 +26,15 @@ class CountMinSketch(Synopsis):
     update (:57-71): per row i, ``array[i][h_i(e) % width]++``;
     query (:100-122): min over rows; merge (:156-173): elementwise add;
     invert (:199-215) / decrement (:184-197): elementwise subtract.
+
+    Physical representation is ADAPTIVE: a sketch whose counter matrix is
+    mostly zeros (low-density window partials) is held as sorted sparse
+    (flat_index, value) arrays and automatically densifies past ~1/3 fill.
+    All operations (update, merge, query, invert) have sparse fast paths, so
+    a CM{65536,5} partial over a few hundred rows costs KBs to build, ship
+    and merge instead of 1.3 MB — this is what keeps per-window overhead
+    proportional to DATA, not sketch capacity, at fine window granularity.
+    Logical semantics (and the ``array`` view) are unchanged.
     """
 
     mergeable = True
@@ -38,33 +47,99 @@ class CountMinSketch(Synopsis):
         self.height = int(height)
         self.seed = int(seed)
         self.hash_functions = H3HashFunctions(self.height, self.seed)
-        self.array = np.zeros((self.height, self.width), dtype=np.int64)
+        # int32 cells like the reference Java int[][] (wraps at 2^31 as Java)
+        self._dense: np.ndarray | None = None
+        self._sp_idx = np.empty(0, dtype=np.int64)  # sorted unique flat idx
+        self._sp_val = np.empty(0, dtype=np.int32)
         self.elements_processed = 0
 
-    def _indices(self, values: np.ndarray) -> np.ndarray:
-        h = self.hash_functions.hash_batch(values)  # (n, height) non-negative
-        return java_mod(h, self.width)
+    # -- representation management ----------------------------------------
+    @property
+    def array(self) -> np.ndarray:
+        """Dense view (materializes and switches representation)."""
+        if self._dense is None:
+            self._densify()
+        return self._dense
+
+    @array.setter
+    def array(self, value: np.ndarray) -> None:
+        self._dense = np.ascontiguousarray(value, dtype=np.int32).reshape(
+            self.height, self.width
+        )
+        self._sp_idx = self._sp_val = None
+
+    def _densify(self) -> None:
+        d = np.zeros(self.height * self.width, dtype=np.int32)
+        d[self._sp_idx] = self._sp_val
+        self._dense = d.reshape(self.height, self.width)
+        self._sp_idx = self._sp_val = None
+
+    def _sparse_accumulate(self, idx: np.ndarray, val: np.ndarray) -> None:
+        """Merge (idx, val) pairs into the sparse store; densify when full."""
+        cat_idx = np.concatenate([self._sp_idx, idx])
+        cat_val = np.concatenate([self._sp_val, val.astype(np.int32)])
+        order = np.argsort(cat_idx, kind="stable")
+        ci, cv = cat_idx[order], cat_val[order]
+        bounds = np.concatenate([[True], ci[1:] != ci[:-1]])
+        uniq = ci[bounds]
+        with np.errstate(over="ignore"):
+            sums = np.add.reduceat(cv, np.flatnonzero(bounds)).astype(np.int32)
+        keep = sums != 0
+        self._sp_idx, self._sp_val = uniq[keep], sums[keep]
+        if len(self._sp_idx) * 3 >= self.height * self.width:
+            self._densify()
+
+    def _flat_indices(self, values: np.ndarray) -> np.ndarray:
+        idx = java_mod(self.hash_functions.hash_batch(values), self.width)
+        offs = (np.arange(self.height, dtype=np.int64) * self.width)[None, :]
+        return (idx.astype(np.int64) + offs).ravel()
+
+    # -- updates -----------------------------------------------------------
+    def _apply(self, values: np.ndarray, sign: int) -> None:
+        flat = self._flat_indices(values)
+        with np.errstate(over="ignore"):
+            if self._dense is not None:
+                d = self._dense.ravel()
+                if len(values) * 8 < self.width:
+                    if sign > 0:
+                        np.add.at(d, flat, 1)
+                    else:
+                        np.subtract.at(d, flat, 1)
+                else:
+                    d += (sign * np.bincount(
+                        flat, minlength=self.height * self.width
+                    )).astype(np.int32)
+            else:
+                uniq, counts = np.unique(flat, return_counts=True)
+                self._sparse_accumulate(uniq, sign * counts)
 
     def update_batch(self, values: np.ndarray, timestamps=None) -> None:
-        idx = self._indices(values)
-        for i in range(self.height):
-            self.array[i] += np.bincount(idx[:, i], minlength=self.width)
+        self._apply(values, 1)
         self.elements_processed += len(values)
 
     def decrement_batch(self, values: np.ndarray) -> None:
-        idx = self._indices(values)
-        for i in range(self.height):
-            self.array[i] -= np.bincount(idx[:, i], minlength=self.width)
+        self._apply(values, -1)
         self.elements_processed -= len(values)
 
+    # -- queries -----------------------------------------------------------
     def query_batch(self, values: np.ndarray) -> np.ndarray:
-        idx = self._indices(values)
-        ests = self.array[np.arange(self.height)[None, :], idx]  # (n, height)
+        flat = self._flat_indices(values).reshape(len(values), self.height)
+        if self._dense is not None:
+            ests = self._dense.ravel()[flat]
+        else:
+            pos = np.searchsorted(self._sp_idx, flat)
+            pos_c = np.clip(pos, 0, len(self._sp_idx) - 1)
+            if len(self._sp_idx):
+                hit = self._sp_idx[pos_c] == flat
+                ests = np.where(hit, self._sp_val[pos_c], 0)
+            else:
+                ests = np.zeros_like(flat, dtype=np.int32)
         return ests.min(axis=1)
 
     def query(self, value) -> int:
         return int(self.query_batch(np.asarray([value]))[0])
 
+    # -- merge / invert ----------------------------------------------------
     def _check(self, other: "CountMinSketch") -> None:
         if not (
             isinstance(other, CountMinSketch)
@@ -76,26 +151,61 @@ class CountMinSketch(Synopsis):
                 "Sketches to merge have to be the same size and hash functions"
             )
 
-    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+    def _combine(self, other: "CountMinSketch", sign: int) -> "CountMinSketch":
         self._check(other)
-        self.array += other.array
-        self.elements_processed += other.elements_processed
+        with np.errstate(over="ignore"):
+            if self._dense is None and other._dense is None:
+                self._sparse_accumulate(other._sp_idx, sign * other._sp_val)
+            else:
+                if self._dense is None:
+                    self._densify()
+                d = self._dense.ravel()
+                if other._dense is not None:
+                    if sign > 0:
+                        self._dense += other._dense
+                    else:
+                        self._dense -= other._dense
+                else:
+                    if sign > 0:
+                        np.add.at(d, other._sp_idx, other._sp_val)
+                    else:
+                        np.subtract.at(d, other._sp_idx, other._sp_val)
+        self.elements_processed += sign * other.elements_processed
         return self
 
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        return self._combine(other, 1)
+
     def invert(self, other: "CountMinSketch") -> "CountMinSketch":
-        self._check(other)
-        self.array -= other.array
-        self.elements_processed -= other.elements_processed
-        return self
+        return self._combine(other, -1)
 
     def _ctor_args(self):
         return (self.width, self.height, self.seed)
 
     def state_dict(self):
-        return {"array": self.array, "elements_processed": self.elements_processed}
+        if self._dense is None:
+            return {
+                "sparse_idx": self._sp_idx,
+                "sparse_val": self._sp_val,
+                "elements_processed": self.elements_processed,
+            }
+        # dense, but still serialize sparse when mostly zeros
+        nz = np.flatnonzero(self._dense.ravel())
+        if len(nz) * 3 < self._dense.size:
+            return {
+                "sparse_idx": nz.astype(np.int64),
+                "sparse_val": self._dense.ravel()[nz],
+                "elements_processed": self.elements_processed,
+            }
+        return {"array": self._dense, "elements_processed": self.elements_processed}
 
     def load_state(self, state):
-        self.array = state["array"]
+        if "sparse_idx" in state:
+            self._dense = None
+            self._sp_idx = np.asarray(state["sparse_idx"], dtype=np.int64)
+            self._sp_val = np.asarray(state["sparse_val"], dtype=np.int32)
+        else:
+            self.array = state["array"]
         self.elements_processed = state["elements_processed"]
 
 
@@ -262,7 +372,8 @@ class FastAGMS(Synopsis):
         self.seed = int(seed)
         self.hash_functions = H3HashFunctions(self.height, self.seed)
         self.eh3 = EH3HashFunction(self.seed, self.height)
-        self.array = np.zeros((self.height, self.width), dtype=np.int64)
+        # int32 like the reference's Java int[][]
+        self.array = np.zeros((self.height, self.width), dtype=np.int32)
 
     def _pos_sign(self, values: np.ndarray):
         h = self.hash_functions.hash_batch(values)
@@ -273,13 +384,27 @@ class FastAGMS(Synopsis):
 
     def update_batch(self, values: np.ndarray, timestamps=None) -> None:
         pos, sign = self._pos_sign(values)
-        for i in range(self.height):
-            self.array[i] += np.bincount(pos[:, i], weights=sign[:, i], minlength=self.width).astype(np.int64)
+        with np.errstate(over="ignore"):
+            if len(values) * 8 < self.width:
+                for i in range(self.height):
+                    np.add.at(self.array[i], pos[:, i], sign[:, i].astype(np.int32))
+            else:
+                for i in range(self.height):
+                    self.array[i] += np.bincount(
+                        pos[:, i], weights=sign[:, i], minlength=self.width
+                    ).astype(np.int32)
 
     def decrement_batch(self, values: np.ndarray) -> None:
         pos, sign = self._pos_sign(values)
-        for i in range(self.height):
-            self.array[i] -= np.bincount(pos[:, i], weights=sign[:, i], minlength=self.width).astype(np.int64)
+        with np.errstate(over="ignore"):
+            if len(values) * 8 < self.width:
+                for i in range(self.height):
+                    np.subtract.at(self.array[i], pos[:, i], sign[:, i].astype(np.int32))
+            else:
+                for i in range(self.height):
+                    self.array[i] -= np.bincount(
+                        pos[:, i], weights=sign[:, i], minlength=self.width
+                    ).astype(np.int32)
 
     def _check(self, other: "FastAGMS"):
         if not (
@@ -315,7 +440,17 @@ class FastAGMS(Synopsis):
         return (self.width, self.height, self.seed)
 
     def state_dict(self):
+        nz = np.flatnonzero(self.array.ravel())
+        if len(nz) * 3 < self.array.size:
+            return {
+                "sparse_idx": nz.astype(np.int64),
+                "sparse_val": self.array.ravel()[nz],
+            }
         return {"array": self.array}
 
     def load_state(self, state):
-        self.array = state["array"]
+        if "sparse_idx" in state:
+            self.array = np.zeros((self.height, self.width), dtype=np.int32)
+            self.array.ravel()[state["sparse_idx"]] = state["sparse_val"]
+        else:
+            self.array = state["array"]

@@ -15,7 +15,7 @@ from condor_ray.sources.transcripts import transcript_fragments
 from condor_ray.synopses import CountMinSketch, Synopsis
 from condor_ray.windows import SlidingWindow, TumblingWindow
 
-W_MS = 60_000  # 60 s tumbling
+W_MS = 10_000  # 10 s tumbling (20 s late arrivals cross slice boundaries)
 W_US = W_MS * 1000
 
 
@@ -193,7 +193,10 @@ class TestExactlyOnceResume:
         job.run(frags)
         job.shutdown()
         lines = [json.loads(l) for l in open(os.path.join(out, "manifest.jsonl"))]
-        assert [l["fragment"] for l in lines] == list(range(len(frags)))
-        assert all(l["watermark"] > 0 for l in lines)
-        wm = [l["watermark"] for l in lines]
+        frag_lines = [l for l in lines if "fragment" in l]
+        assert [l["fragment"] for l in frag_lines] == list(range(len(frags)))
+        assert all(l["watermark"] > 0 for l in frag_lines)
+        wm = [l["watermark"] for l in frag_lines]
         assert wm == sorted(wm)  # watermark monotone
+        summary = [l for l in lines if l.get("summary")]
+        assert summary and summary[-1]["windows_emitted"] > 0
