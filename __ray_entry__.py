@@ -96,6 +96,82 @@ def _q_flagship_hll(sf_dir: str):
     return flagship_hll_pipeline(ds, TumblingWindow(WINDOW_MS))
 
 
+SESSION_GAP_MS = 30 * 60 * 1000  # 30 min session gap
+COUNT_WINDOW = 500  # rows per count window
+
+
+def _q_sessions(sf_dir: str):
+    from condor_ray.pipelines.sessions import session_stats
+    from condor_ray.sources.events_adapter import transcripts_from_events
+
+    return session_stats(transcripts_from_events(sf_dir), SESSION_GAP_MS)
+
+
+def _q_count_window_distinct(sf_dir: str):
+    from condor_ray.pipelines.sessions import count_window_distinct
+
+    return count_window_distinct(sf_dir, COUNT_WINDOW)
+
+
+def _q_turns_join_tool_calls(sf_dir: str):
+    from condor_ray.pipelines.core import tool_calls_from_transcripts
+    from condor_ray.pipelines.join import join_turns_tool_calls
+    from condor_ray.sources.events_adapter import transcripts_from_events
+
+    turns = transcripts_from_events(sf_dir)
+    calls = tool_calls_from_transcripts(transcripts_from_events(sf_dir))
+    return join_turns_tool_calls(turns, calls, bound_ms=5_000)
+
+
+def _q_cm_asof_queries(sf_dir: str):
+    """queryTimestamped evaluation: every tool turn queries its own tool's
+    frequency at its own timestamp; collision-free CM => exact counts."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from condor_ray.engine.batch import build_windowed_synopses
+    from condor_ray.config import BuildConfiguration, KeySpec
+    from condor_ray.evaluate.queries import query_timestamped, query_count_min
+    from condor_ray.hashing import java_string_hash_arrow
+    from condor_ray.sources.events_adapter import transcripts_from_events
+    from condor_ray.windows import TumblingWindow
+
+    ds = transcripts_from_events(sf_dir)
+    cfg = BuildConfiguration(
+        synopsis="CountMinSketch",
+        params=(65536, 5, 7),
+        windows=[TumblingWindow(WINDOW_MS)],
+        key=KeySpec("tool", "java_hash"),
+    )
+    tool_rows = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t["tool"])), batch_format="pyarrow"
+    )
+    syn = build_windowed_synopses(tool_rows, cfg, concurrency=2)
+
+    def to_queries(t):
+        import pyarrow as pa
+
+        t = t.filter(pc.is_valid(t["tool"]))
+        return pa.table(
+            {
+                "query_key": pa.array(java_string_hash_arrow(t["tool"])),
+                "query_ts": t["ts"],
+                "tool": t["tool"],
+            }
+        )
+
+    queries = ds.map_batches(to_queries, batch_format="pyarrow")
+    out = query_timestamped(queries, syn, query_count_min).to_pandas()
+    return pd.DataFrame(
+        {
+            "tool": out["tool"],
+            "query_ts": out["query_ts"].astype("int64"),
+            "window_start": out["window_start"].astype("int64"),
+            "est": out["result"].astype("int64"),
+        }
+    )
+
+
 def _q_streaming_windowed_counts(sf_dir: str):
     from condor_ray.pipelines.core import streaming_windowed_counts
     from condor_ray.windows import TumblingWindow
@@ -112,12 +188,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cm_tool_frequencies": _q_cm_tool_frequencies,
         "flagship_hll": _q_flagship_hll,  # rows-only (estimates)
         "streaming_windowed_counts": _q_streaming_windowed_counts,
+        "sessions_30m": _q_sessions,
+        "count_window_distinct": _q_count_window_distinct,
+        "turns_join_tool_calls": _q_turns_join_tool_calls,
+        "cm_asof_queries": _q_cm_asof_queries,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     cte = _transcripts_cte()
-    return {
+    out = {
         "transcripts_derivation": f"{cte} SELECT * FROM transcripts",
         "windowed_counts": f"""{cte}
 SELECT (epoch_us(ts) // {_W_US}) * {_W_US} AS window_start,
@@ -145,3 +225,42 @@ SELECT (epoch_us(ts) // {_W_US}) * {_W_US} AS window_start,
        count(*) AS est
 FROM transcripts WHERE tool IS NOT NULL GROUP BY 1, 2""",
     }
+    out["sessions_30m"] = __import__(
+        "condor_ray.pipelines.sessions", fromlist=["session_sql"]
+    ).session_sql(cte, SESSION_GAP_MS)
+    out["count_window_distinct"] = f"""
+SELECT (event_id // {COUNT_WINDOW}) AS window_id,
+       count(DISTINCT user_id) AS n_convs
+FROM events GROUP BY 1"""
+    out["turns_join_tool_calls"] = f"""{cte},
+tool_calls AS (
+  SELECT conv_id,
+         conv_id || '_' || CAST(turn_idx AS VARCHAR) AS call_id,
+         tool,
+         CASE WHEN turn_idx % 10 = 0 THEN 'error' ELSE 'ok' END AS status,
+         ts + to_microseconds((turn_idx % 5) * 1000000) AS ts
+  FROM transcripts WHERE tool IS NOT NULL
+)
+SELECT t.conv_id, t.turn_idx, epoch_us(t.ts) AS turn_ts,
+       c.call_id, c.tool, c.status, epoch_us(c.ts) AS call_ts
+FROM transcripts t
+JOIN tool_calls c
+  ON t.conv_id = c.conv_id AND t.tool = c.tool
+ AND epoch_us(c.ts) BETWEEN epoch_us(t.ts) AND epoch_us(t.ts) + 5000000
+WHERE t.tool IS NOT NULL"""
+    out["cm_asof_queries"] = f"""{cte},
+counts AS (
+  SELECT (epoch_us(ts) // {_W_US}) * {_W_US} AS window_start, tool,
+         count(*) AS est
+  FROM transcripts WHERE tool IS NOT NULL GROUP BY 1, 2
+)
+SELECT t.tool,
+       epoch_us(t.ts) AS query_ts,
+       (epoch_us(t.ts) // {_W_US}) * {_W_US} AS window_start,
+       c.est
+FROM transcripts t
+JOIN counts c
+  ON c.tool = t.tool AND c.window_start = (epoch_us(t.ts) // {_W_US}) * {_W_US}
+WHERE t.tool IS NOT NULL"""
+    return out
+

@@ -1,0 +1,200 @@
+"""Query evaluation: join a query stream against the windowed synopsis stream.
+
+Reference (conn/.../evaluator/ApproximateDataAnalytics.java):
+- ``queryLatest`` (:39-51; QueryLatestFunction.java:27-61): broadcast the
+  synopsis stream; evaluate each query against the LATEST windowed synopsis
+  (queries arriving before the first synopsis buffer until one exists — in
+  the bounded setting every query sees the final latest synopsis).
+- ``queryTimestamped`` (:64-76; QueryTimestampedFunction.java:32-97): keep an
+  archive of <= maxSynopsisCount synopses ordered by windowStart; route each
+  query to the window containing its timestamp (floor lookup); queries before
+  the first window -> no result (reference emits nothing for them).
+- stratified variants (:79-117): the same, keyed by stratum.
+
+Ray-Data-first physical plan: the synopsis stream is SMALL (one row per
+window x stratum) — it is collected and broadcast via ``ray.put`` once, and
+the query stream is processed with stateless ``map_batches`` whose tasks read
+the broadcast handle: the as-of routing is a vectorized ``searchsorted`` into
+the window-start array, not a shuffle join (SURVEY §2.7).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+
+from ..synopses.base import Synopsis
+
+QueryFn = Callable[[Synopsis, np.ndarray], np.ndarray]
+"""(synopsis, query_keys) -> result array (vectorized QueryFunction.java:17-19)."""
+
+
+def _collect_synopses(synopsis_ds) -> pd.DataFrame:
+    df = synopsis_ds.to_pandas() if hasattr(synopsis_ds, "to_pandas") else synopsis_ds
+    return df.sort_values(["window_start", "window_end"]).reset_index(drop=True)
+
+
+def query_latest(query_ds, synopsis_ds, query_fn: QueryFn):
+    """Evaluate every query against the latest (max window_start) synopsis.
+
+    Returns Dataset/DataFrame: query columns + ``result`` + window bounds.
+    """
+    import ray
+
+    syn = _collect_synopses(synopsis_ds)
+    latest = syn.iloc[-1]
+    payload_ref = ray.put(latest["payload"])
+    w_start, w_end = int(latest["window_start"]), int(latest["window_end"])
+
+    def evaluate(batch: pd.DataFrame) -> pd.DataFrame:
+        synopsis = Synopsis.from_bytes(ray.get(payload_ref))
+        keys = batch["query_key"].to_numpy()
+        out = batch.copy()
+        out["result"] = query_fn(synopsis, keys)
+        out["window_start"] = w_start
+        out["window_end"] = w_end
+        return out
+
+    return query_ds.map_batches(evaluate, batch_format="pandas")
+
+
+def query_timestamped(query_ds, synopsis_ds, query_fn: QueryFn, max_synopsis_count: int = 10**6):
+    """As-of join: route each query to the window containing its timestamp.
+
+    Keeps the newest ``max_synopsis_count`` windows (TreeSet bound,
+    QueryTimestampedFunction.java:52-67).  Queries outside every window get no
+    output row (reference emits nothing for them)."""
+    import ray
+
+    syn = _collect_synopses(synopsis_ds).tail(max_synopsis_count).reset_index(drop=True)
+    starts = syn["window_start"].to_numpy(np.int64)
+    ends = syn["window_end"].to_numpy(np.int64)
+    payloads_ref = ray.put(list(syn["payload"]))
+
+    def evaluate(batch: pd.DataFrame) -> pd.DataFrame:
+        payloads = ray.get(payloads_ref)
+        q_ts = batch["query_ts"].astype("int64").to_numpy()
+        idx = np.searchsorted(starts, q_ts, side="right") - 1
+        valid = (idx >= 0) & (q_ts < ends[np.clip(idx, 0, len(ends) - 1)])
+        batch = batch[valid].copy()
+        idx = idx[valid]
+        keys = batch["query_key"].to_numpy()
+        results = np.empty(len(batch), dtype=np.float64)
+        cache: dict[int, Synopsis] = {}
+        for w in np.unique(idx):
+            syn_w = cache.get(w)
+            if syn_w is None:
+                syn_w = Synopsis.from_bytes(payloads[w])
+                cache[w] = syn_w
+            m = idx == w
+            results[m] = query_fn(syn_w, keys[m])
+        batch["result"] = results
+        batch["window_start"] = starts[idx]
+        batch["window_end"] = ends[idx]
+        return batch
+
+    return query_ds.map_batches(evaluate, batch_format="pandas")
+
+
+def query_latest_stratified(query_ds, synopsis_ds, query_fn: QueryFn):
+    """queryLatest keyed by stratum: each query row carries a ``stratum``;
+    evaluated against that stratum's latest synopsis (no match -> dropped,
+    like broadcast state misses in the reference)."""
+    import ray
+
+    syn = _collect_synopses(synopsis_ds)
+    latest = syn.groupby("stratum", dropna=False).tail(1)
+    table = {
+        s: (p, int(ws), int(we))
+        for s, p, ws, we in zip(
+            latest["stratum"], latest["payload"],
+            latest["window_start"], latest["window_end"],
+        )
+    }
+    ref = ray.put(table)
+
+    def evaluate(batch: pd.DataFrame) -> pd.DataFrame:
+        tbl = ray.get(ref)
+        out = []
+        for stratum, grp in batch.groupby("stratum", dropna=True):
+            entry = tbl.get(stratum)
+            if entry is None:
+                continue
+            payload, ws, we = entry
+            synopsis = Synopsis.from_bytes(payload)
+            g = grp.copy()
+            g["result"] = query_fn(synopsis, grp["query_key"].to_numpy())
+            g["window_start"] = ws
+            g["window_end"] = we
+            out.append(g)
+        if not out:
+            return batch.iloc[0:0].assign(
+                result=np.nan, window_start=0, window_end=0
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return query_ds.map_batches(evaluate, batch_format="pandas")
+
+
+def query_timestamped_stratified(query_ds, synopsis_ds, query_fn: QueryFn):
+    """As-of join keyed by (stratum, window)."""
+    import ray
+
+    syn = _collect_synopses(synopsis_ds)
+    per_stratum = {
+        s: (
+            g["window_start"].to_numpy(np.int64),
+            g["window_end"].to_numpy(np.int64),
+            list(g["payload"]),
+        )
+        for s, g in syn.groupby("stratum", dropna=False)
+    }
+    ref = ray.put(per_stratum)
+
+    def evaluate(batch: pd.DataFrame) -> pd.DataFrame:
+        tbl = ray.get(ref)
+        out = []
+        for stratum, grp in batch.groupby("stratum", dropna=True):
+            entry = tbl.get(stratum)
+            if entry is None:
+                continue
+            starts, ends, payloads = entry
+            q_ts = grp["query_ts"].astype("int64").to_numpy()
+            idx = np.searchsorted(starts, q_ts, side="right") - 1
+            valid = (idx >= 0) & (q_ts < ends[np.clip(idx, 0, len(ends) - 1)])
+            g = grp[valid].copy()
+            gi = idx[valid]
+            results = np.empty(len(g), dtype=np.float64)
+            for w in np.unique(gi):
+                syn_w = Synopsis.from_bytes(payloads[w])
+                m = gi == w
+                results[m] = query_fn(syn_w, g["query_key"].to_numpy()[m])
+            g["result"] = results
+            g["window_start"] = starts[gi]
+            g["window_end"] = ends[gi]
+            out.append(g)
+        if not out:
+            return batch.iloc[0:0].assign(
+                result=np.nan, window_start=0, window_end=0
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return query_ds.map_batches(evaluate, batch_format="pandas")
+
+
+# -- standard query functions (bench/.../sources/utils/queries/) -----------
+
+def query_count_min(synopsis, keys: np.ndarray) -> np.ndarray:
+    """QueryCountMin.java:6-12 — point frequency estimates."""
+    return synopsis.query_batch(np.asarray(keys, dtype=np.int64).astype(np.int32))
+
+
+def query_bloom(synopsis, keys: np.ndarray) -> np.ndarray:
+    return synopsis.query_batch(np.asarray(keys, dtype=np.int64).astype(np.int32))
+
+
+def query_hll_distinct(synopsis, keys: np.ndarray) -> np.ndarray:
+    """Distinct estimate, broadcast to the batch shape."""
+    return np.full(len(keys), synopsis.distinct_items_estimator(), dtype=np.int64)

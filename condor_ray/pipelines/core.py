@@ -223,3 +223,32 @@ def streaming_windowed_counts(sf_dir: str, window: TumblingWindow, parallelism: 
             "n_rows": out["n_rows"].astype(np.int64),
         }
     ).sort_values("window_start").reset_index(drop=True)
+
+
+def tool_calls_from_transcripts(ds):
+    """Deterministic F2-shaped tool-call stream derived from the transcripts'
+    tool turns (offset = (turn_idx % 5) s, status = error every 10th turn) —
+    reproducible in SQL for the join oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def derive(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["tool"]))
+        turn = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch["ts"].cast(pa.int64()).to_numpy()
+        conv = batch["conv_id"].to_pylist()
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "call_id": pa.array(
+                    [f"{c}_{t}" for c, t in zip(conv, turn.tolist())]
+                ),
+                "tool": batch["tool"],
+                "status": pa.array(
+                    np.where(turn % 10 == 0, "error", "ok"), type=pa.string()
+                ),
+                "ts": pa.array(ts + (turn % 5) * 1_000_000, type=pa.timestamp("us")),
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pyarrow")

@@ -1,0 +1,107 @@
+"""Session windows and count windows.
+
+- Session windows (Scotty session support, SURVEY §2.6): per-conversation gap
+  merge — a new session starts when the gap to the previous turn is >= gap.
+  Implemented as ``groupby(conv_id).map_groups`` over ts-sorted groups (the
+  same conv_id co-location shuffle the engine's partitioning uses); the SQL
+  oracle is the classic gaps-and-islands form.
+- Count windows: the reference's ``countWindow(size/parallelism)`` makes
+  boundaries parallelism-dependent (SynopsisBuilder.java:220); we define them
+  on GLOBAL arrival ordinals instead (documented deviation, SURVEY §7) so the
+  result is partition-count invariant.  For the events-derived stream the
+  arrival ordinal IS event_id (the file is arrival-ordered), which keeps the
+  oracle in plain SQL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..windows import sessionize
+
+
+def session_stats(ds, gap_ms: int):
+    """Per-conversation sessions: conv_id, session_idx, session_start,
+    session_end (int64 us), n_turns."""
+    gap_us = gap_ms * 1000
+
+    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "turn_idx"], kind="mergesort")
+        ts = g["ts"].astype("int64").to_numpy()
+        sess = sessionize(ts, gap_us)
+        out = (
+            pd.DataFrame({"session_idx": sess, "ts": ts})
+            .groupby("session_idx")
+            .agg(
+                session_start=("ts", "min"),
+                session_end=("ts", "max"),
+                n_turns=("ts", "size"),
+            )
+            .reset_index()
+        )
+        out.insert(0, "conv_id", g["conv_id"].iloc[0])
+        out["session_idx"] = out["session_idx"].astype(np.int64)
+        out["n_turns"] = out["n_turns"].astype(np.int64)
+        return out
+
+    return ds.groupby("conv_id").map_groups(per_conv, batch_format="pandas")
+
+
+def session_sql(transcripts_cte: str, gap_ms: int) -> str:
+    gap_us = gap_ms * 1000
+    return f"""{transcripts_cte},
+marked AS (
+  SELECT conv_id, turn_idx, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {gap_us}
+              THEN 1 ELSE 0 END AS brk
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+islands AS (
+  SELECT conv_id, ts_us,
+         sum(brk) OVER (PARTITION BY conv_id ORDER BY ts_us, turn_idx
+                        ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM marked
+)
+SELECT conv_id, session_idx,
+       min(ts_us) AS session_start,
+       max(ts_us) AS session_end,
+       count(*) AS n_turns
+FROM islands GROUP BY conv_id, session_idx"""
+
+
+def count_window_distinct(sf_dir: str, size: int):
+    """Distinct conversations per count window of ``size`` arrival ordinals
+    over the events stream (ordinal == event_id, see module docstring)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        wid = batch["event_id"].to_numpy() // size
+        uid = batch["user_id"].to_numpy()
+        gkey = wid * 1_000_000 + uid
+        uniq = np.unique(gkey)
+        return pa.table(
+            {
+                "window_id": pa.array(uniq // 1_000_000, type=pa.int64()),
+                "user_id": pa.array(uniq % 1_000_000, type=pa.int64()),
+            }
+        )
+
+    p = ds.map_batches(pairs, batch_format="pyarrow")
+    dedup = p.groupby(["window_id", "user_id"]).count()
+    out = dedup.groupby("window_id").aggregate(Count(alias_name="n_convs"))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "window_id": df["window_id"].astype(np.int64),
+                "n_convs": df["n_convs"].astype(np.int64),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pandas")

@@ -1,0 +1,133 @@
+"""Evaluator joins (queryLatest/queryTimestamped/stratified) and the
+turn x tool-call stream-stream join on the F2 fixture (orphans, duplicates)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from condor_ray.config import BuildConfiguration, KeySpec
+from condor_ray.engine.batch import build_windowed_synopses
+from condor_ray.evaluate.queries import (
+    query_count_min,
+    query_latest,
+    query_latest_stratified,
+    query_timestamped,
+)
+from condor_ray.hashing import java_string_hash_array
+from condor_ray.pipelines.join import join_turns_tool_calls
+from condor_ray.sources.transcripts import read_transcripts, transcript_fragments
+
+
+@pytest.fixture(scope="module")
+def syn_stream(ray_session, tiny_fixture):
+    cfg = BuildConfiguration(
+        synopsis="CountMinSketch",
+        params=(4096, 5, 7),
+        windows=[__import__("condor_ray.windows", fromlist=["TumblingWindow"]).TumblingWindow(60_000)],
+        key=KeySpec("conv_id", "java_hash"),
+    )
+    ds = read_transcripts(tiny_fixture)
+    return build_windowed_synopses(ds, cfg, concurrency=2).to_pandas()
+
+
+class TestQueryLatest:
+    def test_queries_hit_latest_window(self, ray_session, tiny_fixture, syn_stream):
+        queries = rd.read_parquet(f"{tiny_fixture}/queries.parquet")
+        out = query_latest(queries, syn_stream, query_count_min).to_pandas()
+        assert len(out) == queries.count()
+        latest_start = syn_stream["window_start"].max()
+        assert (out["window_start"] == latest_start).all()
+        # results are CM counts of conv keys in the latest window: >= 0
+        assert (out["result"] >= 0).all()
+
+    def test_latest_matches_direct_query(self, ray_session, tiny_fixture, syn_stream):
+        from condor_ray.synopses import Synopsis
+
+        queries = rd.read_parquet(f"{tiny_fixture}/queries.parquet")
+        out = query_latest(queries, syn_stream, query_count_min).to_pandas()
+        latest = syn_stream.sort_values("window_start").iloc[-1]
+        cm = Synopsis.from_bytes(latest["payload"])
+        direct = cm.query_batch(
+            out["query_key"].to_numpy().astype(np.int32)
+        )
+        assert (out["result"].to_numpy() == direct).all()
+
+
+class TestQueryTimestamped:
+    def test_asof_routing(self, ray_session, tiny_fixture, syn_stream):
+        from condor_ray.synopses import Synopsis
+
+        queries = rd.read_parquet(f"{tiny_fixture}/queries.parquet")
+        out = query_timestamped(queries, syn_stream, query_count_min).to_pandas()
+        # every surviving query's ts lies inside its routed window
+        ts = out["query_ts"].astype("int64")
+        assert ((ts >= out["window_start"]) & (ts < out["window_end"])).all()
+        # spot-check one window: results equal direct sketch queries
+        ws = out["window_start"].iloc[0]
+        grp = out[out["window_start"] == ws]
+        row = syn_stream[syn_stream["window_start"] == ws].iloc[0]
+        cm = Synopsis.from_bytes(row["payload"])
+        assert (
+            grp["result"].to_numpy()
+            == cm.query_batch(grp["query_key"].to_numpy().astype(np.int32))
+        ).all()
+
+    def test_out_of_range_queries_dropped(self, ray_session, syn_stream):
+        q = pd.DataFrame(
+            {
+                "query_key": np.asarray([1, 2], dtype=np.int32),
+                "query_ts": pd.to_datetime([0, 10**15], unit="us"),
+            }
+        )
+        out = query_timestamped(rd.from_pandas(q), syn_stream, query_count_min).to_pandas()
+        assert len(out) == 0
+
+
+class TestQueryLatestStratified:
+    def test_per_stratum(self, ray_session, tiny_fixture):
+        from condor_ray.windows import TumblingWindow
+
+        cfg = BuildConfiguration(
+            synopsis="CountMinSketch",
+            params=(2048, 3, 7),
+            windows=[TumblingWindow(60_000)],
+            key=KeySpec("conv_id", "java_hash"),
+            stratify_by="role",
+        )
+        ds = read_transcripts(tiny_fixture)
+        syn = build_windowed_synopses(ds, cfg, concurrency=2).to_pandas()
+        queries = rd.read_parquet(f"{tiny_fixture}/queries.parquet")
+        out = query_latest_stratified(queries, syn, query_count_min).to_pandas()
+        assert set(out["stratum"].unique()) <= {"user", "assistant", "tool"}
+        assert len(out) > 0
+        # null-stratum queries are dropped
+        q_pd = pq.read_table(f"{tiny_fixture}/queries.parquet").to_pandas()
+        assert len(out) == q_pd["stratum"].notna().sum()
+
+
+class TestStreamStreamJoin:
+    def test_join_fixture_semantics(self, ray_session, tiny_fixture):
+        turns = read_transcripts(tiny_fixture)
+        calls = rd.read_parquet(f"{tiny_fixture}/tool_calls.parquet")
+        out = join_turns_tool_calls(turns, calls, bound_ms=5_000).to_pandas()
+
+        # pandas oracle
+        t = pd.concat(
+            [pq.read_table(f).to_pandas() for f in transcript_fragments(tiny_fixture)]
+        )
+        t = t[t["tool"].notna()]
+        c = pq.read_table(f"{tiny_fixture}/tool_calls.parquet").to_pandas()
+        m = t.merge(c, on=["conv_id", "tool"], suffixes=("_t", "_c"))
+        ts_t = m["ts_t"].astype("int64")
+        ts_c = m["ts_c"].astype("int64")
+        expected = m[(ts_c >= ts_t) & (ts_c <= ts_t + 5_000_000)]
+        assert len(out) == len(expected)
+
+        # orphan conv_ids never appear
+        assert not out["conv_id"].str.startswith("orphan").any()
+        # duplicates in the call stream produce duplicate join rows
+        dup_counts = c.groupby("call_id").size()
+        assert (dup_counts > 1).any()
