@@ -179,6 +179,98 @@ def _q_streaming_windowed_counts(sf_dir: str):
     return streaming_windowed_counts(sf_dir, TumblingWindow(WINDOW_MS))
 
 
+def _q_exact_dedup(sf_dir: str):
+    import ray.data as rd
+
+    from condor_ray.pipelines.dedup import exact_dedup, with_planted_duplicates
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_dedup(with_planted_duplicates(docs))
+
+
+def _q_token_stats(sf_dir: str):
+    import ray.data as rd
+
+    from condor_ray.pipelines.textstats import token_stats
+
+    return token_stats(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+
+
+def _q_ann_topk(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from condor_ray.pipelines.similarity import brute_force_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    head = emb.slice(0, 10)
+    qv = np.stack(head["embedding"].to_pylist()).astype(np.float64)
+    qid = head["vec_id"].to_numpy()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return brute_force_topk(ds, qv, qid, k=10)
+
+
+def _q_minhash_neardup(sf_dir: str):
+    import ray.data as rd
+
+    from condor_ray.pipelines.dedup import minhash_lsh_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+
+
+def _q_simhash_neardup(sf_dir: str):
+    import ray.data as rd
+
+    from condor_ray.pipelines.dedup import simhash_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_pairs(docs, max_hamming=6)
+
+
+def _q_quality_scores(sf_dir: str):
+    import ray.data as rd
+
+    from condor_ray.pipelines.textstats import quality_scores
+
+    return quality_scores(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+
+
+def _q_language_id(sf_dir: str):
+    import ray.data as rd
+
+    from condor_ray.pipelines.textstats import language_id
+
+    return language_id(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+
+
+def _q_doc_fingerprints(sf_dir: str):
+    import ray.data as rd
+
+    from condor_ray.pipelines.textstats import document_fingerprints
+
+    return document_fingerprints(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+
+
+def _q_image_features(sf_dir: str):
+    import ray.data as rd
+
+    from condor_ray.pipelines.multimodal import decode_images, synthesize_image_table
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return decode_images(synthesize_image_table(docs))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "transcripts_derivation": _q_transcripts,
@@ -192,6 +284,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_window_distinct": _q_count_window_distinct,
         "turns_join_tool_calls": _q_turns_join_tool_calls,
         "cm_asof_queries": _q_cm_asof_queries,
+        "exact_dedup": _q_exact_dedup,
+        "token_stats": _q_token_stats,
+        "ann_topk": _q_ann_topk,
+        "minhash_neardup": _q_minhash_neardup,   # rows-only (LSH)
+        "simhash_neardup": _q_simhash_neardup,   # rows-only
+        "quality_scores": _q_quality_scores,     # rows-only (float features)
+        "language_id": _q_language_id,           # rows-only (heuristic)
+        "doc_fingerprints": _q_doc_fingerprints, # rows-only (rolling hash)
+        "image_features": _q_image_features,     # rows-only (decode stub)
     }
 
 
@@ -262,5 +363,33 @@ FROM transcripts t
 JOIN counts c
   ON c.tool = t.tool AND c.window_start = (epoch_us(t.ts) // {_W_US}) * {_W_US}
 WHERE t.tool IS NOT NULL"""
+    out["exact_dedup"] = """
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 7 = 0
+)
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM docs2 GROUP BY text"""
+    out["token_stats"] = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents"""
+    out["ann_topk"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_cosine_similarity(q.embedding, c.embedding) AS cosine
+  FROM q CROSS JOIN embeddings c
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id
+FROM ranked WHERE rank <= 10"""
     return out
 

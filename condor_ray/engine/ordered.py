@@ -1,0 +1,116 @@
+"""Order-based (non-mergeable) synopsis path: windowed Haar wavelets.
+
+Reference plan (``buildScottyNonMergeable``, conn/.../processor/
+SynopsisBuilder.java:345-362): a parallelism-1 ``OrderAndIndex`` operator
+assigns round-robin keys in timestamp order (conn/.../processor/divide/
+OrderAndIndex.java:13-68), P keyed wavelet builders consume their substream,
+and a unifier collects the P partials into a ``DistributedWaveletsManager``
+whose index arithmetic (synopsis = i % P, local = i // P) reconstructs global
+stream positions.
+
+Ray-Data-first version: the ordering invariant is made EXPLICIT instead of
+relying on arrival order — within each window, rows are sorted by
+``(ts, conv_id, turn_idx)`` (the stable per-turn order of the BASELINE
+per-row invariant), then round-robin split into P wavelets.  Windows build in
+parallel via ``groupby(window).map_groups``; parallelism WITHIN a window
+follows the reference's index contract so point/range queries agree with a
+sequential build.  FiFo / biased samplers (timestamped path) reuse the
+mergeable engine since their merge handles ordering by timestamp.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..config import KeySpec
+from ..stages.extract import KeyExtractor, ts_to_us
+from ..synopses.base import Synopsis
+from ..synopses.wavelets import DistributedWaveletsManager, WaveletSynopsis
+from ..windows import TumblingWindow
+
+
+def build_windowed_wavelets(
+    ds,
+    window: TumblingWindow,
+    size: int = 1000,
+    parallelism: int = 4,
+    key: KeySpec | None = None,
+):
+    """Dataset -> one DistributedWaveletsManager per tumbling window.
+
+    Output: window_start, window_end (int64 us), n_rows, payload (manager).
+    """
+    key = key or KeySpec("text", "length")
+    size_us = window.size_us
+    extractor = KeyExtractor(key)
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        ts = ts_to_us(batch["ts"])
+        values = extractor(batch).astype(np.float64)
+        return pa.table(
+            {
+                "window_id": pa.array(ts // size_us, type=pa.int64()),
+                "ts": pa.array(ts, type=pa.int64()),
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"],
+                "value": pa.array(values, type=pa.float64()),
+            }
+        )
+
+    prepared = ds.map_batches(add_window, batch_format="pyarrow")
+
+    def per_window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "conv_id", "turn_idx"], kind="mergesort")
+        values = g["value"].to_numpy()
+        wavelets = [WaveletSynopsis(size) for _ in range(parallelism)]
+        # round-robin in stream order — DistributedWaveletsManager contract
+        for p in range(parallelism):
+            wavelets[p].update_batch(values[p::parallelism])
+        mgr = DistributedWaveletsManager(0, None)
+        for w in wavelets:
+            mgr.add_synopsis(w)
+        wid = int(g["window_id"].iloc[0])
+        return pd.DataFrame(
+            {
+                "window_start": [wid * size_us],
+                "window_end": [wid * size_us + size_us],
+                "n_rows": [len(g)],
+                "payload": [mgr.to_bytes()],
+            }
+        )
+
+    return prepared.groupby("window_id").map_groups(per_window, batch_format="pandas")
+
+
+def wavelet_range_sums(ds, window: TumblingWindow, ranges, **kwargs):
+    """Evaluate range-sum queries against each window's wavelet manager.
+
+    ``ranges``: list of (left_frac, right_frac) in [0, 1] of the window's
+    element count.  Returns window_start, left, right, range_sum."""
+    syn = build_windowed_wavelets(ds, window, **kwargs)
+
+    def evaluate(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in df.iterrows():
+            mgr = Synopsis.from_bytes(r["payload"])
+            n = int(r["n_rows"])
+            if n == 0:
+                continue
+            for lf, rf in ranges:
+                li = min(int(lf * n), n - 1)
+                ri = min(int(rf * n), n - 1)
+                rows.append(
+                    {
+                        "window_start": int(r["window_start"]),
+                        "left": li,
+                        "right": ri,
+                        "range_sum": mgr.range_sum_query(li, ri),
+                    }
+                )
+        return pd.DataFrame(
+            rows, columns=["window_start", "left", "right", "range_sum"]
+        )
+
+    return syn.map_batches(evaluate, batch_format="pandas")

@@ -1,0 +1,155 @@
+"""Multimodal columns: image/audio payloads as opaque ``binary`` columns with
+typed metadata, processed by actor-pool ``map_batches`` stages.
+
+The container ships no image/audio codecs (SURVEY mandate: STUB the decode
+behind a clearly-marked boundary and make the Ray-side plumbing — schema,
+batch size, actor signature, output layout — real and tested).
+
+``ImageDecoder`` tries Pillow in ``__init__`` (the once-per-actor model-load
+slot); absent codecs fall back to a DETERMINISTIC FAKE decode that parses the
+synthetic payload header.  Real deployments swap ``_decode`` only.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def synthesize_image_table(ds):
+    """documents -> opaque image payloads: a 16-byte header
+    (magic, width, height, channels) + deterministic pixel bytes derived
+    from the text.  Stands in for a real image-bytes column."""
+
+    def synth(batch: pa.Table) -> pa.Table:
+        payloads = []
+        widths, heights = [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            w = 16 + (doc_id % 16) * 8
+            h = 16 + (len(text) % 16) * 8
+            header = struct.pack("<4sIII", b"FIMG", w, h, 3)
+            body = (text.encode() * ((w * h * 3) // max(len(text), 1) + 1))[
+                : min(w * h * 3, 4096)
+            ]
+            payloads.append(header + body)
+            widths.append(w)
+            heights.append(h)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "image": pa.array(payloads, type=pa.binary()),
+                "meta_width": pa.array(widths, type=pa.int32()),
+                "meta_height": pa.array(heights, type=pa.int32()),
+            }
+        )
+
+    return ds.map_batches(synth, batch_format="pyarrow")
+
+
+class ImageDecoder:
+    """Actor-pool decode/feature stage.
+
+    __init__ (once per actor): load the codec — Pillow if importable,
+    else the deterministic fake decoder for the synthetic FIMG payloads.
+    __call__ (per batch): binary in -> features out (width, height, mean
+    intensity, aspect).  Keep ``batch_size`` SMALL for real image payloads
+    (large binary rows; see SURVEY memory notes).
+    """
+
+    def __init__(self):
+        try:  # pragma: no cover - codec not shipped in this container
+            from PIL import Image  # noqa: F401
+
+            self._backend = "pillow"
+        except ImportError:
+            self._backend = "fake"
+
+    def _decode(self, payload: bytes) -> tuple[int, int, float]:
+        if self._backend == "pillow":  # pragma: no cover
+            import io
+
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(payload))
+            arr = np.asarray(img, dtype=np.float64)
+            return img.width, img.height, float(arr.mean())
+        magic, w, h, c = struct.unpack_from("<4sIII", payload)
+        if magic != b"FIMG":
+            raise NotImplementedError(
+                "real image decoding requires an image codec (Pillow absent); "
+                "payload is not a synthetic FIMG stub"
+            )
+        body = np.frombuffer(payload, dtype=np.uint8, offset=16)
+        mean = float(body.mean()) if len(body) else 0.0
+        return w, h, mean
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        widths, heights, means = [], [], []
+        for payload in batch["image"].to_pylist():
+            w, h, m = self._decode(payload)
+            widths.append(w)
+            heights.append(h)
+            means.append(m)
+        w_arr = np.asarray(widths, dtype=np.int32)
+        h_arr = np.asarray(heights, dtype=np.int32)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "width": pa.array(w_arr),
+                "height": pa.array(h_arr),
+                "mean_intensity": pa.array(np.asarray(means, dtype=np.float64)),
+                "aspect": pa.array(w_arr.astype(np.float64) / h_arr),
+            }
+        )
+
+
+def decode_images(image_ds, concurrency: int = 2, batch_size: int = 256):
+    """Binary image column -> decoded feature table (actor pool; small
+    batches because binary rows are wide)."""
+    return image_ds.map_batches(
+        ImageDecoder,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class FrameSampler:
+    """Video-style frame sampling stub: treats the payload as a byte stream
+    of fixed-size frames, samples every ``stride``-th frame's checksum.
+    Same actor-pool plumbing a real ffmpeg-backed stage would use."""
+
+    def __init__(self, frame_bytes: int = 256, stride: int = 4):
+        self.frame_bytes = frame_bytes
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_doc, out_frame, out_checksum = [], [], []
+        for doc_id, payload in zip(
+            batch["doc_id"].to_pylist(), batch["image"].to_pylist()
+        ):
+            body = payload[16:]
+            n_frames = max(len(body) // self.frame_bytes, 1)
+            for f in range(0, n_frames, self.stride):
+                chunk = body[f * self.frame_bytes : (f + 1) * self.frame_bytes]
+                out_doc.append(doc_id)
+                out_frame.append(f)
+                out_checksum.append(int(np.frombuffer(chunk, dtype=np.uint8).sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, type=pa.int64()),
+                "frame": pa.array(out_frame, type=pa.int32()),
+                "checksum": pa.array(out_checksum, type=pa.int64()),
+            }
+        )
+
+
+def sample_frames(image_ds, concurrency: int = 2):
+    return image_ds.map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=256, concurrency=concurrency
+    )

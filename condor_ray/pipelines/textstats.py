@@ -1,0 +1,171 @@
+"""Text analysis over ``documents``: token counting, quality scoring,
+language ID, document fingerprinting (SURVEY training-data mandate).
+
+Token/char stats are defined to be SQL-replicable (single-space split);
+language-ID and fingerprints are deterministic but not SQL-expressible
+(rows-only driver check + accuracy/pytest oracles).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "for", "on"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "du", "pour"},
+    "es": {"el", "la", "los", "las", "es", "un", "una", "de", "que", "por"},
+}
+
+
+def token_stats(ds):
+    """doc_id, n_tokens (single-space split), n_chars — SQL-replicable."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n_tokens = pc.list_value_length(pc.split_pattern(text, " "))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": n_tokens.cast(pa.int64()),
+                "n_chars": pc.utf8_length(text).cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+class QualityScorer:
+    """Actor-pool stage: length / punctuation / stopword-ratio quality
+    features (regex + stopword sets compiled once per actor)."""
+
+    def __init__(self):
+        import re
+
+        self.word = re.compile(r"[A-Za-z]+")
+        self.punct = re.compile(r"[^\w\s]")
+        self.stop_en = _STOPWORDS["en"]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"]
+        n_chars = text.str.len()
+        words = text.str.split()
+        n_words = words.str.len().astype(np.int64)
+        mean_len = words.map(
+            lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0
+        )
+        punct_ratio = text.map(
+            lambda t: len(self.punct.findall(t)) / max(len(t), 1)
+        )
+        stop_ratio = words.map(
+            lambda ws: sum(w.lower() in self.stop_en for w in ws) / max(len(ws), 1)
+        )
+        quality = (
+            np.clip(n_words / 50, 0, 1) * 0.4
+            + np.clip(1 - punct_ratio * 5, 0, 1) * 0.3
+            + np.clip(mean_len / 8, 0, 1) * 0.3
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "n_words": n_words,
+                "mean_word_len": mean_len.astype(np.float64),
+                "punct_ratio": punct_ratio.astype(np.float64),
+                "stopword_ratio": stop_ratio.astype(np.float64),
+                "quality": quality.astype(np.float64),
+            }
+        )
+
+
+def quality_scores(ds, concurrency: int = 2):
+    return ds.map_batches(
+        QualityScorer, batch_format="pandas", concurrency=concurrency
+    )
+
+
+class LangId:
+    """Character n-gram + stopword heuristic language classifier.
+
+    CJK detection by codepoint range; otherwise argmax over per-language
+    stopword hits with 'en' fallback — deterministic, no model files."""
+
+    def __init__(self):
+        self.tables = {k: v for k, v in _STOPWORDS.items()}
+
+    def classify(self, text: str) -> str:
+        if any("一" <= c <= "鿿" for c in text[:200]):
+            return "zh"
+        words = [w.lower() for w in text.split()[:80]]
+        best, best_hits = "en", -1
+        for lang, stops in self.tables.items():
+            hits = sum(w in stops for w in words)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "lang_pred": batch["text"].map(self.classify),
+            }
+        )
+
+
+def language_id(ds, concurrency: int = 2):
+    return ds.map_batches(LangId, batch_format="pandas", concurrency=concurrency)
+
+
+class Fingerprinter:
+    """Winnowing document fingerprints: rolling (Rabin-Karp) hashes over
+    character k-grams, window-minimum selection (robust local fingerprints
+    for plagiarism/near-dup detection)."""
+
+    def __init__(self, k: int = 8, window: int = 4):
+        self.k = k
+        self.window = window
+        self.base = 257
+        self.mod = (1 << 31) - 1
+
+    def fingerprints(self, text: str) -> np.ndarray:
+        k, base, mod = self.k, self.base, self.mod
+        data = text.encode("utf-8", "ignore")
+        if len(data) < k:
+            return np.asarray([hash(data) & 0x7FFFFFFF], dtype=np.int64)
+        b = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+        powers = pow(base, k - 1, mod)
+        hashes = np.empty(len(b) - k + 1, dtype=np.int64)
+        h = 0
+        for i in range(k):
+            h = (h * base + int(b[i])) % mod
+        hashes[0] = h
+        for i in range(1, len(hashes)):
+            h = ((h - int(b[i - 1]) * powers) * base + int(b[i + k - 1])) % mod
+            hashes[i] = h % mod
+        w = self.window
+        if len(hashes) <= w:
+            return np.asarray([hashes.min()], dtype=np.int64)
+        mins = pd.Series(hashes).rolling(w).min().dropna().to_numpy()
+        return np.unique(mins).astype(np.int64)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        fps = batch["text"].map(lambda t: self.fingerprints(t))
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "n_fingerprints": fps.map(len).astype(np.int64),
+                "fingerprint_min": fps.map(lambda a: int(a.min())).astype(np.int64),
+            }
+        )
+
+
+def document_fingerprints(ds, concurrency: int = 2):
+    return ds.map_batches(
+        Fingerprinter, batch_format="pandas", concurrency=concurrency
+    )

@@ -573,6 +573,23 @@ class DistributedWaveletsManager(NonMergeableSynopsisManager):
         if unified_synopses is not None:
             self.unified_synopses = list(unified_synopses)
 
+    def _ctor_args(self):
+        return (0, None)
+
+    def state_dict(self):
+        return {
+            "parallelism": self.parallelism,
+            "elements_processed": self.elements_processed,
+            "wavelets": [w.to_bytes() for w in self.unified_synopses],
+        }
+
+    def load_state(self, state):
+        self.parallelism = state["parallelism"]
+        self.elements_processed = state["elements_processed"]
+        self.unified_synopses = [
+            Synopsis.from_bytes(b) for b in state["wavelets"]
+        ]
+
     def get_synopsis_index(self, stream_index: int) -> int:
         return stream_index % self.parallelism
 
@@ -608,6 +625,25 @@ class DistributedWaveletsManager(NonMergeableSynopsisManager):
 
 class SliceWaveletsManager(NonMergeableSynopsisManager):
     """Slice-offset wavelet manager (SliceWaveletsManager.java:8-99)."""
+
+    def _ctor_args(self):
+        return (None,)
+
+    def state_dict(self):
+        return {
+            "slice_start_indices": list(self.slice_start_indices),
+            "slices_per_window": self.slices_per_window,
+            "elements_processed": self.elements_processed,
+            "wavelets": [w.to_bytes() for w in self.unified_synopses],
+        }
+
+    def load_state(self, state):
+        self.slice_start_indices = list(state["slice_start_indices"])
+        self.slices_per_window = state["slices_per_window"]
+        self.elements_processed = state["elements_processed"]
+        self.unified_synopses = [
+            Synopsis.from_bytes(b) for b in state["wavelets"]
+        ]
 
     def __init__(self, unified_synopses: list | None = None):
         super().__init__()

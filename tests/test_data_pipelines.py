@@ -1,0 +1,196 @@
+"""Training-data pipelines: dedup recall, ANN correctness/recall, text
+analysis accuracy, multimodal stub plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    return rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def docs_pd():
+    return pq.read_table(f"{SF}/documents.parquet").to_pandas()
+
+
+class TestExactDedup:
+    def test_planted_duplicates_collapse(self, ray_session, docs_ds):
+        from condor_ray.pipelines.dedup import exact_dedup, with_planted_duplicates
+
+        out = exact_dedup(with_planted_duplicates(docs_ds)).to_pandas()
+        assert len(out) == 500  # all 500 distinct texts survive once
+        dup_rows = out[out["n_copies"] == 2]
+        assert (dup_rows["doc_id"] % 7 == 0).all()
+        assert len(dup_rows) == len([i for i in range(500) if i % 7 == 0])
+
+
+class TestMinHashLSH:
+    def test_planted_neardups_found(self, ray_session, docs_pd):
+        from condor_ray.pipelines.dedup import minhash_lsh_pairs, ngram_jaccard
+
+        # plant near-duplicates: copy 20 docs with a few appended words
+        base = docs_pd.head(100)[["doc_id", "text"]]
+        planted = base.head(20).copy()
+        planted["doc_id"] = planted["doc_id"] + 5000
+        planted["text"] = planted["text"] + " extra tail words here"
+        ds = rd.from_pandas(pd.concat([base, planted], ignore_index=True))
+        pairs = minhash_lsh_pairs(ds, jaccard_threshold=0.5).to_pandas()
+        found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+        expected = {(i, i + 5000) for i in planted["doc_id"] - 5000}
+        recall = len(found & expected) / len(expected)
+        assert recall >= 0.9
+        # verification oracle: every reported pair has real n-gram overlap
+        text_by_id = dict(
+            zip(
+                pd.concat([base, planted])["doc_id"],
+                pd.concat([base, planted])["text"],
+            )
+        )
+        for a, b in list(found)[:10]:
+            assert ngram_jaccard(text_by_id[a], text_by_id[b]) > 0.3
+
+    def test_signature_jaccard_estimates(self):
+        from condor_ray.pipelines.dedup import MinHasher, ngram_jaccard
+
+        mh = MinHasher(num_perm=128)
+        a = "the quick brown fox jumps over the lazy dog again and again today"
+        b = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+        est = float((mh.signature(a) == mh.signature(b)).mean())
+        true = ngram_jaccard(a, b)
+        assert abs(est - true) < 0.25
+
+
+class TestSimHash:
+    def test_identical_docs_zero_distance(self, ray_session, docs_pd):
+        from condor_ray.pipelines.dedup import SimHasher
+
+        fp = SimHasher.fingerprint
+        t = docs_pd["text"].iloc[0]
+        assert fp(t) == fp(t)
+        # a small edit flips few bits
+        ham = bin(fp(t) ^ fp(t + " tail")).count("1")
+        assert ham <= 12
+
+
+class TestANN:
+    def test_brute_force_matches_numpy(self, ray_session):
+        from condor_ray.pipelines.similarity import brute_force_topk
+
+        emb = pq.read_table(f"{SF}/embeddings.parquet")
+        mat = np.stack(emb["embedding"].to_pylist()).astype(np.float64)
+        ids = emb["vec_id"].to_numpy()
+        qv, qid = mat[:5], ids[:5]
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+        out = brute_force_topk(ds, qv, qid, k=10).to_pandas()
+
+        norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = (qv / np.linalg.norm(qv, axis=1, keepdims=True)) @ norm.T
+        for qi in range(5):
+            order = np.lexsort((ids, -sims[qi]))[:10]
+            expected = ids[order].tolist()
+            got = (
+                out[out["query_id"] == qid[qi]].sort_values("rank")["vec_id"].tolist()
+            )
+            assert got == expected
+
+    def test_lsh_recall(self, ray_session):
+        from condor_ray.pipelines.similarity import brute_force_topk, lsh_topk
+
+        emb = pq.read_table(f"{SF}/embeddings.parquet")
+        mat = np.stack(emb["embedding"].to_pylist()).astype(np.float64)
+        ids = emb["vec_id"].to_numpy()
+        qv, qid = mat[:5], ids[:5]
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+        exact = brute_force_topk(ds, qv, qid, k=5).to_pandas()
+        approx = lsh_topk(ds, qv, qid, k=5, n_planes=6, probes=2).to_pandas()
+        recalls = []
+        for q in qid:
+            e = set(exact[exact["query_id"] == q]["vec_id"])
+            a = set(approx[approx["query_id"] == q]["vec_id"])
+            recalls.append(len(e & a) / len(e))
+        assert np.mean(recalls) >= 0.5  # multiprobe 2-bit, 6 planes
+
+    def test_embedding_neardup_self_pairs(self, ray_session):
+        from condor_ray.pipelines.similarity import embedding_neardup_pairs
+
+        # plant one duplicate embedding
+        emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+        dup = emb.head(1).copy()
+        dup["vec_id"] = 99999
+        ds = rd.from_pandas(pd.concat([emb, dup], ignore_index=True))
+        pairs = embedding_neardup_pairs(ds, threshold=0.999).to_pandas()
+        assert (0, 99999) in set(zip(pairs["vec_a"], pairs["vec_b"]))
+
+
+class TestTextStats:
+    def test_language_id_accuracy(self, ray_session, docs_pd):
+        from condor_ray.pipelines.textstats import language_id
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        out = language_id(ds).to_pandas().merge(docs_pd[["doc_id", "lang"]], on="doc_id")
+        acc = (out["lang_pred"] == out["lang"]).mean()
+        # the synthetic text is English-ish token soup for all langs except zh
+        # (CJK detection); only assert zh detection + determinism
+        zh = out[out["lang"] == "zh"]
+        if (docs_pd[docs_pd["lang"] == "zh"]["text"].str.contains("[一-鿿]").any()):
+            assert (zh["lang_pred"] == "zh").mean() > 0.9
+        out2 = language_id(ds).to_pandas()
+        assert out.sort_values("doc_id")["lang_pred"].tolist() == out2.sort_values("doc_id")["lang_pred"].tolist()
+
+    def test_quality_scores_bounds(self, ray_session, docs_ds):
+        from condor_ray.pipelines.textstats import quality_scores
+
+        out = quality_scores(docs_ds).to_pandas()
+        assert len(out) == 500
+        assert ((out["quality"] >= 0) & (out["quality"] <= 1)).all()
+        assert (out["n_words"] > 0).all()
+
+    def test_fingerprints_deterministic_and_shift_robust(self, ray_session):
+        from condor_ray.pipelines.textstats import Fingerprinter
+
+        fp = Fingerprinter()
+        t = "the quick brown fox jumps over the lazy dog " * 5
+        a = fp.fingerprints(t)
+        b = fp.fingerprints("PREFIX " + t)
+        # winnowing: most fingerprints survive a prefix shift
+        overlap = len(np.intersect1d(a, b)) / len(a)
+        assert overlap > 0.8
+
+
+class TestMultimodal:
+    def test_decode_pipeline_schema_and_values(self, ray_session, docs_ds):
+        from condor_ray.pipelines.multimodal import (
+            decode_images,
+            sample_frames,
+            synthesize_image_table,
+        )
+
+        images = synthesize_image_table(docs_ds)
+        feats = decode_images(images).to_pandas()
+        assert list(feats.columns) == [
+            "doc_id", "width", "height", "mean_intensity", "aspect",
+        ]
+        assert len(feats) == 500
+        assert (feats["width"] >= 16).all()
+        assert ((feats["mean_intensity"] >= 0) & (feats["mean_intensity"] <= 255)).all()
+
+        frames = sample_frames(synthesize_image_table(docs_ds)).to_pandas()
+        assert {"doc_id", "frame", "checksum"} == set(frames.columns)
+        assert len(frames) > 500  # multiple frames per doc
+
+    def test_decoder_rejects_non_stub_payload(self):
+        from condor_ray.pipelines.multimodal import ImageDecoder
+
+        dec = ImageDecoder()
+        if dec._backend == "fake":
+            with pytest.raises(NotImplementedError):
+                dec._decode(b"\x89PNG\r\n" + b"\x00" * 32)
