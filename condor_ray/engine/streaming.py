@@ -105,7 +105,13 @@ def _partition_fragment(
 
     Returns (meta_dict, shard_0, ..., shard_{P-1}) — shards are separate
     return values so Ray ships each one only to its partition's actor."""
-    table = pq.read_table(path, columns=columns)
+    dict_cols = [
+        c for c in (columns or ["conv_id", "role", "tool", "text"])
+        if c in ("conv_id", "role", "tool", "text")
+    ]
+    # dictionary-preserving read: string columns stay index+dictionary,
+    # slashing decode and copy bandwidth (the single-box bottleneck)
+    table = pq.read_table(path, columns=columns, read_dictionary=dict_cols)
     n = table.num_rows
     ts = ts_to_us(table["ts"])
     frag_max = int(ts.max()) if n else _NEG_INF

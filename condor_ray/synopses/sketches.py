@@ -278,13 +278,24 @@ class HyperLogLogSketch(Synopsis):
         return (self.log_reg_num, self.seed)
 
     def state_dict(self):
+        nz = np.flatnonzero(self.registers)
+        if len(nz) * 5 < self.reg_num:
+            return {
+                "sparse_idx": nz.astype(np.int32),
+                "sparse_val": self.registers[nz],
+                "distinct_item_count": self.distinct_item_count,
+            }
         return {
             "registers": self.registers,
             "distinct_item_count": self.distinct_item_count,
         }
 
     def load_state(self, state):
-        self.registers = state["registers"]
+        if "sparse_idx" in state:
+            self.registers = np.zeros(self.reg_num, dtype=np.int8)
+            self.registers[state["sparse_idx"]] = state["sparse_val"]
+        else:
+            self.registers = state["registers"]
         self.distinct_item_count = state["distinct_item_count"]
 
 
