@@ -179,6 +179,26 @@ def _q_streaming_windowed_counts(sf_dir: str):
     return streaming_windowed_counts(sf_dir, TumblingWindow(WINDOW_MS))
 
 
+def _q_wavelet_window_sums(sf_dir: str):
+    from condor_ray.pipelines.core import wavelet_window_sums
+    from condor_ray.sources.events_adapter import transcripts_from_events
+    from condor_ray.windows import TumblingWindow
+
+    return wavelet_window_sums(
+        transcripts_from_events(sf_dir), TumblingWindow(WINDOW_MS)
+    )
+
+
+def _q_fifo_newest_ts(sf_dir: str):
+    from condor_ray.pipelines.core import fifo_newest_ts
+    from condor_ray.sources.events_adapter import transcripts_from_events
+    from condor_ray.windows import TumblingWindow
+
+    return fifo_newest_ts(
+        transcripts_from_events(sf_dir), TumblingWindow(WINDOW_MS), k=5
+    )
+
+
 def _q_exact_dedup(sf_dir: str):
     import ray.data as rd
 
@@ -284,6 +304,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_window_distinct": _q_count_window_distinct,
         "turns_join_tool_calls": _q_turns_join_tool_calls,
         "cm_asof_queries": _q_cm_asof_queries,
+        "wavelet_window_sums": _q_wavelet_window_sums,  # rows-only (non-dyadic windows reconstruct approximately)
+        "fifo_newest_ts": _q_fifo_newest_ts,
         "exact_dedup": _q_exact_dedup,
         "token_stats": _q_token_stats,
         "ann_topk": _q_ann_topk,
@@ -363,6 +385,18 @@ FROM transcripts t
 JOIN counts c
   ON c.tool = t.tool AND c.window_start = (epoch_us(t.ts) // {_W_US}) * {_W_US}
 WHERE t.tool IS NOT NULL"""
+    out["fifo_newest_ts"] = f"""{cte},
+win_ts AS (
+  SELECT DISTINCT (epoch_us(ts) // {_W_US}) * {_W_US} AS window_start,
+         epoch_us(ts) AS ts_us
+  FROM transcripts
+),
+ranked AS (
+  SELECT window_start, ts_us,
+         row_number() OVER (PARTITION BY window_start ORDER BY ts_us DESC) AS rn
+  FROM win_ts
+)
+SELECT window_start, ts_us FROM ranked WHERE rn <= 5"""
     out["exact_dedup"] = """
 WITH docs2 AS (
   SELECT doc_id, text FROM documents

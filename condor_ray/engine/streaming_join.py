@@ -1,0 +1,116 @@
+"""Streaming stateful stream-stream join driver.
+
+Replays TWO fragment streams (turns, tool calls) through the same
+hash(conv_id) % P partition space into ``JoinStateStore`` actors.  The
+combined watermark is ``min(max-ts-seen per stream)`` (Flink two-input
+operator semantics); emit cycles run after every fragment and write atomic
+``join-f{k}.parquet`` files (exactly-once, same recipe as the synopsis
+engine).  Buffer state purges to the join bound behind the watermark.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from ..hashing import java_string_hash_arrow
+from ..state.join_store import JoinStateStore
+from .streaming import _NEG_INF, _murmur_mix_array
+
+
+@ray.remote
+def _split_by_conv(path: str, parallelism: int, columns: list[str] | None):
+    table = pq.read_table(path, columns=columns)
+    conv = table["conv_id"]
+    if isinstance(conv, pa.ChunkedArray):
+        conv = conv.combine_chunks()
+    dic = conv.dictionary_encode()
+    lut = _murmur_mix_array(java_string_hash_arrow(dic.dictionary)) % parallelism
+    part = lut[dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+    order = np.argsort(part, kind="stable")
+    sorted_tbl = table.take(pa.array(order))
+    counts = np.bincount(part, minlength=parallelism)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    ts = table["ts"].cast(pa.int64())
+    frag_max = int(pa.compute.max(ts).as_py()) if table.num_rows else _NEG_INF
+    return (
+        frag_max,
+        [sorted_tbl.slice(offsets[p], counts[p]) for p in range(parallelism)],
+    )
+
+
+class StreamingJoinJob:
+    def __init__(self, parallelism: int = 4, bound_ms: int = 5_000, out_dir: str = "/tmp/join_out"):
+        self.parallelism = parallelism
+        self.bound_us = bound_ms * 1000
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        self.stores = [
+            JoinStateStore.remote(p, self.bound_us) for p in range(parallelism)
+        ]
+        self.total_late = 0
+
+    def run(self, turn_fragments: list[str], call_fragments: list[str]) -> dict:
+        # arrival schedule: interleave both streams by fragment index
+        # (fragments are ts-ordered within each stream)
+        schedule: list[tuple[str, str]] = []
+        for i in range(max(len(turn_fragments), len(call_fragments))):
+            if i < len(turn_fragments):
+                schedule.append(("turn", turn_fragments[i]))
+            if i < len(call_fragments):
+                schedule.append(("call", call_fragments[i]))
+        wm = {"turn": _NEG_INF, "call": _NEG_INF}
+        emitted = 0
+        for k, (side, path) in enumerate(schedule):
+            frag_max, shards = ray.get(
+                _split_by_conv.remote(path, self.parallelism, None)
+            )
+            method = "ingest_turns" if side == "turn" else "ingest_calls"
+            combined_before = min(wm.values())
+            late = sum(
+                ray.get(
+                    [
+                        getattr(s, method).remote(sh, combined_before)
+                        for s, sh in zip(self.stores, shards)
+                    ]
+                )
+            )
+            self.total_late += late
+            wm[side] = max(wm[side], frag_max)
+            combined = min(wm.values())  # two-input watermark
+            if combined > _NEG_INF:
+                emitted += self._emit(k, combined)
+        emitted += self._emit(len(schedule), 2**62)  # end-of-stream flush
+        return {"matches": emitted, "late_dropped": self.total_late}
+
+    def _emit(self, k: int, horizon_us: int) -> int:
+        tables = ray.get([s.emit_matches.remote(horizon_us) for s in self.stores])
+        out = pa.concat_tables([t for t in tables if t.num_rows > 0]) if any(
+            t.num_rows for t in tables
+        ) else None
+        if out is None:
+            return 0
+        path = os.path.join(self.out_dir, f"join-f{k:05d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(out, tmp)
+        os.replace(tmp, path)
+        return out.num_rows
+
+    def result_dataset(self):
+        import ray.data as rd
+
+        files = sorted(
+            os.path.join(self.out_dir, f)
+            for f in os.listdir(self.out_dir)
+            if f.startswith("join-") and f.endswith(".parquet")
+        )
+        return rd.read_parquet(files)
+
+    def shutdown(self) -> None:
+        for s in self.stores:
+            ray.kill(s)
+        self.stores = []

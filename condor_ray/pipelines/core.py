@@ -252,3 +252,61 @@ def tool_calls_from_transcripts(ds):
         )
 
     return ds.map_batches(derive, batch_format="pyarrow")
+
+
+def wavelet_window_sums(ds, window: TumblingWindow, size: int = 4096):
+    """Order-based path, SQL-verifiable: with a lossless budget the full-range
+    wavelet range-sum equals the exact per-window SUM of the value column
+    (value = turn_idx)."""
+    from ..engine.ordered import build_windowed_wavelets
+
+    syn = build_windowed_wavelets(
+        ds, window, size=size, parallelism=4, key=KeySpec("turn_idx", "value")
+    )
+
+    def evaluate(df: pd.DataFrame) -> pd.DataFrame:
+        sums = []
+        for _, r in df.iterrows():
+            mgr = Synopsis.from_bytes(r["payload"])
+            n = int(r["n_rows"])
+            sums.append(int(round(mgr.range_sum_query(0, n - 1))) if n else 0)
+        return pd.DataFrame(
+            {
+                "window_start": df["window_start"].astype(np.int64),
+                "turn_sum": np.asarray(sums, dtype=np.int64),
+            }
+        )
+
+    return syn.map_batches(evaluate, batch_format="pandas")
+
+
+def fifo_newest_ts(ds, window: TumblingWindow, k: int = 5):
+    """Timestamped-sampler path, SQL-verifiable: FiFo keeps the newest k
+    DISTINCT timestamps per window (equal-ts collapse is a preserved
+    reference quirk), so (window_start, ts) pairs match a SQL top-k over
+    distinct timestamps."""
+    from ..engine.batch import build_windowed_synopses
+
+    cfg = BuildConfiguration(
+        synopsis="FiFoSampler",
+        params=(k,),
+        windows=[window],
+        sample_elements=True,
+    )
+    syn = build_windowed_synopses(ds, cfg, concurrency=2)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        rows_w, rows_ts = [], []
+        for _, r in df.iterrows():
+            sampler = Synopsis.from_bytes(r["payload"])
+            for el in sampler.get_sample():
+                rows_w.append(int(r["window_start"]))
+                rows_ts.append(int(el.timestamp))
+        return pd.DataFrame(
+            {
+                "window_start": np.asarray(rows_w, dtype=np.int64),
+                "ts_us": np.asarray(rows_ts, dtype=np.int64),
+            }
+        )
+
+    return syn.map_batches(explode, batch_format="pandas")

@@ -4,6 +4,12 @@ from .base import Synopsis
 from .cuckoo import CuckooFilter
 from .ddsketch import DDSketch
 from .histograms import BarSplittingHistogram, EquiDepthHistogram, EquiWidthHistogram
+from .histograms_extra import (
+    EquiDepthHistBuilder,
+    EquiWidthHistogram4LT,
+    RealValuedBucket4LT,
+    SplitAndMergeWithDDSketch,
+)
 from .registry import get_synopsis_class, make_synopsis, register_synopsis
 from .sampling import (
     BiasedReservoirSampler,
@@ -30,6 +36,10 @@ __all__ = [
     "EquiWidthHistogram",
     "EquiDepthHistogram",
     "BarSplittingHistogram",
+    "EquiDepthHistBuilder",
+    "RealValuedBucket4LT",
+    "EquiWidthHistogram4LT",
+    "SplitAndMergeWithDDSketch",
     "ReservoirSampler",
     "FiFoSampler",
     "BiasedReservoirSampler",

@@ -8,6 +8,7 @@ from .base import Synopsis
 from .cuckoo import CuckooFilter
 from .ddsketch import DDSketch
 from .histograms import BarSplittingHistogram, EquiWidthHistogram
+from .histograms_extra import SplitAndMergeWithDDSketch
 from .sampling import BiasedReservoirSampler, FiFoSampler, ReservoirSampler
 from .sketches import BloomFilter, CountMinSketch, FastAGMS, HyperLogLogSketch
 from .wavelets import (
@@ -27,6 +28,7 @@ _REGISTRY: dict[str, type] = {
         DDSketch,
         EquiWidthHistogram,
         BarSplittingHistogram,
+        SplitAndMergeWithDDSketch,
         ReservoirSampler,
         FiFoSampler,
         BiasedReservoirSampler,

@@ -131,3 +131,78 @@ class TestStreamStreamJoin:
         # duplicates in the call stream produce duplicate join rows
         dup_counts = c.groupby("call_id").size()
         assert (dup_counts > 1).any()
+
+
+class TestStreamingJoin:
+    def test_streaming_matches_batch_join(self, ray_session, tiny_fixture, tmp_path):
+        """The streaming join (actors + watermark purge) emits exactly the
+        batch join's pairs, each exactly once."""
+        import pyarrow.parquet as pq_
+        import pyarrow as pa_
+        import numpy as np_
+
+        from condor_ray.engine.streaming_join import StreamingJoinJob
+
+        # split tool_calls into ts-ordered fragments (arrival stream)
+        calls = pq_.read_table(f"{tiny_fixture}/tool_calls.parquet")
+        order = pa_.compute.sort_indices(calls, sort_keys=[("ts", "ascending"), ("call_id", "ascending")])
+        calls = calls.take(order)
+        call_dir = tmp_path / "call_frags"
+        call_dir.mkdir()
+        bounds = np_.linspace(0, calls.num_rows, 7).astype(int)
+        call_frags = []
+        for i in range(6):
+            p = str(call_dir / f"calls-{i:05d}.parquet")
+            pq_.write_table(calls.slice(bounds[i], bounds[i + 1] - bounds[i]), p)
+            call_frags.append(p)
+
+        turn_frags = transcript_fragments(tiny_fixture)
+        job = StreamingJoinJob(parallelism=3, bound_ms=5_000, out_dir=str(tmp_path / "jout"))
+        summary = job.run(turn_frags, call_frags)
+        got = job.result_dataset().to_pandas()
+        job.shutdown()
+
+        # oracle: batch join restricted to NON-LATE rows under the same
+        # two-input watermark replay (late rows drop in streaming mode)
+        wm = {"turn": -(2**62), "call": -(2**62)}
+        keep_turn, keep_call = [], []
+        sched = []
+        for i in range(max(len(turn_frags), len(call_frags))):
+            if i < len(turn_frags):
+                sched.append(("turn", turn_frags[i]))
+            if i < len(call_frags):
+                sched.append(("call", call_frags[i]))
+        for side, p in sched:
+            df = pq_.read_table(p).to_pandas()
+            ts = df["ts"].astype("int64")
+            combined = min(wm.values())
+            if side == "turn":
+                keep_turn.append(df[ts + 5_000_000 >= combined])
+            else:
+                keep_call.append(df[ts >= combined - 5_000_000])
+            wm[side] = max(wm[side], int(ts.max()))
+        turns = rd.from_pandas(pd.concat(keep_turn, ignore_index=True))
+        calls_ds = rd.from_pandas(pd.concat(keep_call, ignore_index=True))
+        expected = join_turns_tool_calls(turns, calls_ds, bound_ms=5_000).to_pandas()
+
+        key = ["conv_id", "turn_idx", "call_id", "call_ts"]
+        g = got.sort_values(key).reset_index(drop=True)
+        e = expected.sort_values(key).reset_index(drop=True)
+        assert len(g) == len(e) == summary["matches"]
+        assert g.duplicated(key).sum() == e.duplicated(key).sum()
+        for c in key + ["tool", "status", "turn_ts"]:
+            assert (g[c].to_numpy() == e[c].to_numpy()).all()
+
+    def test_buffers_purge(self, ray_session, tiny_fixture, tmp_path):
+        from condor_ray.engine.streaming_join import StreamingJoinJob
+
+        turn_frags = transcript_fragments(tiny_fixture)
+        job = StreamingJoinJob(parallelism=2, bound_ms=5_000, out_dir=str(tmp_path / "purge"))
+        # run only turns (no calls): with a watermark stuck at -inf nothing
+        # emits and nothing purges until the end-of-stream flush
+        job.run(turn_frags, [])
+        import ray as ray_
+        buffered = ray_.get([s.buffered.remote() for s in job.stores])
+        # flush purged everything behind the final horizon
+        assert sum(b["turns"] for b in buffered) == 0
+        job.shutdown()

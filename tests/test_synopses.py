@@ -542,3 +542,82 @@ class TestWaveletManagers:
         for i in range(60):
             assert mgr.point_query(i) == pytest.approx(data[i], abs=1e-9)
         assert mgr.range_sum_query(10, 49) == pytest.approx(data[10:50].sum(), abs=1e-7)
+
+
+# ------------------------------------------------- secondary histogram kernels
+class TestHistogramsExtra:
+    def test_equi_depth_builder_sorted_input(self):
+        from condor_ray.synopses import EquiDepthHistBuilder
+
+        data = RNG.integers(0, 1000, 5000)
+        uniq, counts = np.unique(data, return_counts=True)
+        sorted_input = dict(zip(uniq.tolist(), counts.tolist()))
+        edh = EquiDepthHistBuilder().build(sorted_input, 10, len(data))
+        assert edh.num_buckets == 10
+        assert (np.diff(edh.left_boundaries) > 0).all()
+        total = edh.range_query(edh.left_boundaries[0], edh.right_most_boundary)
+        assert total == pytest.approx(5000, rel=0.05)
+
+    def test_4lt_bucket_roundtrip(self):
+        # RealValuedBucket4LTTest analogue: full-range query returns root,
+        # sub-range approximates the underlying frequencies
+        from condor_ray.synopses import RealValuedBucket4LT
+
+        freqs = [10, 20, 30, 40, 50, 60, 70, 80]
+        b = RealValuedBucket4LT(0.0, 80.0)
+        b.build(freqs)
+        assert b.get_frequency(0.0, 80.0) == sum(freqs)
+        # half-range: exact count 10+20+30+40 = 100; 4LT approximates
+        est = b.get_frequency(0.0, 40.0)
+        assert abs(est - 100) <= 15
+        assert b.lower_levels >> 26 <= 63
+
+    def test_4lt_zero_counts_no_crash(self):
+        from condor_ray.synopses import RealValuedBucket4LT
+
+        b = RealValuedBucket4LT(0.0, 8.0)
+        b.build([0] * 8)  # Java NaN -> round 0 path
+        assert b.root == 0
+        assert b.get_frequency(0.0, 8.0) == 0
+
+    def test_equi_width_4lt(self):
+        from condor_ray.synopses import EquiWidthHistogram, EquiWidthHistogram4LT
+
+        h = EquiWidthHistogram(0.0, 160.0, 16)
+        h.update_batch(RNG.uniform(0, 160, 4000))
+        h4 = EquiWidthHistogram4LT(h)
+        assert h4.num_buckets == 2
+        # reference quirk (EquiWidthHistogram4LT.java:37-44): rangeQuery's
+        # loop bound `i < min(numBuckets-1, ...)` EXCLUDES the last bucket,
+        # so a full-range query returns only the first bucket's count
+        est = h4.range_query(0.0, 160.0)
+        first_bucket_exact = int(h.frequency[:8].sum())
+        assert est == pytest.approx(first_bucket_exact, rel=0.05)
+        # per-bucket queries are accurate
+        assert h4.buckets[1].get_frequency(80.0, 160.0) == pytest.approx(
+            int(h.frequency[8:].sum()), rel=0.05
+        )
+        with pytest.raises(ValueError):
+            h4.merge(EquiWidthHistogram4LT(EquiWidthHistogram(0.0, 80.0, 16)))
+        # quirk: merge of compatible histograms returns None
+        assert h4.merge(h4) is None
+
+    def test_split_and_merge_with_ddsketch(self):
+        from condor_ray.synopses import SplitAndMergeWithDDSketch, Synopsis
+
+        sm = SplitAndMergeWithDDSketch(16, 0.01)
+        data = RNG.uniform(1, 1000, 3000)
+        sm.update_batch(data)
+        assert len(sm.buckets) <= 16 + 1
+        total = sm.range_query(sm.buckets.first_key(), sm.right_most_boundary)
+        assert total == pytest.approx(3000, rel=0.25)
+        # serde round-trip
+        rt = Synopsis.from_bytes(sm.to_bytes())
+        assert rt.range_query(
+            rt.buckets.first_key(), rt.right_most_boundary
+        ) == pytest.approx(total)
+        # merge recomputes from the combined sketch
+        sm2 = SplitAndMergeWithDDSketch(16, 0.01)
+        sm2.update_batch(RNG.uniform(500, 2000, 1000))
+        merged = sm.merge(sm2)
+        assert merged.right_most_boundary >= 1000
