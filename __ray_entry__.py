@@ -199,6 +199,12 @@ def _q_fifo_newest_ts(sf_dir: str):
     )
 
 
+def _q_count_window_tool_freq(sf_dir: str):
+    from condor_ray.pipelines.core import count_window_tool_frequencies
+
+    return count_window_tool_frequencies(sf_dir, size=COUNT_WINDOW)
+
+
 def _q_exact_dedup(sf_dir: str):
     import ray.data as rd
 
@@ -306,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cm_asof_queries": _q_cm_asof_queries,
         "wavelet_window_sums": _q_wavelet_window_sums,  # rows-only (non-dyadic windows reconstruct approximately)
         "fifo_newest_ts": _q_fifo_newest_ts,
+        "count_window_tool_freq": _q_count_window_tool_freq,
         "exact_dedup": _q_exact_dedup,
         "token_stats": _q_token_stats,
         "ann_topk": _q_ann_topk,
@@ -397,6 +404,13 @@ ranked AS (
   FROM win_ts
 )
 SELECT window_start, ts_us FROM ranked WHERE rn <= 5"""
+    out["count_window_tool_freq"] = f"""
+SELECT (event_id // {COUNT_WINDOW}) AS window_id,
+       'tool_' || CAST(event_id % 20 AS VARCHAR) AS tool,
+       count(*) AS est
+FROM events
+WHERE event_type NOT IN ('view', 'signup', 'click', 'purchase')
+GROUP BY 1, 2"""
     out["exact_dedup"] = """
 WITH docs2 AS (
   SELECT doc_id, text FROM documents

@@ -310,3 +310,117 @@ def fifo_newest_ts(ds, window: TumblingWindow, k: int = 5):
         )
 
     return syn.map_batches(explode, batch_format="pandas")
+
+
+def count_window_tool_frequencies(sf_dir: str, size: int = 500):
+    """Count-window synopsis path: CM sketch per ``size``-event count window.
+
+    Count windows are tumbling windows over the ARRIVAL ordinal axis (for the
+    events stream, ordinal == event_id — the file is arrival-ordered), so the
+    whole mergeable engine applies unchanged with ``ts := ordinal``.
+    Collision-free CM => output equals exact GROUP BY counts (SQL oracle).
+
+    Returns window_id:int64, tool:str, est:int64
+    """
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..engine.batch import build_windowed_synopses
+    from ..windows import TumblingWindow
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+    )
+
+    def to_transcript_shape(batch: pa.Table) -> pa.Table:
+        ev = batch["event_id"].to_numpy()
+        et = batch["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        is_tool = pa.compute.invert(
+            pa.compute.is_in(
+                et, value_set=pa.array(["view", "signup", "click", "purchase"])
+            )
+        ).to_numpy(zero_copy_only=False)
+        tool = np.where(is_tool, np.char.add("tool_", (ev % 20).astype(str)), None)
+        return pa.table(
+            {
+                "conv_id": pa.array(np.char.add("c", ev.astype(str))),
+                "turn_idx": pa.array(np.zeros(len(ev), dtype=np.int32)),
+                "tool": pa.array(tool, type=pa.string()),
+                # ordinal axis as microsecond timestamps: 1 event = 1 ms so a
+                # TumblingWindow(size) covers exactly `size` ordinals
+                "ts": pa.array(ev * 1000, type=pa.timestamp("us")),
+            }
+        )
+
+    shaped = ds.map_batches(to_transcript_shape, batch_format="pyarrow")
+    shaped = shaped.map_batches(
+        lambda t: t.filter(pa.compute.is_valid(t["tool"])), batch_format="pyarrow"
+    )
+    cfg = BuildConfiguration(
+        synopsis="CountMinSketch",
+        params=(65536, 5, 7),
+        windows=[TumblingWindow(size)],  # size ms = size ordinals
+        key=KeySpec("tool", "java_hash"),
+    )
+    syn = build_windowed_synopses(shaped, cfg, concurrency=2)
+
+    # tools per count window (exact, tiny) to know the query keys
+    def wt_pairs(batch: pa.Table) -> pa.Table:
+        ev = batch["event_id"].to_numpy()
+        et = batch["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        is_tool = pa.compute.invert(
+            pa.compute.is_in(
+                et, value_set=pa.array(["view", "signup", "click", "purchase"])
+            )
+        ).to_numpy(zero_copy_only=False)
+        ev = ev[is_tool]
+        wid = ev // size
+        tool_ids = ev % 20
+        gkey = wid * 100 + tool_ids
+        uniq = np.unique(gkey)
+        return pa.table(
+            {
+                "window_id": pa.array(uniq // 100, type=pa.int64()),
+                "tool": pa.array(np.char.add("tool_", (uniq % 100).astype(str))),
+            }
+        )
+
+    wt = (
+        ds.map_batches(wt_pairs, batch_format="pyarrow")
+        .groupby(["window_id", "tool"])
+        .count()
+        .drop_columns(["count()"])
+    )
+    syn_pd = syn.to_pandas()
+    syn_pd["window_id"] = syn_pd["window_start"] // (size * 1000)
+
+    def query(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for wid, grp in df.groupby("window_id"):
+            row = syn_pd[syn_pd["window_id"] == wid]
+            if row.empty:
+                continue
+            cm = Synopsis.from_bytes(row["payload"].iloc[0])
+            keys = java_string_hash_array(grp["tool"].tolist())
+            out.append(
+                pd.DataFrame(
+                    {
+                        "window_id": np.full(len(grp), wid, dtype=np.int64),
+                        "tool": grp["tool"].to_numpy(),
+                        "est": cm.query_batch(keys).astype(np.int64),
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {"window_id": pd.Series(dtype=np.int64),
+                 "tool": pd.Series(dtype=object),
+                 "est": pd.Series(dtype=np.int64)}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return wt.map_batches(query, batch_format="pandas")
