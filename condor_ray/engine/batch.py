@@ -98,7 +98,10 @@ class PartialSynopsisBuilder:
                 strat_col = strat_col.combine_chunks()
             dic = strat_col.dictionary_encode()
             strat_values = dic.dictionary.to_pylist()
-            codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            raw = dic.indices.to_numpy(zero_copy_only=False)
+            null_mask = np.isnan(raw) if raw.dtype.kind == "f" else (raw < 0)
+            codes = np.where(null_mask, len(strat_values), raw).astype(np.int64)
+            strat_values = strat_values + ["<null>"]  # null stratum bucket
             gkey = sid * (len(strat_values) + 1) + codes
         else:
             strat_values = None
@@ -278,7 +281,10 @@ class _PartialCounts:
             strat = strat.combine_chunks()
         dic = strat.dictionary_encode()
         svals = dic.dictionary.to_pylist()
-        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        raw = dic.indices.to_numpy(zero_copy_only=False)
+        null_mask = np.isnan(raw) if raw.dtype.kind == "f" else (raw < 0)
+        codes = np.where(null_mask, len(svals), raw).astype(np.int64)
+        svals = svals + ["<null>"]
         gkey = wid * (len(svals) + 1) + codes
         uniq, counts = np.unique(gkey, return_counts=True)
         return pa.table(

@@ -31,8 +31,9 @@ the repo) designed in explicitly:
   ``emit-f{k:05d}.parquet`` atomically (tmp + rename).  Replaying fragment k
   after a crash rewrites byte-identical files, so task retries and
   checkpoint resume cannot duplicate or lose windows.  A manifest JSON lines
-  file records per-fragment lineage {fragment, rows, late_dropped,
-  watermark, windows_emitted}.
+  file records per-fragment lineage {fragment, path, rows, late_dropped,
+  watermark}; pipelined runs append a summary line with total
+  windows_emitted (emits are async there).
 - **Checkpoint/resume**: every ``checkpoint_every`` fragments the driver
   collects actor snapshots + its own cursor and writes an atomic checkpoint
   dir; ``resume=True`` restores the newest checkpoint and replays only the
@@ -615,6 +616,22 @@ class StreamingSynopsisJob:
             for f in os.listdir(self.out_dir)
             if f.startswith("emit-") and f.endswith(".parquet")
         )
+        if not files:  # nothing emitted (e.g. all-late or empty stream)
+            import pandas as _pd
+
+            return rd.from_pandas(
+                _pd.DataFrame(
+                    {
+                        "window_kind": _pd.Series(dtype=object),
+                        "window_start": _pd.Series(dtype="int64"),
+                        "window_end": _pd.Series(dtype="int64"),
+                        "stratum": _pd.Series(dtype=object),
+                        "synopsis_type": _pd.Series(dtype=object),
+                        "payload": _pd.Series(dtype=object),
+                        "n_rows": _pd.Series(dtype="int64"),
+                    }
+                )
+            )
         return rd.read_parquet(files)
 
     def shutdown(self) -> None:

@@ -267,8 +267,11 @@ def java_string_hash_arrow(arr) -> np.ndarray:
     if pa.types.is_dictionary(arr.type):
         lut = _java_hash_string_array(arr.dictionary)
         idx = arr.indices.to_numpy(zero_copy_only=False)
-        idx = np.where(np.isnan(idx) if idx.dtype.kind == "f" else idx < 0, 0, idx)
-        return lut[idx.astype(np.int64)]
+        null_mask = np.isnan(idx) if idx.dtype.kind == "f" else (idx < 0)
+        idx = np.where(null_mask, 0, idx)
+        out = lut[idx.astype(np.int64)]
+        out[null_mask] = 0  # nulls hash to 0 on every path
+        return out
     if pa.types.is_large_string(arr.type):
         arr = arr.cast(pa.string())
     if len(arr) > 1024:

@@ -181,7 +181,7 @@ def streaming_windowed_counts(sf_dir: str, window: TumblingWindow, parallelism: 
 
     cache = os.path.join(
         "/tmp/condor_ray_fixtures",
-        "events_stream_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:10],
+        "events_stream_v2_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:10],
     )
     done = os.path.join(cache, "_DONE")
     if not os.path.exists(done):

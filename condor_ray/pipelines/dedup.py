@@ -72,16 +72,20 @@ def exact_dedup(ds):
 
 # -- MinHash + LSH ---------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
 class MinHasher:
-    """Actor-pool stage: word-shingle MinHash signatures (setup once)."""
+    """Actor-pool stage: word-shingle MinHash signatures (setup once).
+
+    Permutations are splitmix-style multiplicative hashes in uint64
+    ((h ^ seed_k) * GOLDEN, wrapping) — well-mixed and overflow-defined,
+    unlike an (a*h+b) mod p construction whose int64 product would silently
+    wrap before the modulo."""
 
     def __init__(self, num_perm: int = 64, shingle: int = 3, seed: int = 7):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64)
-        self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.int64)
+        self.seeds = rng.integers(0, 2**63, num_perm, dtype=np.uint64)
         self.num_perm = num_perm
         self.shingle = shingle
 
@@ -97,13 +101,13 @@ class MinHasher:
         h = np.fromiter(
             (
                 int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
-                & ((1 << 61) - 1)
                 for g in set(grams)
             ),
-            dtype=np.int64,
+            dtype=np.uint64,
         )
-        vals = (h[None, :] * self.a[:, None] + self.b[:, None]) % _MERSENNE
-        return vals.min(axis=1)
+        with np.errstate(over="ignore"):
+            vals = (h[None, :] ^ self.seeds[:, None]) * _GOLDEN
+        return vals.min(axis=1).astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sigs = np.stack(

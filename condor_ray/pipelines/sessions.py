@@ -83,12 +83,13 @@ def count_window_distinct(sf_dir: str, size: int):
     def pairs(batch: pa.Table) -> pa.Table:
         wid = batch["event_id"].to_numpy() // size
         uid = batch["user_id"].to_numpy()
-        gkey = wid * 1_000_000 + uid
+        m = int(uid.max()) + 1 if len(uid) else 1  # no fixed-radix overflow
+        gkey = wid * m + uid
         uniq = np.unique(gkey)
         return pa.table(
             {
-                "window_id": pa.array(uniq // 1_000_000, type=pa.int64()),
-                "user_id": pa.array(uniq % 1_000_000, type=pa.int64()),
+                "window_id": pa.array(uniq // m, type=pa.int64()),
+                "user_id": pa.array(uniq % m, type=pa.int64()),
             }
         )
 

@@ -137,7 +137,12 @@ class Fingerprinter:
         k, base, mod = self.k, self.base, self.mod
         data = text.encode("utf-8", "ignore")
         if len(data) < k:
-            return np.asarray([hash(data) & 0x7FFFFFFF], dtype=np.int64)
+            import hashlib
+
+            h = int.from_bytes(
+                hashlib.blake2b(data, digest_size=4).digest(), "big"
+            )
+            return np.asarray([h & 0x7FFFFFFF], dtype=np.int64)
         b = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
         powers = pow(base, k - 1, mod)
         hashes = np.empty(len(b) - k + 1, dtype=np.int64)

@@ -4,7 +4,7 @@ DuckDB SQL derivation so every downstream pipeline is oracle-checkable.
 The derivation is intentionally trivial and deterministic so the Ray side and
 the SQL side agree bit-for-bit:
 
-    conv_id  = 'c' || lpad(user_id, 6, '0')
+    conv_id  = 'c' || user_id
     turn_idx = row_number() over (partition by user_id order by ts, event_id) - 1
     role     = view/signup -> 'user', click/purchase -> 'assistant', else 'tool'
     text     = props || ':' || event_type
@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd
 
 TRANSCRIPTS_FROM_EVENTS_SQL = """
-SELECT 'c' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id,
        CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
        CASE WHEN event_type IN ('view', 'signup') THEN 'user'
             WHEN event_type IN ('click', 'purchase') THEN 'assistant'
@@ -50,7 +50,7 @@ def _events_group_to_transcripts(g: pd.DataFrame) -> pd.DataFrame:
     is_tool = role == "tool"
     return pd.DataFrame(
         {
-            "conv_id": f"c{uid:06d}",
+            "conv_id": f"c{uid}",
             "turn_idx": np.arange(len(g), dtype=np.int32),
             "role": role.to_numpy(),
             "text": (g["props"] + ":" + g["event_type"]).to_numpy(),

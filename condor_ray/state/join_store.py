@@ -60,9 +60,10 @@ class JoinStateStore:
         n_late = 0
         if batch.num_rows:
             df = batch.to_pandas()
-            # a call older than wm - bound can only pair with already-closed
-            # turn horizons — late
-            late = df["ts"].astype("int64") < watermark_us - self.bound_us
+            # any call behind the combined watermark is late: turns that
+            # could match it may already have been emitted/purged (their
+            # horizon passed), so keeping it would silently lose pairs
+            late = df["ts"].astype("int64") < watermark_us
             n_late = int(late.sum())
             df = df[~late]
         if batch.num_rows and len(df):

@@ -69,7 +69,10 @@ class PartitionStateStore:
                 strat_col = strat_col.combine_chunks()
             dic = strat_col.dictionary_encode()
             svals = dic.dictionary.to_pylist()
-            codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            raw = dic.indices.to_numpy(zero_copy_only=False)
+            null_mask = np.isnan(raw) if raw.dtype.kind == "f" else (raw < 0)
+            codes = np.where(null_mask, len(svals), raw).astype(np.int64)
+            svals = svals + ["<null>"]  # null stratum bucket
             gkey = sid * (len(svals) + 1) + codes
         else:
             svals = None

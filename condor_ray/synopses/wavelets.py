@@ -619,6 +619,10 @@ class DistributedWaveletsManager(NonMergeableSynopsisManager):
             pr = right_local
             if i + right_local * self.parallelism > right_index:
                 pr -= 1
+            if pl > pr:
+                # this wavelet holds no element of the range (sparse window /
+                # narrow range); the reference would throw here — skip instead
+                continue
             range_sum += self.unified_synopses[i].range_sum_query(pl, pr)
         return range_sum
 

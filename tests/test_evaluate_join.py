@@ -179,7 +179,7 @@ class TestStreamingJoin:
             if side == "turn":
                 keep_turn.append(df[ts + 5_000_000 >= combined])
             else:
-                keep_call.append(df[ts >= combined - 5_000_000])
+                keep_call.append(df[ts >= combined])
             wm[side] = max(wm[side], int(ts.max()))
         turns = rd.from_pandas(pd.concat(keep_turn, ignore_index=True))
         calls_ds = rd.from_pandas(pd.concat(keep_call, ignore_index=True))
@@ -206,3 +206,50 @@ class TestStreamingJoin:
         # flush purged everything behind the final horizon
         assert sum(b["turns"] for b in buffered) == 0
         job.shutdown()
+
+    def test_out_of_order_calls_dropped_late_no_lost_pairs(
+        self, ray_session, tiny_fixture, tmp_path
+    ):
+        """Calls arriving behind the combined watermark are dropped as late
+        (counted) rather than silently losing their pairs."""
+        import pyarrow.parquet as pq_
+        import pyarrow as pa_
+        import numpy as np_
+
+        from condor_ray.engine.streaming_join import StreamingJoinJob
+
+        calls = pq_.read_table(f"{tiny_fixture}/tool_calls.parquet")
+        # REVERSE ts order: almost every call arrives behind the watermark
+        order = pa_.compute.sort_indices(
+            calls, sort_keys=[("ts", "descending"), ("call_id", "ascending")]
+        )
+        calls = calls.take(order)
+        call_dir = tmp_path / "rev_calls"
+        call_dir.mkdir()
+        bounds = np_.linspace(0, calls.num_rows, 4).astype(int)
+        cf = []
+        for i in range(3):
+            p = str(call_dir / f"c{i}.parquet")
+            pq_.write_table(calls.slice(bounds[i], bounds[i + 1] - bounds[i]), p)
+            cf.append(p)
+        job = StreamingJoinJob(parallelism=2, bound_ms=5_000, out_dir=str(tmp_path / "rev_out"))
+        s = job.run(transcript_fragments(tiny_fixture), cf)
+        got = job.result_dataset().to_pandas() if s["matches"] else pd.DataFrame()
+        job.shutdown()
+        assert s["late_dropped"] > 0
+        # every emitted pair satisfies the join predicate (no corruption)
+        if len(got):
+            assert (
+                (got["call_ts"] >= got["turn_ts"])
+                & (got["call_ts"] <= got["turn_ts"] + 5_000_000)
+            ).all()
+            # duplicates may only come from duplicated source calls (the F2
+            # fixture has ~5% duplicate call rows)
+            call_mult = (
+                pq_.read_table(f"{tiny_fixture}/tool_calls.parquet")
+                .to_pandas()
+                .groupby(["call_id", "ts"])
+                .size()
+            )
+            pair_mult = got.groupby(["conv_id", "turn_idx", "call_id", "call_ts"]).size()
+            assert pair_mult.max() <= call_mult.max()
