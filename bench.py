@@ -173,7 +173,39 @@ def run_bench() -> dict:
     ).materialize()
     queries["wavelet_windows_60s"] = time.perf_counter() - t0
 
-    # q5: exact stratified windowed counts (pure Ray Data groupby path)
+    # q5: query-evaluation throughput — queryLatest over 2M CM point queries
+    # (reference target: 1M queries/s/core, QueryLatest.java:59-64)
+    import numpy as np
+    import pandas as pd
+    import ray as _ray
+    import ray.data as _rd
+
+    from condor_ray.evaluate.queries import query_count_min, query_latest
+    from condor_ray.synopses import CountMinSketch
+
+    cm = CountMinSketch(65536, 5, 7)
+    rng = np.random.default_rng(7)
+    cm.update_batch(rng.integers(0, 2**31 - 1, 100_000).astype(np.int32))
+    syn_df = pd.DataFrame(
+        {
+            "window_start": [0],
+            "window_end": [60_000_000],
+            "payload": [cm.to_bytes()],
+        }
+    )
+    n_q = 2_000_000
+    q_ds = _rd.from_pandas(
+        pd.DataFrame(
+            {
+                "query_key": rng.integers(0, 2**31 - 1, n_q).astype(np.int32),
+            }
+        )
+    ).repartition(ncpu)
+    t0 = time.perf_counter()
+    query_latest(q_ds, syn_df, query_count_min).materialize()
+    queries["query_latest_2m"] = time.perf_counter() - t0
+
+    # q6: exact stratified windowed counts (pure Ray Data groupby path)
     ds = read_transcripts(fixture, columns=["role", "ts"])
     t0 = time.perf_counter()
     windowed_counts(ds, TumblingWindow(60_000), stratify_by="role").materialize()
