@@ -51,6 +51,34 @@ def _q_transcripts(sf_dir: str):
     return transcripts_from_events(sf_dir)
 
 
+def _q_sliding_windowed_counts(sf_dir: str):
+    """Sliding 12h / slide 6h counts via the slice-based batch engine."""
+    import numpy as np
+    import pandas as pd
+
+    from condor_ray.config import BuildConfiguration, KeySpec
+    from condor_ray.engine.batch import build_windowed_synopses
+    from condor_ray.sources.events_adapter import transcripts_from_events
+    from condor_ray.windows import SlidingWindow
+
+    cfg = BuildConfiguration(
+        synopsis="CountMinSketch",
+        params=(1024, 3, 7),
+        windows=[SlidingWindow(2 * WINDOW_MS, WINDOW_MS)],
+        key=KeySpec("conv_id", "java_hash"),
+    )
+    syn = build_windowed_synopses(
+        transcripts_from_events(sf_dir), cfg, concurrency=2
+    ).to_pandas()
+    return pd.DataFrame(
+        {
+            "window_start": syn["window_start"].astype(np.int64),
+            "window_end": syn["window_end"].astype(np.int64),
+            "n_rows": syn["n_rows"].astype(np.int64),
+        }
+    )
+
+
 def _q_windowed_counts(sf_dir: str):
     from condor_ray.engine.batch import windowed_counts
     from condor_ray.sources.events_adapter import transcripts_from_events
@@ -301,6 +329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "transcripts_derivation": _q_transcripts,
         "windowed_counts": _q_windowed_counts,
+        "sliding_windowed_counts": _q_sliding_windowed_counts,
         "windowed_counts_by_role": _q_windowed_counts_by_role,
         "windowed_distinct_convs": _q_windowed_distinct,
         "cm_tool_frequencies": _q_cm_tool_frequencies,
@@ -334,6 +363,16 @@ SELECT (epoch_us(ts) // {_W_US}) * {_W_US} AS window_start,
        (epoch_us(ts) // {_W_US}) * {_W_US} + {_W_US} AS window_end,
        count(*) AS n_rows
 FROM transcripts GROUP BY 1, 2""",
+        "sliding_windowed_counts": f"""{cte},
+assigned AS (
+  SELECT (epoch_us(ts) // {_W_US}) AS w FROM transcripts
+  UNION ALL
+  SELECT (epoch_us(ts) // {_W_US}) - 1 AS w FROM transcripts
+)
+SELECT w * {_W_US} AS window_start,
+       w * {_W_US} + {2 * _W_US} AS window_end,
+       count(*) AS n_rows
+FROM assigned WHERE w >= 0 GROUP BY w""",
         "windowed_counts_by_role": f"""{cte}
 SELECT (epoch_us(ts) // {_W_US}) * {_W_US} AS window_start,
        (epoch_us(ts) // {_W_US}) * {_W_US} + {_W_US} AS window_end,
