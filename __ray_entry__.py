@@ -135,6 +135,28 @@ def _q_sessions(sf_dir: str):
     return session_stats(transcripts_from_events(sf_dir), SESSION_GAP_MS)
 
 
+def _q_session_synopses(sf_dir: str):
+    """Synopsis per (conversation, session window) — rows-only (payload sizes)."""
+    import numpy as np
+    import pandas as pd
+
+    from condor_ray.pipelines.sessions import session_synopses
+    from condor_ray.sources.events_adapter import transcripts_from_events
+
+    out = session_synopses(
+        transcripts_from_events(sf_dir), gap_ms=SESSION_GAP_MS
+    ).to_pandas()
+    return pd.DataFrame(
+        {
+            "conv_id": out["conv_id"],
+            "session_start": out["session_start"].astype(np.int64),
+            "session_end": out["session_end"].astype(np.int64),
+            "n_rows": out["n_rows"].astype(np.int64),
+            "payload_bytes": out["payload"].map(len).astype(np.int64),
+        }
+    )
+
+
 def _q_count_window_distinct(sf_dir: str):
     from condor_ray.pipelines.sessions import count_window_distinct
 
@@ -336,6 +358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_hll": _q_flagship_hll,  # rows-only (estimates)
         "streaming_windowed_counts": _q_streaming_windowed_counts,
         "sessions_30m": _q_sessions,
+        "session_synopses": _q_session_synopses,  # rows-only (synopsis payloads)
         "count_window_distinct": _q_count_window_distinct,
         "turns_join_tool_calls": _q_turns_join_tool_calls,
         "cm_asof_queries": _q_cm_asof_queries,

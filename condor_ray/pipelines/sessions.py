@@ -106,3 +106,52 @@ def count_window_distinct(sf_dir: str, size: int):
         )
 
     return out.map_batches(fin, batch_format="pandas")
+
+
+def session_synopses(
+    ds,
+    gap_ms: int,
+    synopsis: str = "CountMinSketch",
+    params: tuple = (1024, 3, 7),
+    key_field: str = "text",
+    key_transform: str = "length",
+):
+    """One synopsis per (conversation, session window): the Scotty session
+    path's keyed output (SURVEY §2.6) — sessions are per-key in the
+    reference, so the natural key here is the conversation.
+
+    Returns conv_id, session_start, session_end (int64 us), n_rows,
+    synopsis_type, payload."""
+    import pyarrow as pa
+
+    from ..config import KeySpec
+    from ..stages.extract import KeyExtractor
+    from ..synopses.registry import make_synopsis
+
+    gap_us = gap_ms * 1000
+    extractor = KeyExtractor(KeySpec(key_field, key_transform))
+
+    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "turn_idx"], kind="mergesort")
+        ts = g["ts"].astype("int64").to_numpy()
+        sess = sessionize(ts, gap_us)
+        values = extractor(pa.Table.from_pandas(g, preserve_index=False))
+        rows = []
+        for s in np.unique(sess):
+            m = sess == s
+            syn = make_synopsis(synopsis, params)
+            syn.set_partition_value(g["conv_id"].iloc[0])
+            syn.update_batch(values[m], timestamps=ts[m]) if syn.timestamped else syn.update_batch(values[m])
+            rows.append(
+                {
+                    "conv_id": g["conv_id"].iloc[0],
+                    "session_start": int(ts[m].min()),
+                    "session_end": int(ts[m].max()),
+                    "n_rows": int(m.sum()),
+                    "synopsis_type": synopsis,
+                    "payload": syn.to_bytes(),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return ds.groupby("conv_id").map_groups(per_conv, batch_format="pandas")

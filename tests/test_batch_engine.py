@@ -170,3 +170,34 @@ class TestSlidingSynopses:
         assert per_kind["tumbling_60000"] == total
         assert per_kind["sliding_60000_30000"] == 2 * total
         assert per_kind["sliding_120000_60000"] == 2 * total
+
+
+class TestSessionSynopses:
+    def test_session_synopsis_parity(self, ray_session, tiny_fixture, tiny_df):
+        from condor_ray.pipelines.sessions import session_synopses
+        from condor_ray.synopses import CountMinSketch, Synopsis
+        from condor_ray.windows import sessionize
+
+        ds = read_transcripts(tiny_fixture)
+        out = session_synopses(ds, gap_ms=30_000).to_pandas()
+        # oracle: per-conv sequential sessionization + CM over text lengths
+        df = tiny_df.sort_values(["ts", "turn_idx"], kind="mergesort")
+        checked = 0
+        for conv, g in list(df.groupby("conv_id"))[:10]:
+            ts = g["ts"].astype("int64").to_numpy()
+            sess = sessionize(ts, 30_000_000)
+            lens = g["text"].str.len().to_numpy().astype(np.int32)
+            for s in np.unique(sess):
+                m = sess == s
+                oracle = CountMinSketch(1024, 3, 7)
+                oracle.update_batch(lens[m])
+                row = out[
+                    (out["conv_id"] == conv)
+                    & (out["session_start"] == int(ts[m].min()))
+                ]
+                assert len(row) == 1
+                got = Synopsis.from_bytes(row["payload"].iloc[0])
+                assert (got.array == oracle.array).all()
+                assert got.partition_value == conv
+                checked += 1
+        assert checked >= 10
