@@ -268,7 +268,12 @@ class StreamingSynopsisJob:
         checkpoint_dir: str | None = None,
         checkpoint_every: int = 4,
         columns: list[str] | None = None,
+        close_every: int = 1,
     ):
+        """``close_every``: run the window-close cycle every N fragments
+        (amortizes collect/merge calls for fine-window jobs; window CONTENTS
+        are unchanged — slices are frozen by the watermark either way, close
+        timing only affects emission latency and file granularity)."""
         if not config.windows:
             raise ValueError("config.windows must not be empty")
         self.config = config
@@ -279,6 +284,7 @@ class StreamingSynopsisJob:
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
         self.columns = columns
+        self.close_every = max(1, close_every)
         os.makedirs(out_dir, exist_ok=True)
         if checkpoint_dir:
             os.makedirs(checkpoint_dir, exist_ok=True)
@@ -569,9 +575,10 @@ class StreamingSynopsisJob:
             if meta["frag_min_ts"] < self.min_ts:
                 self.min_ts = meta["frag_min_ts"]
             self.watermark = max(self.watermark, meta["frag_max_ts"])
-            ref = self._close_windows(k)
-            if ref is not None:
-                emit_refs.append(ref)
+            if (k + 1) % self.close_every == 0 or i == len(paths) - 1:
+                ref = self._close_windows(k)
+                if ref is not None:
+                    emit_refs.append(ref)
             with open(manifest_path, "a") as f:
                 f.write(
                     json.dumps(
