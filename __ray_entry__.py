@@ -338,6 +338,20 @@ def _q_doc_fingerprints(sf_dir: str):
     )
 
 
+def _mk_synopsis_query(fn_name: str):
+    """Factory: synopsis_queries.<fn_name>(transcripts, 6h tumbling)."""
+
+    def runner(sf_dir: str):
+        from condor_ray.pipelines import synopsis_queries as sq
+        from condor_ray.sources.events_adapter import transcripts_from_events
+        from condor_ray.windows import TumblingWindow
+
+        fn = getattr(sq, fn_name)
+        return fn(transcripts_from_events(sf_dir), TumblingWindow(WINDOW_MS))
+
+    return runner
+
+
 def _q_image_features(sf_dir: str):
     import ray.data as rd
 
@@ -365,6 +379,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wavelet_window_sums": _q_wavelet_window_sums,  # rows-only (non-dyadic windows reconstruct approximately)
         "fifo_newest_ts": _q_fifo_newest_ts,
         "count_window_tool_freq": _q_count_window_tool_freq,
+        "equiwidth_hist": _mk_synopsis_query("equiwidth_hist_buckets"),
+        "bloom_membership": _mk_synopsis_query("bloom_membership"),
+        "cuckoo_membership": _mk_synopsis_query("cuckoo_membership"),
+        "ddsketch_quantiles": _mk_synopsis_query("ddsketch_quantile_check"),
+        "agms_f2": _mk_synopsis_query("agms_f2_check"),
+        "reservoir_sample": _mk_synopsis_query("reservoir_window_sample"),
+        "biased_reservoir_sample": _mk_synopsis_query("biased_window_sample"),
+        "bash_equidepth": _mk_synopsis_query("bash_total_check"),
+        "query_latest_cm": _mk_synopsis_query("query_latest_cm"),
         "exact_dedup": _q_exact_dedup,
         "token_stats": _q_token_stats,
         "ann_topk": _q_ann_topk,
@@ -473,6 +496,17 @@ SELECT (event_id // {COUNT_WINDOW}) AS window_id,
 FROM events
 WHERE event_type NOT IN ('view', 'signup', 'click', 'purchase')
 GROUP BY 1, 2"""
+    from condor_ray.pipelines import synopsis_queries as _sq
+
+    out["equiwidth_hist"] = _sq.equiwidth_sql(cte, _W_US)
+    out["bloom_membership"] = _sq.bloom_sql(cte, _W_US)
+    out["cuckoo_membership"] = _sq.cuckoo_sql(cte, _W_US)
+    out["ddsketch_quantiles"] = _sq.ddsketch_sql(cte, _W_US)
+    out["agms_f2"] = _sq.agms_sql(cte, _W_US)
+    out["reservoir_sample"] = _sq.sample_membership_sql(cte, _W_US)
+    out["biased_reservoir_sample"] = _sq.sample_membership_sql(cte, _W_US)
+    out["bash_equidepth"] = _sq.bash_sql(cte, _W_US)
+    out["query_latest_cm"] = _sq.query_latest_sql(cte, _W_US)
     out["exact_dedup"] = """
 WITH docs2 AS (
   SELECT doc_id, text FROM documents

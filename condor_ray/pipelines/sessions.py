@@ -60,8 +60,8 @@ marked AS (
 ),
 islands AS (
   SELECT conv_id, ts_us,
-         sum(brk) OVER (PARTITION BY conv_id ORDER BY ts_us, turn_idx
-                        ROWS UNBOUNDED PRECEDING) AS session_idx
+         CAST(sum(brk) OVER (PARTITION BY conv_id ORDER BY ts_us, turn_idx
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
   FROM marked
 )
 SELECT conv_id, session_idx,

@@ -1,0 +1,555 @@
+"""Oracle-backed driver pipelines for every synopsis kernel.
+
+Round-1 gap (VERDICT "Next round" #1): 8 of the 12 synopses were verified
+only by pytest, never by the driver's DuckDB gate.  Each pipeline here runs
+the FULL engine path (map_batches partials -> slice merge -> window merge via
+``build_windowed_synopses``) and emits SQL-expressible columns:
+
+- exact quantities the sketch carries exactly (EquiWidth bucket counts,
+  sampler membership with oversized reservoirs, BASH total frequencies,
+  Bloom/Cuckoo membership with collision-free sizing) -> direct value oracle;
+- approximate quantities (DDSketch quantiles, AGMS F2) -> the Ray side emits
+  the EXACT value (computed independently with exact Ray aggregation, so the
+  oracle still verifies real work) plus a ``within_bound`` boolean asserting
+  the sketch estimate meets its accuracy contract; the oracle's boolean is
+  constant true, so a broken kernel flips the hash.
+
+Reference anchors: EquiWidthHistogramAccuracy.java:50-51,
+ReservoirSamplingAccuracy.java, bench:efficiency/oneOffImplementation/
+classification/*.java (each exercises one synopsis end-to-end).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import BuildConfiguration, KeySpec
+from ..engine.batch import build_windowed_synopses
+from ..hashing import java_string_hash_array
+from ..stages.extract import ts_to_us
+from ..synopses.base import Synopsis
+from ..windows import TumblingWindow
+
+TOOL_UNIVERSE = [f"tool_{i}" for i in range(20)]
+GHOSTS = [f"ghost_{i}" for i in range(8)]
+
+
+def _tool_rows(ds):
+    return ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t["tool"])), batch_format="pyarrow"
+    )
+
+
+def _window_tool_counts(ds, window: TumblingWindow) -> pd.DataFrame:
+    """Exact (window_start, tool, cnt) — partial counts per batch, tiny
+    groupby, collected (result is #windows x #tools rows)."""
+    size_us = window.size_us
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["tool"]))
+        ts = ts_to_us(batch["ts"])
+        wid = ts // size_us
+        tool = batch["tool"]
+        if isinstance(tool, pa.ChunkedArray):
+            tool = tool.combine_chunks()
+        dic = tool.dictionary_encode()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        m = len(dic.dictionary) + 1
+        gkey = wid * m + codes
+        uniq, counts = np.unique(gkey, return_counts=True)
+        return pa.table(
+            {
+                "window_start": pa.array((uniq // m) * size_us, type=pa.int64()),
+                "tool": dic.dictionary.take(pa.array(uniq % m, type=pa.int64())),
+                "cnt": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["window_start", "tool"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    return out
+
+
+# -- 1. EquiWidth histogram: exact bucket counts ---------------------------
+
+EW_LO, EW_HI, EW_BUCKETS = 0, 128, 32
+_EW_BL = (EW_HI - EW_LO) / EW_BUCKETS
+
+
+def equiwidth_hist_buckets(ds, window: TumblingWindow):
+    """Per-window EquiWidthHistogram over text length; bucket counts are
+    exact (mergeable int counts), so the oracle is SQL GROUP BY floor."""
+    cfg = BuildConfiguration(
+        synopsis="EquiWidthHistogram",
+        params=(EW_LO, EW_HI, EW_BUCKETS),
+        windows=[window],
+        key=KeySpec("text", "length"),
+    )
+    syn = build_windowed_synopses(ds, cfg, concurrency=2)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ws, bk, fr = [], [], []
+        for _, r in df.iterrows():
+            h = Synopsis.from_bytes(r["payload"])
+            nz = np.flatnonzero(h.frequency)
+            ws.extend([int(r["window_start"])] * len(nz))
+            bk.extend(nz.tolist())
+            fr.extend(h.frequency[nz].tolist())
+        return pd.DataFrame(
+            {
+                "window_start": np.asarray(ws, dtype=np.int64),
+                "bucket": np.asarray(bk, dtype=np.int64),
+                "freq": np.asarray(fr, dtype=np.int64),
+            }
+        )
+
+    return syn.map_batches(explode, batch_format="pandas")
+
+
+def equiwidth_sql(cte: str, w_us: int) -> str:
+    return f"""{cte}
+SELECT (epoch_us(ts) // {w_us}) * {w_us} AS window_start,
+       CAST(floor((length(text) - {EW_LO}) / {_EW_BL}) AS BIGINT) AS bucket,
+       count(*) AS freq
+FROM transcripts
+WHERE length(text) >= {EW_LO} AND length(text) < {EW_HI}
+GROUP BY 1, 2"""
+
+
+# -- 2. Bloom filter membership --------------------------------------------
+
+def bloom_membership(ds, window: TumblingWindow):
+    """Per-window Bloom filter over tool names, probed with the 20-name tool
+    universe + 8 never-inserted ghosts.  Sized collision-free (65536 bits for
+    <=20 keys), so present == exact membership (Bloom has no false
+    negatives; false positives are eliminated by sizing)."""
+    cfg = BuildConfiguration(
+        synopsis="BloomFilter",
+        params=(1024, 65536, 7),
+        windows=[window],
+        key=KeySpec("tool", "java_hash"),
+    )
+    syn = build_windowed_synopses(_tool_rows(ds), cfg, concurrency=2)
+    probes = TOOL_UNIVERSE + GHOSTS
+    probe_keys = java_string_hash_array(probes)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ws, names, present = [], [], []
+        for _, r in df.iterrows():
+            bf = Synopsis.from_bytes(r["payload"])
+            hits = bf.query_batch(probe_keys)
+            ws.extend([int(r["window_start"])] * len(probes))
+            names.extend(probes)
+            present.extend(np.asarray(hits, dtype=bool).tolist())
+        return pd.DataFrame(
+            {
+                "window_start": np.asarray(ws, dtype=np.int64),
+                "probe": np.asarray(names, dtype=object),
+                "present": np.asarray(present, dtype=bool),
+            }
+        )
+
+    return syn.map_batches(explode, batch_format="pandas")
+
+
+def _universe_sql(include_ghosts: bool) -> str:
+    rows = [f"('{t}')" for t in TOOL_UNIVERSE]
+    if include_ghosts:
+        rows += [f"('{g}')" for g in GHOSTS]
+    return "(VALUES " + ", ".join(rows) + ") AS u(probe)"
+
+
+def bloom_sql(cte: str, w_us: int) -> str:
+    return f"""{cte},
+wt AS (
+  SELECT DISTINCT (epoch_us(ts) // {w_us}) * {w_us} AS window_start, tool
+  FROM transcripts WHERE tool IS NOT NULL
+),
+wins AS (SELECT DISTINCT window_start FROM wt)
+SELECT w.window_start, u.probe, (wt.tool IS NOT NULL) AS present
+FROM wins w
+CROSS JOIN {_universe_sql(True)}
+LEFT JOIN wt ON wt.window_start = w.window_start AND wt.tool = u.probe"""
+
+
+# -- 3. Cuckoo filter membership + delete ----------------------------------
+
+def cuckoo_membership(ds, window: TumblingWindow):
+    """Per-window Cuckoo filter over the DISTINCT tools of the window;
+    even-numbered tools are then deleted; probing the universe yields
+    present == (tool in window AND odd).  Exercises insert, merge, delete,
+    and lookup end-to-end (collision-free with 16-bit fingerprints over a
+    20-name universe)."""
+    size_us = window.size_us
+    wt = _window_tool_counts(ds, window)
+
+    # one representative transcript-shaped row per (window, tool): ts at the
+    # window start places it in the right window deterministically
+    reps = pa.table(
+        {
+            "conv_id": pa.array(["r"] * len(wt)),
+            "turn_idx": pa.array(np.zeros(len(wt), dtype=np.int32)),
+            "tool": pa.array(wt["tool"].tolist(), type=pa.string()),
+            "ts": pa.array(
+                wt["window_start"].to_numpy(np.int64), type=pa.timestamp("us")
+            ),
+        }
+    )
+    import ray.data as rd
+
+    cfg = BuildConfiguration(
+        synopsis="CuckooFilter",
+        params=(4, 256, 7),
+        windows=[window],
+        key=KeySpec("tool", "java_hash"),
+    )
+    syn = build_windowed_synopses(rd.from_arrow(reps), cfg, concurrency=1).to_pandas()
+
+    probe_keys = java_string_hash_array(TOOL_UNIVERSE)
+    by_window: dict[int, set[str]] = {}
+    for ws, tool in zip(wt["window_start"].tolist(), wt["tool"].tolist()):
+        by_window.setdefault(int(ws), set()).add(tool)
+
+    ws_out, names, present = [], [], []
+    for _, r in syn.iterrows():
+        cf = Synopsis.from_bytes(r["payload"])
+        w = int(r["window_start"])
+        for tool in sorted(by_window.get(w, ())):
+            if int(tool.split("_")[1]) % 2 == 0:
+                cf.delete(int(java_string_hash_array([tool])[0]))
+        hits = cf.lookup_batch(probe_keys)
+        ws_out.extend([w] * len(TOOL_UNIVERSE))
+        names.extend(TOOL_UNIVERSE)
+        present.extend(np.asarray(hits, dtype=bool).tolist())
+    return pd.DataFrame(
+        {
+            "window_start": np.asarray(ws_out, dtype=np.int64),
+            "tool": np.asarray(names, dtype=object),
+            "present": np.asarray(present, dtype=bool),
+        }
+    )
+
+
+def cuckoo_sql(cte: str, w_us: int) -> str:
+    return f"""{cte},
+wt AS (
+  SELECT DISTINCT (epoch_us(ts) // {w_us}) * {w_us} AS window_start, tool
+  FROM transcripts WHERE tool IS NOT NULL
+),
+wins AS (SELECT DISTINCT window_start FROM wt)
+SELECT w.window_start, u.probe AS tool,
+       (wt.tool IS NOT NULL
+        AND CAST(substr(u.probe, 6) AS INTEGER) % 2 = 1) AS present
+FROM wins w
+CROSS JOIN {_universe_sql(False)}
+LEFT JOIN wt ON wt.window_start = w.window_start AND wt.tool = u.probe"""
+
+
+# -- 4. DDSketch quantiles --------------------------------------------------
+
+DD_QS = (0.5, 0.9, 0.99)
+DD_ALPHA = 0.01
+
+
+def ddsketch_quantile_check(ds, window: TumblingWindow):
+    """Per-window DDSketch over text length.  Emits the EXACT rank-based
+    quantile (verified by the SQL oracle) plus ``within_bound`` asserting the
+    sketch's relative-accuracy contract |est - exact| <= alpha * exact."""
+    size_us = window.size_us
+    cfg = BuildConfiguration(
+        synopsis="DDSketch",
+        params=(DD_ALPHA, 4096),
+        windows=[window],
+        key=KeySpec("text", "length"),
+    )
+    syn = build_windowed_synopses(ds, cfg, concurrency=2).to_pandas()
+
+    # exact per-(window, length) counts via partial aggregation
+    def pairs(batch: pa.Table) -> pa.Table:
+        ts = ts_to_us(batch["ts"])
+        wid = ts // size_us
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ln = pc.utf8_length(col).cast(pa.int64()).to_numpy()
+        m = int(ln.max()) + 1 if len(ln) else 1
+        gkey = wid * m + ln
+        uniq, counts = np.unique(gkey, return_counts=True)
+        return pa.table(
+            {
+                "window_start": pa.array((uniq // m) * size_us, type=pa.int64()),
+                "len": pa.array(uniq % m, type=pa.int64()),
+                "cnt": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    exact = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["window_start", "len"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+
+    rows = []
+    for ws, grp in exact.groupby("window_start"):
+        grp = grp.sort_values("len")
+        lens = grp["len"].to_numpy(np.int64)
+        cum = np.cumsum(grp["cnt"].to_numpy(np.int64))
+        n = int(cum[-1])
+        row = syn[syn["window_start"] == ws]
+        sk = Synopsis.from_bytes(row["payload"].iloc[0])
+        for q in DD_QS:
+            rank = int(q * (n - 1))
+            exact_q = float(lens[np.searchsorted(cum, rank + 1)])
+            est = sk.get_value_at_quantile(q)
+            ok = abs(est - exact_q) <= DD_ALPHA * exact_q + 1e-9
+            rows.append((int(ws), float(q), exact_q, bool(ok)))
+    out = pd.DataFrame(rows, columns=["window_start", "q", "exact_q", "within_bound"])
+    return out.astype(
+        {"window_start": np.int64, "q": np.float64, "exact_q": np.float64,
+         "within_bound": bool}
+    )
+
+
+def ddsketch_sql(cte: str, w_us: int) -> str:
+    q_selects = []
+    for q in DD_QS:
+        q_selects.append(
+            f"""SELECT window_start, {q} AS q, CAST(len AS DOUBLE) AS exact_q,
+       true AS within_bound
+FROM ranked WHERE rk = CAST(floor({q} * (n - 1)) AS BIGINT)"""
+        )
+    union = "\nUNION ALL\n".join(q_selects)
+    return f"""{cte},
+base AS (
+  SELECT (epoch_us(ts) // {w_us}) * {w_us} AS window_start,
+         length(text) AS len
+  FROM transcripts
+),
+ranked AS (
+  SELECT window_start, len,
+         row_number() OVER (PARTITION BY window_start ORDER BY len) - 1 AS rk,
+         count(*) OVER (PARTITION BY window_start) AS n
+  FROM base
+)
+{union}"""
+
+
+# -- 5. Fast-AGMS F2 --------------------------------------------------------
+
+AGMS_REL_TOL = 0.15
+
+
+def agms_f2_check(ds, window: TumblingWindow):
+    """Per-window Fast-AGMS over tool keys.  Emits the EXACT second frequency
+    moment (oracle: SUM(cnt^2)) plus ``within_bound`` asserting the seeded
+    sketch estimate lands within {AGMS_REL_TOL:.0%} relative error."""
+    cfg = BuildConfiguration(
+        synopsis="FastAGMS",
+        params=(4096, 5, 7),
+        windows=[window],
+        key=KeySpec("tool", "java_hash"),
+    )
+    syn = build_windowed_synopses(_tool_rows(ds), cfg, concurrency=2).to_pandas()
+    wt = _window_tool_counts(ds, window)
+    f2 = (
+        wt.assign(sq=wt["cnt"] ** 2)
+        .groupby("window_start", as_index=False)["sq"]
+        .sum()
+        .rename(columns={"sq": "exact_f2"})
+    )
+    merged = f2.merge(syn[["window_start", "payload"]], on="window_start")
+    ests = np.asarray(
+        [Synopsis.from_bytes(b).estimate_f2() for b in merged["payload"]],
+        dtype=np.float64,
+    )
+    exact = merged["exact_f2"].to_numpy(np.float64)
+    ok = np.abs(ests - exact) <= AGMS_REL_TOL * exact
+    return pd.DataFrame(
+        {
+            "window_start": merged["window_start"].to_numpy(np.int64),
+            "exact_f2": exact.astype(np.int64),
+            "within_bound": ok.astype(bool),
+        }
+    )
+
+
+def agms_sql(cte: str, w_us: int) -> str:
+    return f"""{cte},
+counts AS (
+  SELECT (epoch_us(ts) // {w_us}) * {w_us} AS window_start, tool,
+         count(*) AS c
+  FROM transcripts WHERE tool IS NOT NULL GROUP BY 1, 2
+)
+SELECT window_start, CAST(sum(c * c) AS BIGINT) AS exact_f2,
+       true AS within_bound
+FROM counts GROUP BY 1"""
+
+
+# -- 6/7. Reservoir + biased reservoir membership ---------------------------
+
+SAMPLER_K = 4096  # > max per-window rows at gate scale -> sample == window
+
+
+def _sample_membership(ds, window: TumblingWindow, synopsis: str):
+    """With reservoir size > window row count, neither update nor the
+    weighted/newest-first merges ever evict, so the final sample is exactly
+    the window's element multiset — SQL-verifiable membership while still
+    running the full seeded sampler + merge code paths."""
+    cfg = BuildConfiguration(
+        synopsis=synopsis,
+        params=(SAMPLER_K, 7),
+        windows=[window],
+        sample_elements=True,
+    )
+    syn = build_windowed_synopses(ds, cfg, concurrency=2)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ws, els = [], []
+        for _, r in df.iterrows():
+            s = Synopsis.from_bytes(r["payload"])
+            for el in s.get_sample():
+                ws.append(int(r["window_start"]))
+                els.append(el.value if hasattr(el, "value") else el)
+        return pd.DataFrame(
+            {
+                "window_start": np.asarray(ws, dtype=np.int64),
+                "element": np.asarray(els, dtype=object),
+            }
+        )
+
+    return syn.map_batches(explode, batch_format="pandas")
+
+
+def reservoir_window_sample(ds, window: TumblingWindow):
+    return _sample_membership(ds, window, "ReservoirSampler")
+
+
+def biased_window_sample(ds, window: TumblingWindow):
+    return _sample_membership(ds, window, "BiasedReservoirSampler")
+
+
+def sample_membership_sql(cte: str, w_us: int) -> str:
+    return f"""{cte}
+SELECT (epoch_us(ts) // {w_us}) * {w_us} AS window_start,
+       conv_id || ':' || CAST(turn_idx AS VARCHAR) AS element
+FROM transcripts"""
+
+
+# -- 8. BASH (bar-splitting equi-depth) ------------------------------------
+
+BASH_P, BASH_BUCKETS = 7, 8
+
+
+def bash_total_check(ds, window: TumblingWindow):
+    """Per-window BarSplittingHistogram over text length.  The total
+    frequency is carried exactly through bar splits and merges (oracle:
+    COUNT(*)); ``edh_total`` round-trips it through
+    build_equi_depth_histogram, and ``boundaries_ok`` asserts the equi-depth
+    boundaries are monotone (full-domain range_query is exercised in pytest —
+    discrete length distributions can produce degenerate repeated boundaries
+    where the reference's interpolation divides 0/0)."""
+    cfg = BuildConfiguration(
+        synopsis="BarSplittingHistogram",
+        params=(BASH_P, BASH_BUCKETS),
+        windows=[window],
+        key=KeySpec("text", "length"),
+    )
+    syn = build_windowed_synopses(ds, cfg, concurrency=2)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ws, totals, edh_totals, b_ok = [], [], [], []
+        for _, r in df.iterrows():
+            h = Synopsis.from_bytes(r["payload"])
+            ws.append(int(r["window_start"]))
+            totals.append(int(round(h.total_frequencies)))
+            ed = h.build_equi_depth_histogram()
+            if ed is None:
+                edh_totals.append(0)
+                b_ok.append(False)
+            else:
+                edh_totals.append(int(round(ed.total_frequencies)))
+                b_ok.append(
+                    bool(
+                        np.all(np.diff(ed.left_boundaries) >= 0)
+                        and ed.right_most_boundary >= ed.left_boundaries[-1]
+                    )
+                )
+        return pd.DataFrame(
+            {
+                "window_start": np.asarray(ws, dtype=np.int64),
+                "total": np.asarray(totals, dtype=np.int64),
+                "edh_total": np.asarray(edh_totals, dtype=np.int64),
+                "boundaries_ok": np.asarray(b_ok, dtype=bool),
+            }
+        )
+
+    return syn.map_batches(explode, batch_format="pandas")
+
+
+def bash_sql(cte: str, w_us: int) -> str:
+    return f"""{cte}
+SELECT (epoch_us(ts) // {w_us}) * {w_us} AS window_start,
+       count(*) AS total,
+       count(*) AS edh_total,
+       true AS boundaries_ok
+FROM transcripts GROUP BY 1"""
+
+
+# -- 9. queryLatest driver entry --------------------------------------------
+
+def query_latest_cm(ds, window: TumblingWindow):
+    """queryLatest evaluation (ApproximateDataAnalytics.queryLatest): the
+    20-tool universe queries the LATEST window's CM sketch; collision-free
+    sizing makes estimates exact (absent tools -> 0)."""
+    import ray.data as rd
+
+    from ..evaluate.queries import query_count_min, query_latest
+
+    cfg = BuildConfiguration(
+        synopsis="CountMinSketch",
+        params=(65536, 5, 7),
+        windows=[window],
+        key=KeySpec("tool", "java_hash"),
+    )
+    syn = build_windowed_synopses(_tool_rows(ds), cfg, concurrency=2)
+    queries = rd.from_items(
+        [
+            {"query_key": int(k), "tool": t}
+            for t, k in zip(TOOL_UNIVERSE, java_string_hash_array(TOOL_UNIVERSE))
+        ]
+    )
+    out = query_latest(queries, syn, query_count_min).to_pandas()
+    return pd.DataFrame(
+        {
+            "tool": out["tool"].to_numpy(object),
+            "window_start": out["window_start"].astype(np.int64),
+            "est": out["result"].astype(np.int64),
+        }
+    )
+
+
+def query_latest_sql(cte: str, w_us: int) -> str:
+    return f"""{cte},
+counts AS (
+  SELECT (epoch_us(ts) // {w_us}) * {w_us} AS window_start, tool,
+         count(*) AS c
+  FROM transcripts WHERE tool IS NOT NULL GROUP BY 1, 2
+),
+latest AS (SELECT max(window_start) AS ws FROM counts)
+SELECT u.probe AS tool, l.ws AS window_start,
+       CAST(coalesce(c.c, 0) AS BIGINT) AS est
+FROM latest l
+CROSS JOIN {_universe_sql(False)}
+LEFT JOIN counts c ON c.window_start = l.ws AND c.tool = u.probe"""
