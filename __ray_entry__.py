@@ -305,7 +305,8 @@ def _q_simhash_neardup(sf_dir: str):
     from condor_ray.pipelines.dedup import simhash_pairs
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return simhash_pairs(docs, max_hamming=6)
+    # bands=8 > max_hamming -> pigeonhole recall guarantee
+    return simhash_pairs(docs, max_hamming=6, bands=8)
 
 
 def _q_quality_scores(sf_dir: str):

@@ -84,11 +84,7 @@ class PartialSynopsisBuilder:
         sid = ts // self.slice_us
 
         if self.sample_elements:
-            conv = batch["conv_id"].to_pylist()
-            turn = batch["turn_idx"].to_pylist()
-            values = np.asarray(
-                [f"{c}:{t}" for c, t in zip(conv, turn)], dtype=object
-            )
+            values = _element_keys(batch)
         else:
             values = self.extractor(batch)
 
@@ -143,6 +139,20 @@ class PartialSynopsisBuilder:
         )
 
 
+def _element_keys(batch: pa.Table) -> np.ndarray:
+    """Vectorized '{conv_id}:{turn_idx}' element keys (Arrow string join)."""
+    import pyarrow.compute as pc
+
+    joined = pc.binary_join_element_wise(
+        batch["conv_id"].combine_chunks()
+        if isinstance(batch["conv_id"], pa.ChunkedArray)
+        else batch["conv_id"],
+        pc.cast(batch["turn_idx"], pa.string()),
+        ":",
+    )
+    return joined.to_numpy(zero_copy_only=False)
+
+
 def _empty_partials() -> pa.Table:
     return pa.table(
         {
@@ -193,30 +203,34 @@ def build_windowed_synopses(
         _merge_payload_group, batch_format="pandas"
     )
 
-    # fan each slice out to every window definition covering it
+    # fan each slice out to every window definition covering it (vectorized
+    # repeat/concat per window definition, no per-row iteration)
     def expand(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for _, r in df.iterrows():
-            for wi, w in enumerate(windows):
-                if isinstance(w, TumblingWindow):
-                    ratio = w.size_us // slice_us
-                    wids = [int(r["slice_id"]) // ratio]
-                else:
-                    wids = windows_of_slice(int(r["slice_id"]), slice_us, w)
-                for wid in wids:
-                    rows.append(
-                        {
-                            "window_idx": wi,
-                            "window_id": wid,
-                            "stratum": r["stratum"],
-                            "payload": r["payload"],
-                            "n_rows": r["n_rows"],
-                        }
-                    )
-        return pd.DataFrame(
-            rows,
-            columns=["window_idx", "window_id", "stratum", "payload", "n_rows"],
-        )
+        sid = df["slice_id"].to_numpy(np.int64)
+        parts = []
+        for wi, w in enumerate(windows):
+            if isinstance(w, TumblingWindow):
+                idx = np.arange(len(df))
+                wids = sid // (w.size_us // slice_us)
+            else:
+                lists = [windows_of_slice(int(s), slice_us, w) for s in sid]
+                counts = np.fromiter((len(l) for l in lists), dtype=np.int64, count=len(lists))
+                idx = np.repeat(np.arange(len(df)), counts)
+                wids = np.fromiter(
+                    (x for l in lists for x in l), dtype=np.int64, count=int(counts.sum())
+                )
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "window_idx": np.full(len(idx), wi, dtype=np.int64),
+                        "window_id": wids,
+                        "stratum": df["stratum"].to_numpy()[idx],
+                        "payload": df["payload"].to_numpy()[idx],
+                        "n_rows": df["n_rows"].to_numpy()[idx],
+                    }
+                )
+            )
+        return pd.concat(parts, ignore_index=True)
 
     expanded = slices.map_batches(expand, batch_format="pandas")
 

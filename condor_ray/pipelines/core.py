@@ -166,6 +166,55 @@ def flagship_hll_pipeline(ds, window: TumblingWindow):
     return syn.map_batches(estimate, batch_format="pandas")
 
 
+def write_time_ordered_fragments(ds, out_dir: str, n_frag: int):
+    """Ray-native replacement for the round-1 driver-side
+    ``to_pandas().sort_values()`` fragment-cache build: rows are tagged with a
+    time-range fragment id (equal-width ts splits, disjoint + ordered so the
+    replayed stream has no late rows), shuffled once by fragment, and each
+    fragment is ts-sorted and written by its own task.  Nothing ever
+    materializes on the driver."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from ..stages.extract import ts_to_us
+
+    stats = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "lo": pa.array([int(ts_to_us(t["ts"]).min())] if t.num_rows else [2**62]),
+                "hi": pa.array([int(ts_to_us(t["ts"]).max())] if t.num_rows else [-(2**62)]),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    lo, hi = int(stats["lo"].min()), int(stats["hi"].max())
+    bounds = np.linspace(lo, hi + 1, n_frag + 1)[1:-1]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        frag = np.searchsorted(bounds, ts_to_us(batch["ts"]), side="right")
+        return batch.append_column("frag", pa.array(frag.astype(np.int64)))
+
+    def write_frag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "conv_id", "turn_idx"], kind="mergesort")
+        frag = int(g["frag"].iloc[0])
+        path = os.path.join(out_dir, f"fragment-{frag:05d}.parquet")
+        tmp = path + f".tmp-{os.getpid()}"
+        _pq.write_table(
+            pa.Table.from_pandas(g.drop(columns=["frag"]), preserve_index=False), tmp
+        )
+        os.replace(tmp, path)
+        return pd.DataFrame({"frag": [frag], "rows": [len(g)]})
+
+    manifest = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("frag")
+        .map_groups(write_frag, batch_format="pandas")
+        .to_pandas()  # tiny: one row per fragment; consuming executes the writes
+    )
+    return manifest
+
+
 def streaming_windowed_counts(sf_dir: str, window: TumblingWindow, parallelism: int = 4):
     """Run the STREAMING engine (state-store actors, watermarks, exactly-once
     sink) over the events-derived transcript stream and return per-window
@@ -181,22 +230,12 @@ def streaming_windowed_counts(sf_dir: str, window: TumblingWindow, parallelism: 
 
     cache = os.path.join(
         "/tmp/condor_ray_fixtures",
-        "events_stream_v2_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:10],
+        "events_stream_v3_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:10],
     )
     done = os.path.join(cache, "_DONE")
     if not os.path.exists(done):
         os.makedirs(cache, exist_ok=True)
-        df = transcripts_from_events(sf_dir).to_pandas()
-        df = df.sort_values(["ts", "conv_id", "turn_idx"], kind="mergesort").reset_index(
-            drop=True
-        )
-        n_frag = 4
-        bounds = np.linspace(0, len(df), n_frag + 1).astype(int)
-        for i in range(n_frag):
-            pq.write_table(
-                pa.Table.from_pandas(df.iloc[bounds[i] : bounds[i + 1]], preserve_index=False),
-                os.path.join(cache, f"fragment-{i:05d}.parquet"),
-            )
+        write_time_ordered_fragments(transcripts_from_events(sf_dir), cache, n_frag=4)
         open(done, "w").write("ok")
     frags = sorted(
         os.path.join(cache, f) for f in os.listdir(cache) if f.endswith(".parquet")

@@ -43,31 +43,43 @@ def with_planted_duplicates(ds, every: int = 7, offset: int = 10_000):
 
 
 def exact_dedup(ds):
-    """Keep the smallest doc_id per distinct text.  Returns doc_id, n_copies."""
+    """Keep the smallest doc_id per distinct text.  Returns doc_id, n_copies.
+
+    Content hashing is vectorized (polars xxhash64 with two independent seeds
+    -> a 128-bit key, collision-safe at web scale), and the conquer step is a
+    plain ``groupby.aggregate(Min, Count)`` — no per-group pandas frames, the
+    shuffle carries only (h1, h2, doc_id) triples."""
+    from ray.data.aggregate import Count, Min
 
     def hash_stage(batch: pa.Table) -> pa.Table:
-        hashes = [
-            hashlib.sha256(t.encode()).hexdigest()[:16]
-            for t in batch["text"].to_pylist()
-        ]
+        import polars as pl
+
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        s = pl.from_arrow(text)
         return pa.table(
             {
-                "content_hash": pa.array(hashes),
+                "h1": pa.array(s.hash(seed=1).to_numpy().view(np.int64)),
+                "h2": pa.array(s.hash(seed=2).to_numpy().view(np.int64)),
                 "doc_id": batch["doc_id"],
             }
         )
 
     hashed = ds.map_batches(hash_stage, batch_format="pyarrow")
+    agg = hashed.groupby(["h1", "h2"]).aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies")
+    )
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "doc_id": [int(g["doc_id"].min())],
-                "n_copies": [int(len(g))],
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_copies": batch["n_copies"].cast(pa.int64()),
             }
         )
 
-    return hashed.groupby("content_hash").map_groups(first, batch_format="pandas")
+    return agg.map_batches(project, batch_format="pyarrow")
 
 
 # -- MinHash + LSH ---------------------------------------------------------
@@ -128,84 +140,146 @@ def minhash_lsh_pairs(
     shingle: int = 3,
     jaccard_threshold: float = 0.6,
     concurrency: int = 2,
+    bucket_cap: int = 500,
 ):
     """Near-duplicate pairs via MinHash-LSH + exact signature-Jaccard verify.
 
     Returns doc_a, doc_b (doc_a < doc_b), est_jaccard (float).
-    """
+
+    Scale design: banded rows carry ONLY (band, bucket:int64, doc_id) — 20
+    bytes/row, not the full signature per band (round-1 shuffle carried the
+    512-byte signature 16x).  Buckets larger than ``bucket_cap`` (degenerate
+    boilerplate) pair each member with the bucket's min doc (star topology —
+    same connected components, O(B) instead of O(B^2)).  Verification joins
+    the candidate pairs back to signatures via a broadcast lookup bounded by
+    the candidate count (the output size), never the corpus."""
+    import ray
+
     rows_per_band = num_perm // bands
+    # materialized once: the signature table (num_perm x 8 B/doc, far smaller
+    # than the text corpus, spills to the object store) feeds both the band
+    # explode and the verification lookup without recomputing the shingling
     sigs = ds.map_batches(
         MinHasher,
         batch_format="pyarrow",
         fn_constructor_args=(num_perm, shingle),
         concurrency=concurrency,
-    )
+    ).materialize()
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         doc = batch["doc_id"].to_numpy()
-        sig = np.stack(batch["sig"].to_pylist())
-        out_band, out_bucket, out_doc, out_sig = [], [], [], []
-        for b in range(bands):
-            chunk = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
-            buckets = [
-                hashlib.blake2b(c.tobytes(), digest_size=8).hexdigest()
-                for c in chunk
-            ]
-            out_band.extend([b] * len(doc))
-            out_bucket.extend(buckets)
-            out_doc.extend(doc.tolist())
-            out_sig.extend(sig.tolist())
+        sig = np.stack(batch["sig"].to_pylist()).astype(np.uint64)
+        n = len(doc)
+        out_band = np.repeat(np.arange(bands, dtype=np.int32), n)
+        out_doc = np.tile(doc, bands)
+        out_bucket = np.empty(bands * n, dtype=np.int64)
+        with np.errstate(over="ignore"):
+            for b in range(bands):
+                chunk = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
+                # vectorized splitmix fold of the band chunk -> 64-bit bucket
+                h = np.full(n, np.uint64(b + 1))
+                for c in range(chunk.shape[1]):
+                    h = (h ^ chunk[:, c]) * _GOLDEN
+                h ^= h >> np.uint64(29)
+                out_bucket[b * n : (b + 1) * n] = h.view(np.int64)
         return pa.table(
             {
-                "band": pa.array(out_band, type=pa.int32()),
+                "band": pa.array(out_band),
                 "bucket": pa.array(out_bucket),
                 "doc_id": pa.array(out_doc, type=pa.int64()),
-                "sig": pa.array(out_sig, type=pa.list_(pa.int64())),
             }
         )
 
     banded = sigs.map_batches(explode_bands, batch_format="pyarrow")
 
     def candidates(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
+        docs = np.unique(g["doc_id"].to_numpy())
+        if len(docs) < 2:
             return pd.DataFrame(
                 {"doc_a": pd.Series(dtype=np.int64),
-                 "doc_b": pd.Series(dtype=np.int64),
-                 "est_jaccard": pd.Series(dtype=np.float64)}
+                 "doc_b": pd.Series(dtype=np.int64)}
             )
-        g = g.sort_values("doc_id")
-        docs = g["doc_id"].to_numpy()
-        sigs_ = np.stack(g["sig"].to_numpy())
-        rows = []
-        for i in range(len(docs)):
-            for j in range(i + 1, len(docs)):
-                if docs[i] == docs[j]:
-                    continue
-                est = float((sigs_[i] == sigs_[j]).mean())
-                if est >= jaccard_threshold:
-                    rows.append((int(docs[i]), int(docs[j]), est))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "est_jaccard"])
+        if len(docs) > bucket_cap:
+            # star: every member pairs with the min doc — O(B) pairs
+            a = np.full(len(docs) - 1, docs[0], dtype=np.int64)
+            b = docs[1:]
+        else:
+            ii, jj = np.triu_indices(len(docs), k=1)
+            a, b = docs[ii], docs[jj]
+        return pd.DataFrame({"doc_a": a, "doc_b": b})
 
     pairs = banded.groupby(["band", "bucket"]).map_groups(
         candidates, batch_format="pandas"
     )
+    # dedup pairs found in multiple bands (tiny groupby over candidate pairs)
+    uniq_pairs = pairs.groupby(["doc_a", "doc_b"]).count().drop_columns(["count()"])
 
-    # dedup pairs found in multiple bands
-    def first_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    # verification: broadcast a doc -> signature lookup bounded by the
+    # candidate set, estimate Jaccard per pair, filter by threshold
+    pairs_pd = uniq_pairs.to_pandas()  # bounded by output size
+    if len(pairs_pd) == 0:
+        import ray.data as rd
 
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        first_pair, batch_format="pandas"
+        return rd.from_pandas(
+            pd.DataFrame(
+                {"doc_a": pd.Series(dtype=np.int64),
+                 "doc_b": pd.Series(dtype=np.int64),
+                 "est_jaccard": pd.Series(dtype=np.float64)}
+            )
+        )
+    cand_docs = np.union1d(pairs_pd["doc_a"].to_numpy(), pairs_pd["doc_b"].to_numpy())
+    cand_ref = ray.put(np.sort(cand_docs))
+
+    def filter_sigs(batch: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        doc = batch["doc_id"].to_numpy()
+        idx = np.searchsorted(cand, doc)
+        keep = (idx < len(cand)) & (cand[np.clip(idx, 0, len(cand) - 1)] == doc)
+        return batch.filter(pa.array(keep))
+
+    cand_sigs = sigs.map_batches(filter_sigs, batch_format="pyarrow").to_pandas()
+    sig_mat = np.stack(cand_sigs["sig"].to_numpy())
+    order = np.argsort(cand_sigs["doc_id"].to_numpy())
+    sig_mat = sig_mat[order]
+    sorted_docs = cand_sigs["doc_id"].to_numpy()[order]
+
+    # vectorized verification over the (bounded) candidate pair list
+    ia = np.searchsorted(sorted_docs, pairs_pd["doc_a"].to_numpy())
+    ib = np.searchsorted(sorted_docs, pairs_pd["doc_b"].to_numpy())
+    est = (sig_mat[ia] == sig_mat[ib]).mean(axis=1)
+    out = pd.DataFrame(
+        {
+            "doc_a": pairs_pd["doc_a"].to_numpy(np.int64),
+            "doc_b": pairs_pd["doc_b"].to_numpy(np.int64),
+            "est_jaccard": est.astype(np.float64),
+        }
     )
+    out = out[out["est_jaccard"] >= jaccard_threshold].reset_index(drop=True)
+    import ray.data as rd
+
+    return rd.from_pandas(out)
 
 
 # -- SimHash ---------------------------------------------------------------
 
 class SimHasher:
-    """64-bit SimHash fingerprints over word hashes (actor-pool stage)."""
+    """64-bit SimHash fingerprints over word hashes (actor-pool stage).
+
+    Per-batch work is vectorized: unique words hash through a per-actor
+    cache, bit contributions accumulate with one ``np.add.at`` scatter, and
+    fingerprints pack with ``np.packbits`` — no per-document bit loops."""
 
     def __init__(self):
-        pass
+        self._cache: dict[str, int] = {}
+
+    def _word_hash(self, w: str) -> int:
+        h = self._cache.get(w)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
+            )
+            self._cache[w] = h
+        return h
 
     @staticmethod
     def fingerprint(text: str) -> int:
@@ -222,55 +296,108 @@ class SimHasher:
         return fp
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        fps = [self.fingerprint(t) for t in batch["text"].to_pylist()]
+        texts = batch["text"].to_pylist()
+        doc_idx: list[int] = []
+        words: list[str] = []
+        for i, t in enumerate(texts):
+            ws = set(t.split())
+            words.extend(ws)
+            doc_idx.extend([i] * len(ws))
+        if words:
+            hs = np.fromiter(
+                (self._word_hash(w) for w in words), dtype=np.uint64, count=len(words)
+            )
+            bits = np.unpackbits(
+                hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            ).astype(np.int64)  # bits[:, k] == (h >> k) & 1 (little-endian)
+            acc = np.zeros((len(texts), 64), dtype=np.int64)
+            np.add.at(acc, np.asarray(doc_idx), 2 * bits - 1)
+        else:
+            acc = np.zeros((len(texts), 64), dtype=np.int64)
+        fps = np.packbits((acc > 0).astype(np.uint8), axis=1, bitorder="little")
+        fps = fps.view(np.uint64).ravel()
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "simhash": pa.array(np.asarray(fps, dtype=np.uint64)),
+                "simhash": pa.array(fps),
             }
         )
 
 
-def simhash_pairs(ds, max_hamming: int = 3, concurrency: int = 2):
-    """Near-dup pairs with hamming distance <= max_hamming, via 4x16-bit band
-    bucketing (a pair within distance 3 shares at least one exact band)."""
+def simhash_pairs(
+    ds,
+    max_hamming: int = 3,
+    concurrency: int = 2,
+    bands: int = 4,
+    bucket_cap: int = 500,
+):
+    """Near-dup pairs with hamming distance <= max_hamming, via band
+    bucketing over ``bands`` equal chunks of the 64-bit fingerprint.
+
+    Recall guarantee needs ``max_hamming < bands`` (pigeonhole: some band is
+    then error-free); use bands=8 for distances up to 7.  Buckets above
+    ``bucket_cap`` (boilerplate skew) fall back to a star around the min doc
+    — same connected components, O(B) work instead of O(B^2)."""
+    if 64 % bands:
+        raise ValueError("bands must divide 64")
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
     fps = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=concurrency)
 
     def explode(batch: pa.Table) -> pa.Table:
         doc = batch["doc_id"].to_numpy()
         fp = batch["simhash"].to_numpy()
-        out = {"band": [], "bucket": [], "doc_id": [], "simhash": []}
-        for b in range(4):
-            chunk = (fp >> np.uint64(16 * b)) & np.uint64(0xFFFF)
-            out["band"].extend([b] * len(doc))
-            out["bucket"].extend(chunk.tolist())
-            out["doc_id"].extend(doc.tolist())
-            out["simhash"].extend(fp.tolist())
+        n = len(doc)
+        out_band = np.repeat(np.arange(bands, dtype=np.int32), n)
+        out_bucket = np.concatenate(
+            [((fp >> np.uint64(width * b)) & mask).astype(np.int64) for b in range(bands)]
+        ) if n else np.empty(0, dtype=np.int64)
         return pa.table(
             {
-                "band": pa.array(out["band"], type=pa.int32()),
-                "bucket": pa.array(out["bucket"], type=pa.int64()),
-                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
-                "simhash": pa.array(np.asarray(out["simhash"], dtype=np.uint64)),
+                "band": pa.array(out_band),
+                "bucket": pa.array(out_bucket),
+                "doc_id": pa.array(np.tile(doc, bands), type=pa.int64()),
+                "simhash": pa.array(np.tile(fp, bands)),
             }
         )
 
     banded = fps.map_batches(explode, batch_format="pyarrow")
 
     def candidates(g: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        if len(g) >= 2:
-            g = g.sort_values("doc_id")
-            docs = g["doc_id"].to_numpy()
-            fps_ = g["simhash"].to_numpy().astype(np.uint64)
-            for i in range(len(docs)):
-                for j in range(i + 1, len(docs)):
-                    if docs[i] == docs[j]:
-                        continue
-                    ham = bin(int(fps_[i]) ^ int(fps_[j])).count("1")
-                    if ham <= max_hamming:
-                        rows.append((int(docs[i]), int(docs[j]), ham))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
+        empty = pd.DataFrame(
+            {"doc_a": pd.Series(dtype=np.int64),
+             "doc_b": pd.Series(dtype=np.int64),
+             "hamming": pd.Series(dtype=np.int64)}
+        )
+        if len(g) < 2:
+            return empty
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        n = len(g)
+        if n < 2:
+            return empty
+        docs = g["doc_id"].to_numpy()
+        fps_ = g["simhash"].to_numpy().astype(np.uint64)
+        bits = np.unpackbits(fps_.view(np.uint8).reshape(n, 8), axis=1)
+        if n > bucket_cap:
+            ham = (bits[:1] != bits[1:]).sum(axis=1)
+            keep = ham <= max_hamming
+            return pd.DataFrame(
+                {
+                    "doc_a": np.full(int(keep.sum()), docs[0], dtype=np.int64),
+                    "doc_b": docs[1:][keep].astype(np.int64),
+                    "hamming": ham[keep].astype(np.int64),
+                }
+            )
+        ii, jj = np.triu_indices(n, k=1)
+        ham = (bits[ii] != bits[jj]).sum(axis=1)
+        keep = ham <= max_hamming
+        return pd.DataFrame(
+            {
+                "doc_a": docs[ii[keep]].astype(np.int64),
+                "doc_b": docs[jj[keep]].astype(np.int64),
+                "hamming": ham[keep].astype(np.int64),
+            }
+        )
 
     pairs = banded.groupby(["band", "bucket"]).map_groups(
         candidates, batch_format="pandas"

@@ -190,34 +190,113 @@ def lsh_topk(
     return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
-def embedding_neardup_pairs(ds, threshold: float = 0.95):
-    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine >= t).
+class _MultiTableLshStage:
+    """Actor-pool stage: sign-pattern bucket ids under L independent
+    hyperplane tables (plane matrices built once per actor)."""
 
-    Small-side broadcast of the normalized corpus (fits for dimension-reduced
-    fingerprints; the 100 TB path buckets by LSH first — see lsh_topk)."""
-    import ray
+    def __init__(self, dim: int, n_planes: int, n_tables: int, seed: int):
+        rng = np.random.default_rng(seed)
+        self.planes = [
+            rng.standard_normal((n_planes, dim)) for _ in range(n_tables)
+        ]
+        self.n_planes = n_planes
 
-    whole = ds.to_pandas()
-    m = _normalize(
-        np.stack(whole["embedding"].to_numpy()).astype(np.float64)
-    )
-    ids = whole["vec_id"].to_numpy(dtype=np.int64)
-    m_ref = ray.put((m, ids))
-
-    def pairs(batch: pa.Table) -> pa.Table:
-        corpus, corpus_ids = ray.get(m_ref)
-        mb = _normalize(_vec_matrix(batch))
-        bids = batch["vec_id"].to_numpy()
-        sims = mb @ corpus.T
-        rows_a, rows_b = np.nonzero(sims >= threshold)
-        a = bids[rows_a]
-        b = corpus_ids[rows_b]
-        keep = a < b
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_vec_matrix(batch))
+        ids = batch["vec_id"].to_numpy()
+        n = len(ids)
+        weights = (1 << np.arange(self.n_planes, dtype=np.int64))[None, :]
+        tables, buckets = [], []
+        for t, planes in enumerate(self.planes):
+            b = (((m @ planes.T) > 0).astype(np.int64) * weights).sum(axis=1)
+            tables.append(np.full(n, t, dtype=np.int32))
+            buckets.append(b)
+        k = len(self.planes)
+        dim = m.shape[1]
+        # ship the NORMALIZED vectors as fixed-size lists built straight from
+        # the numpy matrix (no per-row python conversion)
+        flat = np.tile(m, (k, 1)).ravel()
+        emb = pa.FixedSizeListArray.from_arrays(pa.array(flat), dim)
         return pa.table(
             {
-                "vec_a": pa.array(a[keep], type=pa.int64()),
-                "vec_b": pa.array(b[keep], type=pa.int64()),
+                "table": pa.array(np.concatenate(tables)),
+                "bucket": pa.array(np.concatenate(buckets), type=pa.int64()),
+                "vec_id": pa.array(np.tile(ids, k), type=pa.int64()),
+                "embedding": emb,
             }
         )
 
-    return ds.map_batches(pairs, batch_format="pyarrow")
+
+def embedding_neardup_pairs(
+    ds,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 7,
+    concurrency: int = 2,
+    bucket_cap: int = 2000,
+):
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine >= t).
+
+    100 TB path: vectors are bucketed under ``n_tables`` independent
+    random-hyperplane sign patterns (identical/near-identical vectors share
+    every bucket); exact pairwise cosine runs only WITHIN each (table,
+    bucket) group — never a corpus-wide materialization or O(n^2) scan.
+    Pairs found in several tables dedup in a tiny final groupby.  Recall for
+    cosine>=0.95 with 8 planes x 4 tables is ~0.9 (probabilistic; identical
+    vectors are always found); oversize buckets chunk at ``bucket_cap`` rows
+    (pairs computed within and across adjacent chunks of the id-sorted
+    bucket, bounding memory at cap^2 while keeping duplicate runs paired)."""
+    dim = len(ds.take(1)[0]["embedding"])
+    bucketed = ds.map_batches(
+        _MultiTableLshStage,
+        batch_format="pyarrow",
+        fn_constructor_args=(dim, n_planes, n_tables, seed),
+        concurrency=concurrency,
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"vec_a": pd.Series(dtype=np.int64),
+             "vec_b": pd.Series(dtype=np.int64),
+             "cosine": pd.Series(dtype=np.float64)}
+        )
+        if len(g) < 2:
+            return empty
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy(np.int64)
+        m = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
+        out = []
+        for lo in range(0, len(ids), bucket_cap):
+            hi = min(len(ids), lo + 2 * bucket_cap)  # overlap adjacent chunks
+            sims = m[lo:hi] @ m[lo:hi].T
+            ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+            if len(ii):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_a": ids[lo:hi][ii],
+                            "vec_b": ids[lo:hi][jj],
+                            "cosine": sims[ii, jj],
+                        }
+                    )
+                )
+            if hi == len(ids):
+                break
+        if not out:
+            return empty
+        res = pd.concat(out, ignore_index=True).drop_duplicates(["vec_a", "vec_b"])
+        return res.astype(
+            {"vec_a": np.int64, "vec_b": np.int64, "cosine": np.float64}
+        )
+
+    pairs = bucketed.groupby(["table", "bucket"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+
+    def first_pair(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)[["vec_a", "vec_b"]]
+
+    return pairs.groupby(["vec_a", "vec_b"]).map_groups(
+        first_pair, batch_format="pandas"
+    )

@@ -144,19 +144,17 @@ class Fingerprinter:
             )
             return np.asarray([h & 0x7FFFFFFF], dtype=np.int64)
         b = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
-        powers = pow(base, k - 1, mod)
-        hashes = np.empty(len(b) - k + 1, dtype=np.int64)
-        h = 0
-        for i in range(k):
-            h = (h * base + int(b[i])) % mod
-        hashes[0] = h
-        for i in range(1, len(hashes)):
-            h = ((h - int(b[i - 1]) * powers) * base + int(b[i + k - 1])) % mod
-            hashes[i] = h % mod
+        n = len(b) - k + 1
+        # vectorized Horner evaluation of all k-gram hashes at once: k (=8)
+        # passes of (H*base + byte) % mod over shifted byte views replaces the
+        # per-character rolling recurrence (same residues mod p)
+        hashes = np.zeros(n, dtype=np.int64)
+        for j in range(k):
+            hashes = (hashes * base + b[j : j + n]) % mod
         w = self.window
-        if len(hashes) <= w:
+        if n <= w:
             return np.asarray([hashes.min()], dtype=np.int64)
-        mins = pd.Series(hashes).rolling(w).min().dropna().to_numpy()
+        mins = np.lib.stride_tricks.sliding_window_view(hashes, w).min(axis=1)
         return np.unique(mins).astype(np.int64)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:

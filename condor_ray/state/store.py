@@ -52,9 +52,9 @@ class PartitionStateStore:
         ts = ts_to_us(batch["ts"])
         sid = ts // self.slice_us
         if self.sample_elements:
-            conv = batch["conv_id"].to_pylist()
-            turn = batch["turn_idx"].to_pylist()
-            values = np.asarray([f"{c}:{t}" for c, t in zip(conv, turn)], dtype=object)
+            from ..engine.batch import _element_keys
+
+            values = _element_keys(batch)
         elif "__key32" in batch.column_names:
             # key precomputed by the split task — no re-hash in the actor
             col = batch["__key32"]
