@@ -157,6 +157,12 @@ def _q_session_synopses(sf_dir: str):
     )
 
 
+def _q_streaming_sessions(sf_dir: str):
+    from condor_ray.pipelines.core import streaming_sessions
+
+    return streaming_sessions(sf_dir, SESSION_GAP_MS)
+
+
 def _q_count_window_distinct(sf_dir: str):
     from condor_ray.pipelines.sessions import count_window_distinct
 
@@ -253,6 +259,12 @@ def _q_count_window_tool_freq(sf_dir: str):
     from condor_ray.pipelines.core import count_window_tool_frequencies
 
     return count_window_tool_frequencies(sf_dir, size=COUNT_WINDOW)
+
+
+def _q_streaming_count_window(sf_dir: str):
+    from condor_ray.pipelines.core import streaming_count_window_tool_freq
+
+    return streaming_count_window_tool_freq(sf_dir, size=COUNT_WINDOW)
 
 
 def _q_exact_dedup(sf_dir: str):
@@ -374,12 +386,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_windowed_counts": _q_streaming_windowed_counts,
         "sessions_30m": _q_sessions,
         "session_synopses": _q_session_synopses,  # rows-only (synopsis payloads)
+        "streaming_sessions": _q_streaming_sessions,
         "count_window_distinct": _q_count_window_distinct,
         "turns_join_tool_calls": _q_turns_join_tool_calls,
         "cm_asof_queries": _q_cm_asof_queries,
         "wavelet_window_sums": _q_wavelet_window_sums,  # rows-only (non-dyadic windows reconstruct approximately)
         "fifo_newest_ts": _q_fifo_newest_ts,
         "count_window_tool_freq": _q_count_window_tool_freq,
+        "streaming_count_window": _q_streaming_count_window,
         "equiwidth_hist": _mk_synopsis_query("equiwidth_hist_buckets"),
         "bloom_membership": _mk_synopsis_query("bloom_membership"),
         "cuckoo_membership": _mk_synopsis_query("cuckoo_membership"),
@@ -444,6 +458,7 @@ FROM transcripts WHERE tool IS NOT NULL GROUP BY 1, 2""",
     out["sessions_30m"] = __import__(
         "condor_ray.pipelines.sessions", fromlist=["session_sql"]
     ).session_sql(cte, SESSION_GAP_MS)
+    out["streaming_sessions"] = out["sessions_30m"]
     out["count_window_distinct"] = f"""
 SELECT (event_id // {COUNT_WINDOW}) AS window_id,
        count(DISTINCT user_id) AS n_convs
@@ -497,6 +512,7 @@ SELECT (event_id // {COUNT_WINDOW}) AS window_id,
 FROM events
 WHERE event_type NOT IN ('view', 'signup', 'click', 'purchase')
 GROUP BY 1, 2"""
+    out["streaming_count_window"] = out["count_window_tool_freq"]
     from condor_ray.pipelines import synopsis_queries as _sq
 
     out["equiwidth_hist"] = _sq.equiwidth_sql(cte, _W_US)

@@ -61,27 +61,70 @@ def build_windowed_wavelets(
 
     prepared = ds.map_batches(add_window, batch_format="pyarrow")
 
-    def per_window(g: pd.DataFrame) -> pd.DataFrame:
+    # Stage A (cheap): per window, establish the global stream order and cut
+    # it into P round-robin substreams — one output row per (window, p).
+    # Stage B (the compute-heavy tree build) then runs P tasks PER WINDOW
+    # instead of one, so a hot window no longer serializes on one core and
+    # the job scales with cores, not with window count.
+    def split_window(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "conv_id", "turn_idx"], kind="mergesort")
         values = g["value"].to_numpy()
-        wavelets = [WaveletSynopsis(size) for _ in range(parallelism)]
-        # round-robin in stream order — DistributedWaveletsManager contract
-        for p in range(parallelism):
-            wavelets[p].update_batch(values[p::parallelism])
+        wid = int(g["window_id"].iloc[0])
+        return pd.DataFrame(
+            {
+                "window_id": np.full(parallelism, wid, dtype=np.int64),
+                "p": np.arange(parallelism, dtype=np.int64),
+                "values": [values[p::parallelism] for p in range(parallelism)],
+                "n_sub": [len(values[p::parallelism]) for p in range(parallelism)],
+            }
+        )
+
+    substreams = prepared.groupby("window_id").map_groups(
+        split_window, batch_format="pandas"
+    )
+
+    def build_subs(df: pd.DataFrame) -> pd.DataFrame:
+        payloads = []
+        for vals in df["values"]:
+            w = WaveletSynopsis(size)
+            w.update_batch(np.asarray(vals, dtype=np.float64))
+            payloads.append(w.to_bytes())
+        return pd.DataFrame(
+            {
+                "window_id": df["window_id"].astype(np.int64).to_numpy(),
+                "p": df["p"].astype(np.int64).to_numpy(),
+                "n_sub": df["n_sub"].astype(np.int64).to_numpy(),
+                "payload": payloads,
+            }
+        )
+
+    # one row per (window, p) already — a block SPLIT (no sort exchange)
+    # spreads the sub-builds over 4 tasks per core; measured best at 4*ncpu
+    # blocks (1-row blocks paid more in block/repartition overhead than the
+    # straggler tail they removed)
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    built = substreams.repartition(4 * ncpu).map_batches(
+        build_subs, batch_format="pandas", batch_size=1
+    )
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("p")
         mgr = DistributedWaveletsManager(0, None)
-        for w in wavelets:
-            mgr.add_synopsis(w)
+        for b in g["payload"]:
+            mgr.add_synopsis(Synopsis.from_bytes(b))
         wid = int(g["window_id"].iloc[0])
         return pd.DataFrame(
             {
                 "window_start": [wid * size_us],
                 "window_end": [wid * size_us + size_us],
-                "n_rows": [len(g)],
+                "n_rows": [int(g["n_sub"].sum())],
                 "payload": [mgr.to_bytes()],
             }
         )
 
-    return prepared.groupby("window_id").map_groups(per_window, batch_format="pandas")
+    return built.groupby("window_id").map_groups(assemble, batch_format="pandas")
 
 
 def wavelet_range_sums(ds, window: TumblingWindow, ranges, **kwargs):

@@ -1,0 +1,446 @@
+"""Streaming SESSION windows: per-key gap-merge in the state actors.
+
+Reference: Condor supports session windows through Scotty
+(conn/.../processor/SynopsisBuilder.java:177-179, 335-337 — sessionWindow ->
+SessionWindow in the Scotty wrapper); Scotty's session slices merge on the
+key's gap.  Ray-native design (SURVEY §2.6): sessions are keyed by
+conversation, and the streaming engine already routes each conv_id to exactly
+one partition actor — so session state is conv-local, merges never cross
+actors, and the window-close cycle is a per-actor sweep:
+
+- **State**: per conv, a sorted list of open sessions
+  ``[first_ts, last_ts, synopsis, n_rows]``.  A new row either extends a
+  session (distance-to-neighbor < gap on either side, possibly bridging two
+  sessions into one — Flink merging-window semantics) or opens one.
+- **Close**: session closes when ``watermark >= last_ts + gap`` (no element
+  can extend it anymore: any such element would be late).  Sessions of one
+  conv close in start order, so the per-conv ``session_idx`` ordinal is a
+  plain counter in the actor.
+- **Late rule**: a row is late iff ``ts + gap <= carry-in watermark`` (the
+  session it could have joined is already closed); late rows are dropped and
+  counted, like the sliced engine.
+- **Exactly-once / lineage / checkpoint**: identical mechanics to
+  StreamingSynopsisJob — atomic per-fragment emission files, a JSONL
+  manifest, snapshot/restore of actor state + driver cursor.
+
+Hot-key salting is structurally OFF here: sessions are keyed state, a conv
+must live on one actor (the mergeable engine can salt because its state is
+keyed by (stratum, slice), not by conv).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from ..config import BuildConfiguration
+from ..stages.extract import KeyExtractor, ts_to_us
+from ..synopses.base import Synopsis
+from ..synopses.registry import make_synopsis
+from ..windows import SessionWindow
+from .streaming import _NEG_INF, _murmur_mix_array
+from ..hashing import java_string_hash_arrow
+
+_EMPTY_SCHEMA = {
+    "conv_id": pa.string(),
+    "session_idx": pa.int64(),
+    "session_start": pa.int64(),
+    "session_end": pa.int64(),
+    "n_rows": pa.int64(),
+    "synopsis_type": pa.string(),
+    "payload": pa.binary(),
+}
+
+
+def _partition_session_fragment(
+    path: str,
+    parallelism: int,
+    gap_us: int,
+    watermark_us: int,
+    columns: list[str] | None,
+):
+    """Split one fragment into P shards by conv hash; drop rows whose
+    potential session is already closed (ts + gap <= carry-in watermark)."""
+    table = pq.read_table(path, columns=columns)
+    n = table.num_rows
+    ts = ts_to_us(table["ts"])
+    frag_max = int(ts.max()) if n else _NEG_INF
+    frag_min = int(ts.min()) if n else 2**62
+
+    late = ts + gap_us <= watermark_us
+    n_late = int(late.sum())
+    if n_late:
+        table = table.filter(pa.array(~late))
+
+    conv = table["conv_id"]
+    if isinstance(conv, pa.ChunkedArray):
+        conv = conv.combine_chunks()
+    dic = conv.dictionary_encode()
+    hashes = java_string_hash_arrow(dic.dictionary)
+    lut = _murmur_mix_array(hashes) % parallelism
+    codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    part = lut[codes]
+    order = np.argsort(part, kind="stable")
+    sorted_tbl = table.take(pa.array(order))
+    counts = np.bincount(part, minlength=parallelism)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    shards = [sorted_tbl.slice(offsets[p], counts[p]) for p in range(parallelism)]
+    meta = {
+        "n_rows": n,
+        "n_late": n_late,
+        "frag_max_ts": frag_max,
+        "frag_min_ts": frag_min,
+    }
+    return (meta, *shards)
+
+
+@ray.remote(num_cpus=0.5)
+class SessionStateStore:
+    """Per-partition session state: conv -> open sessions (gap-merge)."""
+
+    def __init__(self, partition_id: int, config: BuildConfiguration, gap_us: int):
+        self.partition_id = partition_id
+        self.config = config
+        self.gap_us = gap_us
+        self.extractor = KeyExtractor(config.key)
+        self.timestamped = make_synopsis(config.synopsis, config.params).timestamped
+        # conv -> list of [first_ts, last_ts, synopsis, n_rows], sorted by first_ts
+        self.sessions: dict[str, list] = {}
+        self.closed_counts: dict[str, int] = {}
+        self.rows_ingested = 0
+
+    def _new_synopsis(self, conv: str) -> Synopsis:
+        syn = make_synopsis(self.config.synopsis, self.config.params)
+        syn.set_partition_value(conv)
+        return syn
+
+    def ingest(self, batch: pa.Table) -> int:
+        n = batch.num_rows
+        if n == 0:
+            return 0
+        ts = ts_to_us(batch["ts"])
+        values = self.extractor(batch)
+        conv = batch["conv_id"]
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        dic = conv.dictionary_encode()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        convs = dic.dictionary.to_pylist()
+        gap = self.gap_us
+        order = np.lexsort((ts, codes))
+        codes_s, ts_s, values_s = codes[order], ts[order], values[order]
+        bounds = np.concatenate(
+            [[0], np.nonzero(np.diff(codes_s))[0] + 1, [n]]
+        )
+        for b in range(len(bounds) - 1):
+            lo, hi = int(bounds[b]), int(bounds[b + 1])
+            cid = convs[int(codes_s[lo])]
+            self._ingest_conv(cid, ts_s[lo:hi], values_s[lo:hi])
+        self.rows_ingested += n
+        return n
+
+    def _ingest_conv(self, cid: str, ts: np.ndarray, values: np.ndarray) -> None:
+        """Merge ts-sorted rows of one conv into its open sessions.
+
+        Sweep over (existing sessions + new rows) in start order, merging
+        neighbors closer than gap — the Flink merging-window algorithm on
+        intervals."""
+        gap = self.gap_us
+        items: list = list(self.sessions.get(cid, ()))
+        # new rows enter as pending singletons [ts, ts, None(values buffered)]
+        starts = [it[0] for it in items]
+        idx = np.searchsorted(np.asarray(starts, dtype=np.int64), ts)
+        # simple merge: combine sorted streams of sessions and rows
+        merged: list = []
+        ri, si = 0, 0
+        cur = None  # [first, last, syn, cnt, pending_vals, pending_ts]
+
+        def flush(cur):
+            if cur[4]:
+                vals = np.asarray(cur[4])
+                tss = np.asarray(cur[5], dtype=np.int64)
+                if cur[2] is None:
+                    cur[2] = self._new_synopsis(cid)
+                if self.timestamped:
+                    cur[2].update_batch(vals, timestamps=tss)
+                else:
+                    cur[2].update_batch(vals)
+                cur[3] += len(vals)
+            merged.append(cur[:4])
+
+        while ri < len(ts) or si < len(items):
+            if si < len(items) and (ri >= len(ts) or items[si][0] <= ts[ri]):
+                nxt = [items[si][0], items[si][1], items[si][2], items[si][3], [], []]
+                si += 1
+            else:
+                nxt = [int(ts[ri]), int(ts[ri]), None, 0, [values[ri]], [int(ts[ri])]]
+                ri += 1
+            if cur is None:
+                cur = nxt
+            elif nxt[0] - cur[1] < gap:
+                # merge nxt into cur
+                cur[1] = max(cur[1], nxt[1])
+                if nxt[2] is not None:
+                    if cur[2] is None:
+                        cur[2] = nxt[2]
+                    else:
+                        cur[2] = cur[2].merge(nxt[2])
+                    cur[3] += nxt[3]
+                cur[4].extend(nxt[4])
+                cur[5].extend(nxt[5])
+            else:
+                flush(cur)
+                cur = nxt
+        if cur is not None:
+            flush(cur)
+        self.sessions[cid] = merged
+
+    def close_sessions(self, watermark_us: int) -> pa.Table:
+        """Emit + evict every session with last_ts + gap <= watermark."""
+        gap = self.gap_us
+        out = {k: [] for k in _EMPTY_SCHEMA}
+        for cid in sorted(self.sessions):
+            sess = self.sessions[cid]
+            keep = []
+            for s in sess:
+                if s[1] + gap <= watermark_us:
+                    idx = self.closed_counts.get(cid, 0)
+                    self.closed_counts[cid] = idx + 1
+                    out["conv_id"].append(cid)
+                    out["session_idx"].append(idx)
+                    out["session_start"].append(int(s[0]))
+                    out["session_end"].append(int(s[1]))
+                    out["n_rows"].append(int(s[3]))
+                    out["synopsis_type"].append(self.config.synopsis)
+                    out["payload"].append(
+                        s[2].to_bytes() if s[2] is not None else b""
+                    )
+                else:
+                    keep.append(s)
+            if keep:
+                self.sessions[cid] = keep
+            else:
+                del self.sessions[cid]
+        return pa.table({k: pa.array(v, type=t) for (k, t), v in zip(_EMPTY_SCHEMA.items(), out.values())})
+
+    # -- checkpoint ---------------------------------------------------------
+    def snapshot(self) -> bytes:
+        import pickle
+
+        return pickle.dumps(
+            {
+                "sessions": {
+                    cid: [
+                        (s[0], s[1], s[2].to_bytes() if s[2] is not None else None, s[3])
+                        for s in sess
+                    ]
+                    for cid, sess in self.sessions.items()
+                },
+                "closed_counts": dict(self.closed_counts),
+                "rows_ingested": self.rows_ingested,
+            },
+            protocol=4,
+        )
+
+    def restore(self, blob: bytes) -> None:
+        import pickle
+
+        st = pickle.loads(blob)
+        self.sessions = {
+            cid: [
+                [s0, s1, Synopsis.from_bytes(sb) if sb is not None else None, cnt]
+                for (s0, s1, sb, cnt) in sess
+            ]
+            for cid, sess in st["sessions"].items()
+        }
+        self.closed_counts = dict(st["closed_counts"])
+        self.rows_ingested = st["rows_ingested"]
+
+
+class StreamingSessionJob:
+    """Micro-batch session-window job over ts-ordered Parquet fragments with
+    watermarks, exactly-once emission, and checkpoint/resume (same lineage
+    mechanics as StreamingSynopsisJob)."""
+
+    def __init__(
+        self,
+        config: BuildConfiguration,
+        out_dir: str,
+        checkpoint_dir: str | None = None,
+        checkpoint_every: int = 4,
+        columns: list[str] | None = None,
+    ):
+        if len(config.windows) != 1 or not isinstance(config.windows[0], SessionWindow):
+            raise ValueError("StreamingSessionJob requires exactly one SessionWindow")
+        if config.hot_key_threshold is not None:
+            raise ValueError(
+                "session windows are keyed by conv; hot-key salting would split a key's state"
+            )
+        self.config = config
+        self.gap_us = config.windows[0].gap_us
+        self.parallelism = config.parallelism
+        self.out_dir = out_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = checkpoint_every
+        self.columns = columns
+        os.makedirs(out_dir, exist_ok=True)
+        if checkpoint_dir:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+        self.stores = [
+            SessionStateStore.remote(p, config, self.gap_us)
+            for p in range(self.parallelism)
+        ]
+        self.watermark = _NEG_INF
+        self.next_fragment = 0
+        self.total_late = 0
+        self.total_rows = 0
+
+    def _checkpoint(self) -> None:
+        if not self.checkpoint_dir:
+            return
+        import shutil
+
+        snaps = ray.get([s.snapshot.remote() for s in self.stores])
+        tmp = os.path.join(self.checkpoint_dir, f".tmp-ckpt-{self.next_fragment:05d}")
+        final = os.path.join(self.checkpoint_dir, f"ckpt-{self.next_fragment:05d}")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        for p, blob in enumerate(snaps):
+            with open(os.path.join(tmp, f"part-{p:04d}.bin"), "wb") as f:
+                f.write(blob)
+        meta = {
+            "next_fragment": self.next_fragment,
+            "watermark": self.watermark,
+            "total_late": self.total_late,
+            "total_rows": self.total_rows,
+            "parallelism": self.parallelism,
+        }
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+
+    def resume(self) -> bool:
+        if not self.checkpoint_dir:
+            return False
+        ckpts = sorted(
+            d for d in os.listdir(self.checkpoint_dir) if d.startswith("ckpt-")
+        )
+        if not ckpts:
+            return False
+        path = os.path.join(self.checkpoint_dir, ckpts[-1])
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        if meta["parallelism"] != self.parallelism:
+            raise ValueError("cannot resume with a different parallelism")
+        futs = []
+        for p, store in enumerate(self.stores):
+            with open(os.path.join(path, f"part-{p:04d}.bin"), "rb") as f:
+                futs.append(store.restore.remote(f.read()))
+        ray.get(futs)
+        self.next_fragment = meta["next_fragment"]
+        self.watermark = meta["watermark"]
+        self.total_late = meta["total_late"]
+        self.total_rows = meta["total_rows"]
+        return True
+
+    def _close(self, fragment_idx: int) -> int:
+        tables = ray.get(
+            [s.close_sessions.remote(self.watermark) for s in self.stores]
+        )
+        tables = [t for t in tables if t.num_rows]
+        if not tables:
+            return 0
+        out = pa.concat_tables(tables).sort_by(
+            [("conv_id", "ascending"), ("session_start", "ascending")]
+        )
+        emit_path = os.path.join(self.out_dir, f"emit-f{fragment_idx:05d}.parquet")
+        tmp = emit_path + f".tmp-{os.getpid()}"
+        pq.write_table(out, tmp)
+        os.replace(tmp, emit_path)
+        return out.num_rows
+
+    def run(self, fragment_paths: list[str], resume: bool = False, final_flush: bool = True) -> dict:
+        if resume:
+            self.resume()
+        manifest_path = os.path.join(self.out_dir, "manifest.jsonl")
+        split = ray.remote(num_returns=1 + self.parallelism)(
+            _partition_session_fragment
+        )
+        emitted = 0
+        for k in range(self.next_fragment, len(fragment_paths)):
+            path = fragment_paths[k]
+            refs = split.remote(
+                path, self.parallelism, self.gap_us, self.watermark, self.columns
+            )
+            meta_ref, shard_refs = refs[0], refs[1:]
+            futs = [
+                store.ingest.remote(shard)
+                for store, shard in zip(self.stores, shard_refs)
+            ]
+            meta = ray.get(meta_ref)
+            ray.get(futs)
+            self.total_rows += meta["n_rows"]
+            self.total_late += meta["n_late"]
+            self.watermark = max(self.watermark, meta["frag_max_ts"])
+            emitted += self._close(k)
+            with open(manifest_path, "a") as f:
+                f.write(
+                    json.dumps(
+                        {
+                            "fragment": k,
+                            "path": os.path.basename(path),
+                            "rows": meta["n_rows"],
+                            "late_dropped": meta["n_late"],
+                            "watermark": self.watermark,
+                        }
+                    )
+                    + "\n"
+                )
+            self.next_fragment = k + 1
+            if self.checkpoint_dir and self.next_fragment % self.checkpoint_every == 0:
+                self._checkpoint()
+        if final_flush and self.watermark > _NEG_INF:
+            self.watermark += self.gap_us + 1
+            emitted += self._close(len(fragment_paths))
+        with open(manifest_path, "a") as f:
+            f.write(
+                json.dumps(
+                    {"summary": True, "sessions_emitted": emitted,
+                     "rows": self.total_rows, "late_dropped": self.total_late}
+                )
+                + "\n"
+            )
+        return {
+            "rows": self.total_rows,
+            "late_dropped": self.total_late,
+            "fragments": self.next_fragment,
+            "sessions_emitted": emitted,
+        }
+
+    def result_dataset(self):
+        import ray.data as rd
+
+        files = sorted(
+            os.path.join(self.out_dir, f)
+            for f in os.listdir(self.out_dir)
+            if f.startswith("emit-") and f.endswith(".parquet")
+        )
+        if not files:
+            return rd.from_arrow(
+                pa.table({k: pa.array([], type=t) for k, t in _EMPTY_SCHEMA.items()})
+            )
+        return rd.read_parquet(files)
+
+    def shutdown(self) -> None:
+        for s in self.stores:
+            ray.kill(s)
+        self.stores = []

@@ -215,17 +215,12 @@ def write_time_ordered_fragments(ds, out_dir: str, n_frag: int):
     return manifest
 
 
-def streaming_windowed_counts(sf_dir: str, window: TumblingWindow, parallelism: int = 4):
-    """Run the STREAMING engine (state-store actors, watermarks, exactly-once
-    sink) over the events-derived transcript stream and return per-window
-    exact counts — SQL-checkable because the events stream has no late rows.
-    """
+def cached_event_stream_fragments(sf_dir: str) -> list[str]:
+    """Ts-ordered fragment replay files of the events-derived transcript
+    stream (built once per sf_dir with the Ray-native fragment writer)."""
     import hashlib
     import os
 
-    import pyarrow.parquet as pq
-
-    from ..engine.streaming import StreamingSynopsisJob
     from ..sources.events_adapter import transcripts_from_events
 
     cache = os.path.join(
@@ -237,9 +232,52 @@ def streaming_windowed_counts(sf_dir: str, window: TumblingWindow, parallelism: 
         os.makedirs(cache, exist_ok=True)
         write_time_ordered_fragments(transcripts_from_events(sf_dir), cache, n_frag=4)
         open(done, "w").write("ok")
-    frags = sorted(
+    return sorted(
         os.path.join(cache, f) for f in os.listdir(cache) if f.endswith(".parquet")
     )
+
+
+def streaming_sessions(sf_dir: str, gap_ms: int, parallelism: int = 4):
+    """Session windows through the STREAMING engine (per-key gap-merge in the
+    state actors, watermark-driven close, exactly-once emission) — the same
+    gaps-and-islands SQL oracle as the batch ``sessions_30m`` query."""
+    import tempfile
+
+    from ..engine.streaming_sessions import StreamingSessionJob
+    from ..windows import SessionWindow
+
+    frags = cached_event_stream_fragments(sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="condor_sessions_q_")
+    cfg = BuildConfiguration(
+        synopsis="CountMinSketch",
+        params=(1024, 3, 7),
+        windows=[SessionWindow(gap_ms)],
+        key=KeySpec("text", "java_hash"),
+        parallelism=parallelism,
+    )
+    job = StreamingSessionJob(cfg, out_dir)
+    job.run(frags)
+    out = job.result_dataset().to_pandas()
+    job.shutdown()
+    return pd.DataFrame(
+        {
+            "conv_id": out["conv_id"].to_numpy(object),
+            "session_idx": out["session_idx"].astype(np.int64),
+            "session_start": out["session_start"].astype(np.int64),
+            "session_end": out["session_end"].astype(np.int64),
+            "n_turns": out["n_rows"].astype(np.int64),
+        }
+    )
+
+
+def streaming_windowed_counts(sf_dir: str, window: TumblingWindow, parallelism: int = 4):
+    """Run the STREAMING engine (state-store actors, watermarks, exactly-once
+    sink) over the events-derived transcript stream and return per-window
+    exact counts — SQL-checkable because the events stream has no late rows.
+    """
+    from ..engine.streaming import StreamingSynopsisJob
+
+    frags = cached_event_stream_fragments(sf_dir)
 
     import tempfile
 
@@ -351,27 +389,17 @@ def fifo_newest_ts(ds, window: TumblingWindow, k: int = 5):
     return syn.map_batches(explode, batch_format="pandas")
 
 
-def count_window_tool_frequencies(sf_dir: str, size: int = 500):
-    """Count-window synopsis path: CM sketch per ``size``-event count window.
-
-    Count windows are tumbling windows over the ARRIVAL ordinal axis (for the
-    events stream, ordinal == event_id — the file is arrival-ordered), so the
-    whole mergeable engine applies unchanged with ``ts := ordinal``.
-    Collision-free CM => output equals exact GROUP BY counts (SQL oracle).
-
-    Returns window_id:int64, tool:str, est:int64
-    """
-    import pyarrow as pa
+def _shaped_count_stream(sf_dir: str):
+    """events -> transcript-shaped tool stream on the ARRIVAL-ORDINAL axis
+    (ts := event_id as milliseconds; ordinal == event_id, file is
+    arrival-ordered), shared by the batch and streaming count-window paths."""
     import ray.data as rd
-
-    from ..engine.batch import build_windowed_synopses
-    from ..windows import TumblingWindow
 
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
     )
 
-    def to_transcript_shape(batch: pa.Table) -> pa.Table:
+    def shape(batch: pa.Table) -> pa.Table:
         ev = batch["event_id"].to_numpy()
         et = batch["event_type"]
         if isinstance(et, pa.ChunkedArray):
@@ -381,31 +409,27 @@ def count_window_tool_frequencies(sf_dir: str, size: int = 500):
                 et, value_set=pa.array(["view", "signup", "click", "purchase"])
             )
         ).to_numpy(zero_copy_only=False)
-        tool = np.where(is_tool, np.char.add("tool_", (ev % 20).astype(str)), None)
+        ev = ev[is_tool]
         return pa.table(
             {
                 "conv_id": pa.array(np.char.add("c", ev.astype(str))),
                 "turn_idx": pa.array(np.zeros(len(ev), dtype=np.int32)),
-                "tool": pa.array(tool, type=pa.string()),
-                # ordinal axis as microsecond timestamps: 1 event = 1 ms so a
-                # TumblingWindow(size) covers exactly `size` ordinals
+                "tool": pa.array(np.char.add("tool_", (ev % 20).astype(str))),
                 "ts": pa.array(ev * 1000, type=pa.timestamp("us")),
             }
         )
 
-    shaped = ds.map_batches(to_transcript_shape, batch_format="pyarrow")
-    shaped = shaped.map_batches(
-        lambda t: t.filter(pa.compute.is_valid(t["tool"])), batch_format="pyarrow"
-    )
-    cfg = BuildConfiguration(
-        synopsis="CountMinSketch",
-        params=(65536, 5, 7),
-        windows=[TumblingWindow(size)],  # size ms = size ordinals
-        key=KeySpec("tool", "java_hash"),
-    )
-    syn = build_windowed_synopses(shaped, cfg, concurrency=2)
+    return ds.map_batches(shape, batch_format="pyarrow")
 
-    # tools per count window (exact, tiny) to know the query keys
+
+def _count_window_tools_exact(sf_dir: str, size: int) -> pd.DataFrame:
+    """Exact (window_id, tool) pairs per count window — the query keys."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+    )
+
     def wt_pairs(batch: pa.Table) -> pa.Table:
         ev = batch["event_id"].to_numpy()
         et = batch["event_type"]
@@ -417,9 +441,7 @@ def count_window_tool_frequencies(sf_dir: str, size: int = 500):
             )
         ).to_numpy(zero_copy_only=False)
         ev = ev[is_tool]
-        wid = ev // size
-        tool_ids = ev % 20
-        gkey = wid * 100 + tool_ids
+        gkey = (ev // size) * 100 + ev % 20
         uniq = np.unique(gkey)
         return pa.table(
             {
@@ -428,38 +450,105 @@ def count_window_tool_frequencies(sf_dir: str, size: int = 500):
             }
         )
 
-    wt = (
+    return (
         ds.map_batches(wt_pairs, batch_format="pyarrow")
         .groupby(["window_id", "tool"])
         .count()
         .drop_columns(["count()"])
+        .to_pandas()
     )
-    syn_pd = syn.to_pandas()
+
+
+def _query_cm_per_window(wt: pd.DataFrame, syn_pd: pd.DataFrame) -> pd.DataFrame:
+    """Point-query each window's tools against its CM sketch (both inputs are
+    small per-window tables)."""
+    out = []
+    for wid, grp in wt.groupby("window_id"):
+        row = syn_pd[syn_pd["window_id"] == wid]
+        if row.empty:
+            continue
+        cm = Synopsis.from_bytes(row["payload"].iloc[0])
+        keys = java_string_hash_array(grp["tool"].tolist())
+        out.append(
+            pd.DataFrame(
+                {
+                    "window_id": np.full(len(grp), wid, dtype=np.int64),
+                    "tool": grp["tool"].to_numpy(),
+                    "est": cm.query_batch(keys).astype(np.int64),
+                }
+            )
+        )
+    if not out:
+        return pd.DataFrame(
+            {"window_id": pd.Series(dtype=np.int64),
+             "tool": pd.Series(dtype=object),
+             "est": pd.Series(dtype=np.int64)}
+        )
+    return pd.concat(out, ignore_index=True)
+
+
+def streaming_count_window_tool_freq(sf_dir: str, size: int = 500, parallelism: int = 4):
+    """Count windows through the STREAMING engine: tumbling windows on the
+    arrival-ordinal axis (reference countWindow,
+    conn/.../processor/SynopsisBuilder.java:218-221, with the documented
+    global-ordinal deviation) — watermark = max ordinal seen, exactly-once
+    emission, same SQL oracle as the batch count-window query."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..engine.streaming import StreamingSynopsisJob
+
+    cache = os.path.join(
+        "/tmp/condor_ray_fixtures",
+        "count_stream_v1_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:10],
+    )
+    done = os.path.join(cache, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(cache, exist_ok=True)
+        write_time_ordered_fragments(_shaped_count_stream(sf_dir), cache, n_frag=4)
+        open(done, "w").write("ok")
+    frags = sorted(
+        os.path.join(cache, f) for f in os.listdir(cache) if f.endswith(".parquet")
+    )
+    out_dir = tempfile.mkdtemp(prefix="condor_countwin_q_")
+    cfg = BuildConfiguration(
+        synopsis="CountMinSketch",
+        params=(65536, 5, 7),
+        windows=[TumblingWindow(size)],  # size ms == size ordinals
+        key=KeySpec("tool", "java_hash"),
+        parallelism=parallelism,
+    )
+    job = StreamingSynopsisJob(cfg, out_dir)
+    job.run(frags)
+    syn_pd = job.result_dataset().to_pandas()
+    job.shutdown()
     syn_pd["window_id"] = syn_pd["window_start"] // (size * 1000)
+    wt = _count_window_tools_exact(sf_dir, size)
+    return _query_cm_per_window(wt, syn_pd)
 
-    def query(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for wid, grp in df.groupby("window_id"):
-            row = syn_pd[syn_pd["window_id"] == wid]
-            if row.empty:
-                continue
-            cm = Synopsis.from_bytes(row["payload"].iloc[0])
-            keys = java_string_hash_array(grp["tool"].tolist())
-            out.append(
-                pd.DataFrame(
-                    {
-                        "window_id": np.full(len(grp), wid, dtype=np.int64),
-                        "tool": grp["tool"].to_numpy(),
-                        "est": cm.query_batch(keys).astype(np.int64),
-                    }
-                )
-            )
-        if not out:
-            return pd.DataFrame(
-                {"window_id": pd.Series(dtype=np.int64),
-                 "tool": pd.Series(dtype=object),
-                 "est": pd.Series(dtype=np.int64)}
-            )
-        return pd.concat(out, ignore_index=True)
 
-    return wt.map_batches(query, batch_format="pandas")
+def count_window_tool_frequencies(sf_dir: str, size: int = 500):
+    """Count-window synopsis path: CM sketch per ``size``-event count window.
+
+    Count windows are tumbling windows over the ARRIVAL ordinal axis (for the
+    events stream, ordinal == event_id — the file is arrival-ordered), so the
+    whole mergeable engine applies unchanged with ``ts := ordinal``.
+    Collision-free CM => output equals exact GROUP BY counts (SQL oracle).
+
+    Returns window_id:int64, tool:str, est:int64
+    """
+    from ..engine.batch import build_windowed_synopses
+    from ..windows import TumblingWindow
+
+    shaped = _shaped_count_stream(sf_dir)
+    cfg = BuildConfiguration(
+        synopsis="CountMinSketch",
+        params=(65536, 5, 7),
+        windows=[TumblingWindow(size)],  # size ms = size ordinals
+        key=KeySpec("tool", "java_hash"),
+    )
+    syn_pd = build_windowed_synopses(shaped, cfg, concurrency=2).to_pandas()
+    syn_pd["window_id"] = syn_pd["window_start"] // (size * 1000)
+    wt = _count_window_tools_exact(sf_dir, size)
+    return _query_cm_per_window(wt, syn_pd)
