@@ -245,6 +245,13 @@ def _q_wavelet_window_sums(sf_dir: str):
     )
 
 
+def _q_streaming_wavelet_sums(sf_dir: str):
+    from condor_ray.pipelines.core import streaming_wavelet_sums
+    from condor_ray.windows import TumblingWindow
+
+    return streaming_wavelet_sums(sf_dir, TumblingWindow(WINDOW_MS))
+
+
 def _q_fifo_newest_ts(sf_dir: str):
     from condor_ray.pipelines.core import fifo_newest_ts
     from condor_ray.sources.events_adapter import transcripts_from_events
@@ -391,6 +398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turns_join_tool_calls": _q_turns_join_tool_calls,
         "cm_asof_queries": _q_cm_asof_queries,
         "wavelet_window_sums": _q_wavelet_window_sums,  # rows-only (non-dyadic windows reconstruct approximately)
+        "streaming_wavelet_sums": _q_streaming_wavelet_sums,  # rows-only (same)
         "fifo_newest_ts": _q_fifo_newest_ts,
         "count_window_tool_freq": _q_count_window_tool_freq,
         "streaming_count_window": _q_streaming_count_window,

@@ -191,27 +191,75 @@ def _merge_and_emit(
                 merged[key] = (syn, cnt)
 
     strata = sorted({k[0] for k in merged}) or [""]
+    invertible = next(iter(merged.values()))[0].invertible if merged else False
     kinds, starts, ends, strs, payloads, counts = [], [], [], [], [], []
-    for spec in emit_spec:
-        for stratum in strata:
-            syn_total: Synopsis | None = None
-            n_total = 0
-            for sid in spec["slices"]:
-                entry = merged.get((stratum, sid))
-                if entry is None:
-                    continue
-                syn, cnt = entry
-                piece = Synopsis.from_bytes(syn.to_bytes())  # keep partial intact
-                syn_total = piece if syn_total is None else syn_total.merge(piece)
-                n_total += cnt
-            if syn_total is None:
+
+    def fresh(stratum: str, slices) -> tuple[Synopsis | None, int, bool]:
+        """Fold the window's slice partials with at most ONE accumulator copy
+        (merge() leaves `other` intact; draining kernels copy that side).
+        Returns (synopsis, n_rows, owned) — owned=False means the synopsis is
+        a live slice partial and must not be mutated."""
+        parts = [
+            e for e in (merged.get((stratum, sid)) for sid in slices) if e is not None
+        ]
+        if not parts:
+            return None, 0, True
+        if len(parts) == 1:
+            return parts[0][0], parts[0][1], False
+        acc = parts[0][0].copy()
+        n = parts[0][1]
+        for syn, cnt in parts[1:]:
+            piece = (
+                syn if syn.merge_preserves_other else Synopsis.from_bytes(syn.to_bytes())
+            )
+            acc = acc.merge(piece)
+            n += cnt
+        return acc, n, True
+
+    # emit_spec arrives grouped by window definition with ascending starts, so
+    # overlapping sliding windows are adjacent: for INVERTIBLE synopses the
+    # accumulator rolls — merge entering slices, invert leaving ones — O(1)
+    # slice ops per slide instead of O(size/slide) merges
+    # (InvertibleSynopsisFunction.java:63-71 semantics).
+    for stratum in strata:
+        rolling: Synopsis | None = None
+        rolling_n = 0
+        prev: set | None = None
+        for spec in emit_spec:
+            slices = list(spec["slices"])
+            present = [s for s in slices if (stratum, s) in merged]
+            cur = set(slices)
+            if (
+                invertible
+                and rolling is not None
+                and prev is not None
+                and prev & cur
+            ):
+                for sid in sorted(prev - cur):
+                    e = merged.get((stratum, sid))
+                    if e is not None:
+                        rolling = rolling.invert(e[0])
+                        rolling_n -= e[1]
+                for sid in sorted(cur - prev):
+                    e = merged.get((stratum, sid))
+                    if e is not None:
+                        rolling = rolling.merge(e[0])
+                        rolling_n += e[1]
+            else:
+                syn, n, owned = fresh(stratum, slices)
+                if syn is not None and invertible and not owned:
+                    syn = syn.copy()  # rolling accumulator must be private
+                rolling = syn
+                rolling_n = n
+            prev = cur
+            if not present or rolling is None:
                 continue  # empty window: reference emits nothing
             kinds.append(spec["kind"])
             starts.append(spec["start"])
             ends.append(spec["start"] + spec["size"])
             strs.append(stratum or None)
-            payloads.append(syn_total.to_bytes())
-            counts.append(n_total)
+            payloads.append(rolling.to_bytes())
+            counts.append(rolling_n)
     n = len(kinds)
     if n:
         out = pa.table(

@@ -357,6 +357,45 @@ def wavelet_window_sums(ds, window: TumblingWindow, size: int = 4096):
     return syn.map_batches(evaluate, batch_format="pandas")
 
 
+def streaming_wavelet_sums(sf_dir: str, window: TumblingWindow, size: int = 4096):
+    """Order-based path under the STREAMING engine: per-window
+    DistributedWaveletsManager built by the sequential order-and-index chain
+    + P builder actors, full-range range-sum evaluated per emitted window
+    (same output shape as the batch ``wavelet_window_sums``)."""
+    import tempfile
+
+    from ..engine.streaming_wavelets import StreamingWaveletJob
+
+    frags = cached_event_stream_fragments(sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="condor_wave_q_")
+    job = StreamingWaveletJob(
+        window,
+        out_dir,
+        size=size,
+        parallelism=4,
+        key=KeySpec("turn_idx", "value"),
+        columns=["conv_id", "turn_idx", "ts"],
+    )
+    job.run(frags)
+    out = job.result_dataset().to_pandas()
+    job.shutdown()
+    sums = []
+    for _, r in out.iterrows():
+        mgr = Synopsis.from_bytes(r["payload"])
+        n = int(r["n_rows"])
+        sums.append(int(round(mgr.range_sum_query(0, n - 1))) if n else 0)
+    return (
+        pd.DataFrame(
+            {
+                "window_start": out["window_start"].astype(np.int64),
+                "turn_sum": np.asarray(sums, dtype=np.int64),
+            }
+        )
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+
+
 def fifo_newest_ts(ds, window: TumblingWindow, k: int = 5):
     """Timestamped-sampler path, SQL-verifiable: FiFo keeps the newest k
     DISTINCT timestamps per window (equal-ts collapse is a preserved

@@ -92,5 +92,26 @@ class Synopsis:
         obj.partition_value = pv
         return obj
 
+    #: True when ``a.merge(b)`` leaves ``b`` usable afterwards.  FiFo/biased
+    #: samplers poll elements out of ``b`` and BASH drains its bars — those
+    #: set this False so fold-style mergers know to copy the right-hand side.
+    merge_preserves_other: bool = True
+
     def copy(self) -> "Synopsis":
-        return Synopsis.from_bytes(self.to_bytes())
+        """Fast structural copy: rebuild from ctor args + a deep-copied
+        state_dict (no pickle roundtrip — the close cycle copies one
+        accumulator per window, so this is on the emit hot path)."""
+        obj = type(self)(*self._ctor_args())
+        obj.load_state(_copy_state(self.state_dict()))
+        obj.partition_value = self.partition_value
+        return obj
+
+
+def _copy_state(v):
+    if isinstance(v, np.ndarray):
+        return v.copy()
+    if isinstance(v, dict):
+        return {k: _copy_state(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_copy_state(x) for x in v]
+    return v

@@ -212,6 +212,7 @@ class BarSplittingHistogram(Synopsis):
     MAXCOEF = 1.7
 
     mergeable = True
+    merge_preserves_other = False  # merge drains the smaller side's bars
 
     def __init__(self, precision: int = 7, num_buckets: int | None = None):
         super().__init__()

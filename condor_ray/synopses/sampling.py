@@ -132,6 +132,7 @@ class ReservoirSampler(Synopsis):
 class FiFoSampler(Synopsis):
     mergeable = True
     timestamped = True
+    merge_preserves_other = False  # merge polls elements out of `other`
 
     def __init__(self, sample_size: int, event_time: bool = True):
         super().__init__()
@@ -211,6 +212,7 @@ class FiFoSampler(Synopsis):
 class BiasedReservoirSampler(Synopsis):
     mergeable = True
     timestamped = True
+    merge_preserves_other = False  # merge drains LatestPositions of `other`
 
     def __init__(self, sample_size: int, seed: int = 7):
         super().__init__()
