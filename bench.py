@@ -115,14 +115,18 @@ def run_bench() -> dict:
     stress_frags = transcript_fragments(stress_fix)
 
     # q1b: same sketch at tumbling 5 s (1000+ windows — state-amplification
-    # stress; per-window overhead dominates at low row density)
+    # stress; per-window overhead dominates at low row density).  Fine-window
+    # jobs use fewer partitions: every slice keeps one partial PER PARTITION,
+    # so snapshot/merge volume at close scales with P — measured best at P=8
+    # on 32 CPUs (ingest stays unsaturated at this row density)
+    p_fine = max(2, min(8, ncpu // 2))
     out = tempfile.mkdtemp(prefix="bench_stream5_")
     cfg = BuildConfiguration(
         synopsis="CountMinSketch",
         params=(65536, 5, 7),
         windows=[TumblingWindow(5_000)],
         key=KeySpec("conv_id", "java_hash"),
-        parallelism=p,
+        parallelism=p_fine,
     )
     job = StreamingSynopsisJob(cfg, out, columns=["conv_id", "ts"])
     t0 = time.perf_counter()
@@ -137,7 +141,7 @@ def run_bench() -> dict:
         params=(16, 7),
         windows=[SlidingWindow(5_000, 2_500)],
         key=KeySpec("conv_id", "java_hash"),
-        parallelism=p,
+        parallelism=p_fine,
     )
     job = StreamingSynopsisJob(cfg, out, columns=["conv_id", "ts"])
     t0 = time.perf_counter()

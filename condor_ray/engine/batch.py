@@ -73,8 +73,8 @@ class PartialSynopsisBuilder:
         self.extractor = KeyExtractor(config.key)
         self.stratify_by = config.stratify_by
         self.sample_elements = config.sample_elements
-        syn = make_synopsis(config.synopsis, config.params)
-        self.timestamped = syn.timestamped
+        self._proto = make_synopsis(config.synopsis, config.params)
+        self.timestamped = self._proto.timestamped
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -111,11 +111,16 @@ class PartialSynopsisBuilder:
         )
         out_slice, out_stratum, out_payload, out_n = [], [], [], []
         cfg = self.config
+        # hash once per batch; per-slice work is a cheap scatter (see
+        # Synopsis.precompute_batch)
+        pre = None if self.timestamped else self._proto.precompute_batch(values)
         for b in range(len(boundaries) - 1):
             lo, hi = boundaries[b], boundaries[b + 1]
             idx = order[lo:hi]
             syn = make_synopsis(cfg.synopsis, cfg.params)
-            if self.timestamped:
+            if pre is not None:
+                syn.apply_precomputed(pre, idx)
+            elif self.timestamped:
                 syn.update_batch(values[idx], timestamps=ts[idx])
             else:
                 syn.update_batch(values[idx])

@@ -25,6 +25,8 @@ suppressed locally.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 _MASK32 = 0xFFFFFFFF
@@ -126,6 +128,31 @@ class XORShiftRandom:
         return r
 
 
+@functools.lru_cache(maxsize=256)
+def _h3_tables(num_functions: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """(q, lut) for one H3 family — deterministic from (n, seed), immutable."""
+    rng = XORShiftRandom(seed)
+    q64 = np.empty((num_functions, 32), dtype=np.int64)
+    for a in range(num_functions):
+        for i in range(32):
+            q64[a, i] = rng.next_int()
+    q = q64.astype(np.int32)
+    # byte-level lookup tables: hash(x) = XOR over the 4 bytes of x of
+    # lut[k][byte_k] — 4 gathers instead of 32 bit-masked XOR passes,
+    # exactly equivalent to the reference's per-bit loop
+    lut = np.zeros((4, 256, num_functions), dtype=np.int32)
+    for k in range(4):
+        for b in range(256):
+            acc = np.zeros(num_functions, dtype=np.int32)
+            for j in range(8):
+                if (b >> j) & 1:
+                    acc ^= q[:, 8 * k + j]
+            lut[k, b] = acc
+    q.setflags(write=False)
+    lut.setflags(write=False)
+    return q, lut
+
+
 class H3HashFunctions:
     """Vectorized H3 family (EfficientH3Functions.java:12-111).
 
@@ -136,24 +163,10 @@ class H3HashFunctions:
     def __init__(self, num_functions: int, seed: int):
         self.num_functions = int(num_functions)
         self.seed = int(seed)
-        rng = XORShiftRandom(seed)
-        q = np.empty((num_functions, 32), dtype=np.int64)
-        for a in range(num_functions):
-            for i in range(32):
-                q[a, i] = rng.next_int()
-        self._q = q.astype(np.int32)
-        # byte-level lookup tables: hash(x) = XOR over the 4 bytes of x of
-        # lut[k][byte_k] — 4 gathers instead of 32 bit-masked XOR passes,
-        # exactly equivalent to the reference's per-bit loop
-        lut = np.zeros((4, 256, self.num_functions), dtype=np.int32)
-        for k in range(4):
-            for b in range(256):
-                acc = np.zeros(self.num_functions, dtype=np.int32)
-                for j in range(8):
-                    if (b >> j) & 1:
-                        acc ^= self._q[:, 8 * k + j]
-                lut[k, b] = acc
-        self._lut = lut
+        # table build costs ~5 ms; a streaming job constructs one synopsis
+        # per (slice, stratum, partition) with the SAME (n, seed), so the
+        # tables are process-cached and shared read-only across instances
+        self._q, self._lut = _h3_tables(self.num_functions, self.seed)
 
     def hash_batch(self, values: np.ndarray) -> np.ndarray:
         v = np.ascontiguousarray(values, dtype=np.int32)

@@ -15,6 +15,7 @@ a shared mutable slice store.
 from __future__ import annotations
 
 import pickle
+import time
 
 import numpy as np
 import pyarrow as pa
@@ -37,15 +38,23 @@ class PartitionStateStore:
         self.extractor = KeyExtractor(config.key)
         self.stratify_by = config.stratify_by
         self.sample_elements = config.sample_elements
-        self.timestamped = make_synopsis(config.synopsis, config.params).timestamped
+        # prototype instance: trait flags + grouped-ingest precompute (hash
+        # functions depend only on ctor args, so one precompute serves every
+        # slice of this config)
+        self._proto = make_synopsis(config.synopsis, config.params)
+        self.timestamped = self._proto.timestamped
         # mutable state
         self.slices: dict[tuple[str, int], Synopsis] = {}
         self.slice_counts: dict[tuple[str, int], int] = {}
         self.rows_ingested = 0
+        # per-partition metrics (surfaced via stats() into the run manifest)
+        self.ingest_sec = 0.0
+        self.collect_sec = 0.0
 
     # -- ingest one micro-batch shard (already partition-filtered, already
     #    late-dropped upstream where arrival order is known) ---------------
     def ingest(self, batch: pa.Table) -> int:
+        _t0 = time.perf_counter()
         n = batch.num_rows
         if n == 0:
             return 0
@@ -82,6 +91,9 @@ class PartitionStateStore:
         gsorted = gkey[order]
         bounds = np.concatenate([[0], np.nonzero(np.diff(gsorted))[0] + 1, [n]])
         cfg = self.config
+        # hash/derive once for the whole batch; per-slice work is then a
+        # cheap scatter of that group's row subset (None => fallback)
+        pre = None if self.timestamped else self._proto.precompute_batch(values)
         for b in range(len(bounds) - 1):
             lo, hi = bounds[b], bounds[b + 1]
             idx = order[lo:hi]
@@ -95,12 +107,15 @@ class PartitionStateStore:
                     syn.set_partition_value(stratum)
                 self.slices[key] = syn
                 self.slice_counts[key] = 0
-            if self.timestamped:
+            if pre is not None:
+                syn.apply_precomputed(pre, idx)
+            elif self.timestamped:
                 syn.update_batch(values[idx], timestamps=ts[idx])
             else:
                 syn.update_batch(values[idx])
             self.slice_counts[key] += hi - lo
         self.rows_ingested += n
+        self.ingest_sec += time.perf_counter() - _t0
         return n
 
     # -- window close ------------------------------------------------------
@@ -111,6 +126,7 @@ class PartitionStateStore:
         every slice whose end <= ``evict_before_us`` (no remaining window
         needs it).  Snapshot-then-evict keeps slices shared by still-open
         sliding windows available for later close cycles."""
+        _t0 = time.perf_counter()
         wanted = set(slice_ids)
         out_stratum, out_slice, out_payload, out_n = [], [], [], []
         for (stratum, sid) in sorted(self.slices.keys(), key=lambda k: (k[1], k[0])):
@@ -122,6 +138,7 @@ class PartitionStateStore:
         for key in [k for k in self.slices if (k[1] + 1) * self.slice_us <= evict_before_us]:
             del self.slices[key]
             del self.slice_counts[key]
+        self.collect_sec += time.perf_counter() - _t0
         return pa.table(
             {
                 "slice_id": pa.array(out_slice, type=pa.int64()),
@@ -156,4 +173,6 @@ class PartitionStateStore:
             "partition_id": self.partition_id,
             "rows_ingested": self.rows_ingested,
             "open_slices": len(self.slices),
+            "ingest_sec": self.ingest_sec,
+            "collect_sec": self.collect_sec,
         }

@@ -45,6 +45,24 @@ class Synopsis:
         """Row-at-a-time convenience (tests / tiny inputs only)."""
         self.update_batch(np.asarray([value]))
 
+    # -- grouped-ingest fast path -----------------------------------------
+    # A streaming micro-batch spans MANY (stratum, slice) groups; hashing
+    # per group forfeits the vectorization (a 5k-row batch over 2k slices
+    # pays ~2k fixed numpy-call overheads).  Hash-then-scatter synopses
+    # expose ``precompute_batch`` (derive per-row update data ONCE for the
+    # whole batch) + ``apply_precomputed`` (cheap scatter of one group's row
+    # subset).  The derived data depends only on ctor args, so one prototype
+    # instance precomputes for every slice of a config.
+    def precompute_batch(self, values: np.ndarray):
+        """Batch-level update data shared by all slices, or None (no fast
+        path — caller falls back to per-group ``update_batch``)."""
+        return None
+
+    def apply_precomputed(self, pre, idx: np.ndarray) -> None:
+        """Apply rows ``idx`` of a ``precompute_batch`` result to this
+        synopsis; must equal ``update_batch(values[idx])``."""
+        raise NotImplementedError
+
     # -- merge ------------------------------------------------------------
     def merge(self, other: "Synopsis") -> "Synopsis":
         raise NotImplementedError(f"{type(self).__name__} is not mergeable")

@@ -121,6 +121,26 @@ class CountMinSketch(Synopsis):
         self._apply(values, -1)
         self.elements_processed -= len(values)
 
+    # -- grouped-ingest fast path (hash once per batch, scatter per slice) --
+    def precompute_batch(self, values: np.ndarray):
+        return self._flat_indices(values).reshape(len(values), self.height)
+
+    def apply_precomputed(self, pre: np.ndarray, idx: np.ndarray) -> None:
+        flat = pre[idx].ravel()
+        with np.errstate(over="ignore"):
+            if self._dense is not None:
+                d = self._dense.ravel()
+                if len(idx) * 8 < self.width:
+                    np.add.at(d, flat, 1)
+                else:
+                    d += np.bincount(
+                        flat, minlength=self.height * self.width
+                    ).astype(np.int32)
+            else:
+                uniq, counts = np.unique(flat, return_counts=True)
+                self._sparse_accumulate(uniq, counts)
+        self.elements_processed += len(idx)
+
     # -- queries -----------------------------------------------------------
     def query_batch(self, values: np.ndarray) -> np.ndarray:
         flat = self._flat_indices(values).reshape(len(values), self.height)
@@ -238,7 +258,7 @@ class HyperLogLogSketch(Synopsis):
         self.registers = np.zeros(self.reg_num, dtype=np.int8)
         self.distinct_item_count = 0
 
-    def update_batch(self, values: np.ndarray, timestamps=None) -> None:
+    def _index_zeros(self, values: np.ndarray):
         h = self.hash_functions.hash_batch(values)  # (n, 2) non-negative int32
         h64 = (h[:, 1].astype(np.uint64) << np.uint64(32)) + h[:, 0].astype(np.uint64)
         index = (h64 >> np.uint64(64 - self.log_reg_num)).astype(np.int64)
@@ -247,7 +267,19 @@ class HyperLogLogSketch(Synopsis):
         low_safe = np.where(h64 == 0, np.uint64(1), low).astype(np.float64)
         tz = np.where(h64 == 0, 64, np.log2(low_safe).astype(np.int64))
         zeros = (tz + 1).astype(np.int8)  # Java byte cast (65 fits)
+        return index, zeros
+
+    def update_batch(self, values: np.ndarray, timestamps=None) -> None:
+        index, zeros = self._index_zeros(values)
         np.maximum.at(self.registers, index, zeros)
+
+    # -- grouped-ingest fast path ------------------------------------------
+    def precompute_batch(self, values: np.ndarray):
+        return self._index_zeros(values)
+
+    def apply_precomputed(self, pre, idx: np.ndarray) -> None:
+        index, zeros = pre
+        np.maximum.at(self.registers, index[idx], zeros[idx])
 
     def merge(self, other: "HyperLogLogSketch") -> "HyperLogLogSketch":
         if not (
@@ -329,6 +361,14 @@ class BloomFilter(Synopsis):
         self.bits[idx.ravel()] = True
         self.elements_processed += len(values)
 
+    # -- grouped-ingest fast path ------------------------------------------
+    def precompute_batch(self, values: np.ndarray):
+        return self._indices(values)
+
+    def apply_precomputed(self, pre: np.ndarray, idx: np.ndarray) -> None:
+        self.bits[pre[idx].ravel()] = True
+        self.elements_processed += len(idx)
+
     def query_batch(self, values: np.ndarray) -> np.ndarray:
         idx = self._indices(values)
         return self.bits[idx].all(axis=1)
@@ -393,10 +433,9 @@ class FastAGMS(Synopsis):
         sign = np.where(b, 1, -1).astype(np.int64)
         return pos, sign
 
-    def update_batch(self, values: np.ndarray, timestamps=None) -> None:
-        pos, sign = self._pos_sign(values)
+    def _scatter(self, pos: np.ndarray, sign: np.ndarray) -> None:
         with np.errstate(over="ignore"):
-            if len(values) * 8 < self.width:
+            if len(pos) * 8 < self.width:
                 for i in range(self.height):
                     np.add.at(self.array[i], pos[:, i], sign[:, i].astype(np.int32))
             else:
@@ -404,6 +443,17 @@ class FastAGMS(Synopsis):
                     self.array[i] += np.bincount(
                         pos[:, i], weights=sign[:, i], minlength=self.width
                     ).astype(np.int32)
+
+    def update_batch(self, values: np.ndarray, timestamps=None) -> None:
+        self._scatter(*self._pos_sign(values))
+
+    # -- grouped-ingest fast path ------------------------------------------
+    def precompute_batch(self, values: np.ndarray):
+        return self._pos_sign(values)
+
+    def apply_precomputed(self, pre, idx: np.ndarray) -> None:
+        pos, sign = pre
+        self._scatter(pos[idx], sign[idx])
 
     def decrement_batch(self, values: np.ndarray) -> None:
         pos, sign = self._pos_sign(values)

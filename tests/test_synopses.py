@@ -621,3 +621,58 @@ class TestHistogramsExtra:
         sm2.update_batch(RNG.uniform(500, 2000, 1000))
         merged = sm.merge(sm2)
         assert merged.right_most_boundary >= 1000
+
+
+class TestGroupedIngestFastPath:
+    """apply_precomputed(precompute_batch(v), idx) == update_batch(v[idx])
+    for the hash-then-scatter sketches (the streaming grouped-ingest path)."""
+
+    def _mk_cases(self):
+        from condor_ray.synopses import (
+            BloomFilter,
+            CountMinSketch,
+            FastAGMS,
+            HyperLogLogSketch,
+        )
+
+        return [
+            lambda: CountMinSketch(1024, 5, 7),
+            lambda: HyperLogLogSketch(10, 7),
+            lambda: BloomFilter(500, 4096, 7),
+            lambda: FastAGMS(256, 5, 7),
+        ]
+
+    def test_parity_with_update_batch(self):
+        values = RNG.integers(0, 2**31 - 1, 5000).astype(np.int32)
+        # 200 groups of uneven size, like slices in a micro-batch
+        gids = RNG.integers(0, 200, 5000)
+        for mk in self._mk_cases():
+            proto = mk()
+            pre = proto.precompute_batch(values)
+            assert pre is not None
+            for g in (0, 7, 199):
+                idx = np.flatnonzero(gids == g)
+                a, b = mk(), mk()
+                a.apply_precomputed(pre, idx)
+                b.update_batch(values[idx])
+                assert a.to_bytes() == b.to_bytes(), type(a).__name__
+
+    def test_repeated_apply_accumulates(self):
+        from condor_ray.synopses import CountMinSketch
+
+        values = RNG.integers(0, 2**31 - 1, 3000).astype(np.int32)
+        proto = CountMinSketch(1024, 5, 7)
+        pre = proto.precompute_batch(values)
+        a = CountMinSketch(1024, 5, 7)
+        a.apply_precomputed(pre, np.arange(1500))
+        a.apply_precomputed(pre, np.arange(1500, 3000))
+        b = CountMinSketch(1024, 5, 7)
+        b.update_batch(values)
+        assert a.to_bytes() == b.to_bytes()
+
+    def test_no_fast_path_returns_none(self):
+        from condor_ray.synopses import ReservoirSampler
+
+        assert ReservoirSampler(10, 7).precompute_batch(
+            np.arange(5, dtype=np.int32)
+        ) is None
