@@ -62,31 +62,60 @@ class DataNode:
     def compute_error_values(self, prev_frontline) -> bool:
         oldmaxl, oldminl = self.maxerrorleft, self.minerrorleft
         oldmaxr, oldminr = self.maxerrorright, self.minerrorright
+        # local names + explicit compares: this and compute_ma are the
+        # hottest scalar paths of the build (millions of 2-arg max/min calls)
+        maxl, minl = self.maxerrorleft, self.minerrorleft
+        maxr, minr = self.maxerrorright, self.minerrorright
         child = self.left_most_child
         while child is not None:
-            maxerr = max(child.maxerrorleft, child.maxerrorright)
-            minerr = min(child.minerrorleft, child.minerrorright)
+            maxerr = child.maxerrorleft
+            if child.maxerrorright > maxerr:
+                maxerr = child.maxerrorright
+            minerr = child.minerrorleft
+            if child.minerrorright < minerr:
+                minerr = child.minerrorright
             if child.reltoparent == LEFT:
-                self.maxerrorleft = max(self.maxerrorleft, maxerr)
-                self.minerrorleft = min(self.minerrorleft, minerr)
+                if maxerr > maxl:
+                    maxl = maxerr
+                if minerr < minl:
+                    minl = minerr
             elif child.reltoparent == RIGHT:
-                self.maxerrorright = max(self.maxerrorright, maxerr)
-                self.minerrorright = min(self.minerrorright, minerr)
+                if maxerr > maxr:
+                    maxr = maxerr
+                if minerr < minr:
+                    minr = minerr
             child = child.next_sibling
         if prev_frontline is not None and prev_frontline.errorhanging:
-            self.maxerrorleft = max(self.maxerrorleft, prev_frontline.positiveerror)
-            self.minerrorleft = min(self.minerrorleft, prev_frontline.negativeerror)
+            if prev_frontline.positiveerror > maxl:
+                maxl = prev_frontline.positiveerror
+            if prev_frontline.negativeerror < minl:
+                minl = prev_frontline.negativeerror
+        self.maxerrorleft, self.minerrorleft = maxl, minl
+        self.maxerrorright, self.minerrorright = maxr, minr
         return not (
-            oldmaxl == self.maxerrorleft
-            and oldminl == self.minerrorleft
-            and oldmaxr == self.maxerrorright
-            and oldminr == self.minerrorright
+            oldmaxl == maxl
+            and oldminl == minl
+            and oldmaxr == maxr
+            and oldminr == minr
         )
 
     def compute_ma(self) -> float:
-        left = max(abs(self.maxerrorleft - self.data), abs(self.minerrorleft - self.data))
-        right = max(abs(self.maxerrorright + self.data), abs(self.minerrorright + self.data))
-        self.maxabserror = max(left, right)
+        d = self.data
+        a = self.maxerrorleft - d
+        if a < 0.0:
+            a = -a
+        b = self.minerrorleft - d
+        if b < 0.0:
+            b = -b
+        left = a if a > b else b
+        a = self.maxerrorright + d
+        if a < 0.0:
+            a = -a
+        b = self.minerrorright + d
+        if b < 0.0:
+            b = -b
+        right = a if a > b else b
+        self.maxabserror = left if left > right else right
         return self.maxabserror
 
     def index_in_subtree(self, query_index: int, max_level: int) -> int:
@@ -116,14 +145,15 @@ class DataNode:
         return max(min(ri + 1, end_right) - max(start_right, li), 0)
 
     def set_parent(self, parent) -> None:
-        self.parent = parent
-        if parent is not None:
-            if parent.level > self.level:
-                self.reltoparent = self.ancestor_relationship(parent)
-        else:
-            self.reltoparent = NONE
-        if self.next_sibling is not None:
-            self.next_sibling.set_parent(parent)
+        node = self
+        while node is not None:  # iterative over the sibling chain
+            node.parent = parent
+            if parent is not None:
+                if parent.level > node.level:
+                    node.reltoparent = node.ancestor_relationship(parent)
+            else:
+                node.reltoparent = NONE
+            node = node.next_sibling
 
     def ancestor_relationship(self, ancestor) -> int:
         if (2 * self.orderinlevel - 1) < (
@@ -157,43 +187,44 @@ class FrontlineNode:
 
 class _ErrorHeap:
     """Indexed min-heap over DataNodes with Java-PriorityQueue-compatible
-    poll ordering (compareTo tuple) and O(log n) remove via lazy deletion."""
+    poll ordering (compareTo tuple) and O(log n) remove via lazy deletion.
+
+    Heap items are plain tuples ``(maxabserror, level, orderinlevel, seq,
+    entry)`` so heapq compares at C speed.  The compareTo key is unique among
+    live nodes ((level, orderinlevel) identifies a tree position), so the
+    ``seq`` tiebreaker never reorders a reference-visible poll; it only stops
+    tuple comparison from ever reaching ``entry``."""
 
     def __init__(self):
         self._heap: list = []
         self._live: dict[int, list] = {}  # id(node) -> entry
+        self._seq = 0
 
     def add(self, node: DataNode):
-        entry = [node.sort_key(), node, True]
+        entry = [node, True]
         self._live[id(node)] = entry
-        heapq.heappush(self._heap, _HeapEntry(entry))
+        self._seq += 1
+        heapq.heappush(
+            self._heap,
+            (node.maxabserror, node.level, node.orderinlevel, self._seq, entry),
+        )
 
     def remove(self, node: DataNode):
         entry = self._live.pop(id(node), None)
         if entry is not None:
-            entry[2] = False
+            entry[1] = False
 
     def poll(self) -> DataNode | None:
         while self._heap:
-            entry = heapq.heappop(self._heap).entry
-            if entry[2]:
-                node = entry[1]
+            entry = heapq.heappop(self._heap)[4]
+            if entry[1]:
+                node = entry[0]
                 del self._live[id(node)]
                 return node
         return None
 
     def __len__(self):
         return len(self._live)
-
-
-class _HeapEntry:
-    __slots__ = ("entry",)
-
-    def __init__(self, entry):
-        self.entry = entry
-
-    def __lt__(self, other):
-        return self.entry[0] < other.entry[0]
 
 
 class WaveletSynopsis(Synopsis):
@@ -518,7 +549,7 @@ class WaveletSynopsis(Synopsis):
                     self.frontline_top,
                     self.rootnode,
                     self._data1,
-                    [(e[1], e[2]) for e in self.error_heap._live.values()],
+                    [(e[0], e[1]) for e in self.error_heap._live.values()],
                 ),
                 protocol=pickle.HIGHEST_PROTOCOL,
             )
