@@ -136,23 +136,29 @@ def _q_sessions(sf_dir: str):
 
 
 def _q_session_synopses(sf_dir: str):
-    """Synopsis per (conversation, session window) — rows-only (payload sizes)."""
+    """Synopsis per (conversation, session window).  ``n_rows`` is read from
+    the synopsis payload's own ``elements_processed`` (not the input frame),
+    so the gaps-and-islands oracle verifies each session synopsis ingested
+    exactly its session's turns."""
     import numpy as np
     import pandas as pd
 
     from condor_ray.pipelines.sessions import session_synopses
     from condor_ray.sources.events_adapter import transcripts_from_events
+    from condor_ray.synopses.base import Synopsis
 
     out = session_synopses(
         transcripts_from_events(sf_dir), gap_ms=SESSION_GAP_MS
     ).to_pandas()
+    ingested = [
+        int(Synopsis.from_bytes(b).elements_processed) for b in out["payload"]
+    ]
     return pd.DataFrame(
         {
             "conv_id": out["conv_id"],
             "session_start": out["session_start"].astype(np.int64),
             "session_end": out["session_end"].astype(np.int64),
-            "n_rows": out["n_rows"].astype(np.int64),
-            "payload_bytes": out["payload"].map(len).astype(np.int64),
+            "n_rows": np.asarray(ingested, dtype=np.int64),
         }
     )
 
@@ -392,13 +398,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_hll": _q_flagship_hll,  # rows-only (estimates)
         "streaming_windowed_counts": _q_streaming_windowed_counts,
         "sessions_30m": _q_sessions,
-        "session_synopses": _q_session_synopses,  # rows-only (synopsis payloads)
+        "session_synopses": _q_session_synopses,
         "streaming_sessions": _q_streaming_sessions,
         "count_window_distinct": _q_count_window_distinct,
         "turns_join_tool_calls": _q_turns_join_tool_calls,
         "cm_asof_queries": _q_cm_asof_queries,
-        "wavelet_window_sums": _q_wavelet_window_sums,  # rows-only (non-dyadic windows reconstruct approximately)
-        "streaming_wavelet_sums": _q_streaming_wavelet_sums,  # rows-only (same)
+        "wavelet_window_sums": _q_wavelet_window_sums,
+        "streaming_wavelet_sums": _q_streaming_wavelet_sums,
         "fifo_newest_ts": _q_fifo_newest_ts,
         "count_window_tool_freq": _q_count_window_tool_freq,
         "streaming_count_window": _q_streaming_count_window,
@@ -410,6 +416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reservoir_sample": _mk_synopsis_query("reservoir_window_sample"),
         "biased_reservoir_sample": _mk_synopsis_query("biased_window_sample"),
         "bash_equidepth": _mk_synopsis_query("bash_total_check"),
+        "hll_distinct": _mk_synopsis_query("hll_distinct_check"),
         "query_latest_cm": _mk_synopsis_query("query_latest_cm"),
         "exact_dedup": _q_exact_dedup,
         "token_stats": _q_token_stats,
@@ -467,6 +474,9 @@ FROM transcripts WHERE tool IS NOT NULL GROUP BY 1, 2""",
         "condor_ray.pipelines.sessions", fromlist=["session_sql"]
     ).session_sql(cte, SESSION_GAP_MS)
     out["streaming_sessions"] = out["sessions_30m"]
+    out["session_synopses"] = __import__(
+        "condor_ray.pipelines.sessions", fromlist=["session_synopsis_sql"]
+    ).session_synopsis_sql(cte, SESSION_GAP_MS)
     out["count_window_distinct"] = f"""
 SELECT (event_id // {COUNT_WINDOW}) AS window_id,
        count(DISTINCT user_id) AS n_convs
@@ -531,6 +541,11 @@ GROUP BY 1, 2"""
     out["reservoir_sample"] = _sq.sample_membership_sql(cte, _W_US)
     out["biased_reservoir_sample"] = _sq.sample_membership_sql(cte, _W_US)
     out["bash_equidepth"] = _sq.bash_sql(cte, _W_US)
+    out["hll_distinct"] = _sq.hll_sql(cte, _W_US)
+    from condor_ray.pipelines.core import wavelet_sum_sql as _wsql
+
+    out["wavelet_window_sums"] = _wsql(cte, _W_US)
+    out["streaming_wavelet_sums"] = _wsql(cte, _W_US)
     out["query_latest_cm"] = _sq.query_latest_sql(cte, _W_US)
     out["exact_dedup"] = """
 WITH docs2 AS (

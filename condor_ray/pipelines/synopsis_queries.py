@@ -553,3 +553,58 @@ SELECT u.probe AS tool, l.ws AS window_start,
 FROM latest l
 CROSS JOIN {_universe_sql(False)}
 LEFT JOIN counts c ON c.window_start = l.ws AND c.tool = u.probe"""
+
+
+# -- 10. HyperLogLog distinct-count contract --------------------------------
+
+HLL_REL_TOL = 0.10
+
+
+def hll_distinct_check(ds, window: TumblingWindow):
+    """Per-window HLL{16,7} distinct-conversation estimate vs the EXACT
+    distinct count (oracle: COUNT(DISTINCT conv_id)), with ``within_bound``
+    asserting the estimate lands near the QUIRK-AWARE expectation: the
+    reference's combined 64-bit hash always has bit 63 == 0
+    (HyperLogLogSketch.java:58-63), so only half the register space is
+    addressable and the estimator stays in the linear-counting regime with
+    m/2 effective registers — expected = m*ln(m/(m-occ)),
+    occ = (m/2)*(1-exp(-n/(m/2))).  A kernel that broke hashing, register
+    updates, partial merging or the estimator lands outside the band."""
+    import math
+
+    from .core import windowed_distinct_convs
+
+    m = 1 << 16
+    cfg = BuildConfiguration(
+        synopsis="HyperLogLogSketch",
+        params=(16, 7),
+        windows=[window],
+        key=KeySpec("conv_id", "java_hash"),
+    )
+    syn = build_windowed_synopses(ds, cfg, concurrency=2).to_pandas()
+    ests = {
+        int(r["window_start"]): Synopsis.from_bytes(r["payload"]).distinct_items_estimator()
+        for _, r in syn.iterrows()
+    }
+    exact = windowed_distinct_convs(ds, window).to_pandas()
+
+    rows = []
+    for _, r in exact.iterrows():
+        ws, n = int(r["window_start"]), int(r["n_convs"])
+        est = ests.get(ws, 0)
+        occ = (m / 2.0) * (1.0 - math.exp(-n / (m / 2.0)))
+        expected = m * math.log(m / (m - occ)) if occ < m else float(n)
+        ok = abs(est - expected) <= HLL_REL_TOL * expected + 3.0
+        rows.append((ws, n, bool(ok)))
+    out = pd.DataFrame(rows, columns=["window_start", "n_convs", "within_bound"])
+    return out.astype(
+        {"window_start": np.int64, "n_convs": np.int64, "within_bound": bool}
+    )
+
+
+def hll_sql(cte: str, w_us: int) -> str:
+    return f"""{cte}
+SELECT (epoch_us(ts) // {w_us}) * {w_us} AS window_start,
+       count(DISTINCT conv_id) AS n_convs,
+       true AS within_bound
+FROM transcripts GROUP BY 1"""
