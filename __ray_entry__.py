@@ -185,6 +185,18 @@ def _q_turns_join_tool_calls(sf_dir: str):
     return join_turns_tool_calls(turns, calls, bound_ms=5_000)
 
 
+def _q_streaming_turns_join(sf_dir: str):
+    from condor_ray.pipelines.core import streaming_turns_join
+
+    return streaming_turns_join(sf_dir, bound_ms=5_000)
+
+
+def _q_streaming_multi_window(sf_dir: str):
+    from condor_ray.pipelines.core import streaming_multi_window_counts
+
+    return streaming_multi_window_counts(sf_dir, WINDOW_MS)
+
+
 def _q_cm_asof_queries(sf_dir: str):
     """queryTimestamped evaluation: every tool turn queries its own tool's
     frequency at its own timestamp; collision-free CM => exact counts."""
@@ -402,6 +414,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_sessions": _q_streaming_sessions,
         "count_window_distinct": _q_count_window_distinct,
         "turns_join_tool_calls": _q_turns_join_tool_calls,
+        "streaming_turns_join": _q_streaming_turns_join,
+        "streaming_multi_window": _q_streaming_multi_window,
         "cm_asof_queries": _q_cm_asof_queries,
         "wavelet_window_sums": _q_wavelet_window_sums,
         "streaming_wavelet_sums": _q_streaming_wavelet_sums,
@@ -418,6 +432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bash_equidepth": _mk_synopsis_query("bash_total_check"),
         "hll_distinct": _mk_synopsis_query("hll_distinct_check"),
         "query_latest_cm": _mk_synopsis_query("query_latest_cm"),
+        "query_latest_stratified": _mk_synopsis_query("query_latest_stratified_cm"),
         "exact_dedup": _q_exact_dedup,
         "token_stats": _q_token_stats,
         "ann_topk": _q_ann_topk,
@@ -497,6 +512,10 @@ JOIN tool_calls c
   ON t.conv_id = c.conv_id AND t.tool = c.tool
  AND epoch_us(c.ts) BETWEEN epoch_us(t.ts) AND epoch_us(t.ts) + 5000000
 WHERE t.tool IS NOT NULL"""
+    out["streaming_turns_join"] = out["turns_join_tool_calls"]
+    from condor_ray.pipelines.core import multi_window_sql as _mwsql
+
+    out["streaming_multi_window"] = _mwsql(cte, _W_US)
     out["cm_asof_queries"] = f"""{cte},
 counts AS (
   SELECT (epoch_us(ts) // {_W_US}) * {_W_US} AS window_start, tool,
@@ -547,6 +566,7 @@ GROUP BY 1, 2"""
     out["wavelet_window_sums"] = _wsql(cte, _W_US)
     out["streaming_wavelet_sums"] = _wsql(cte, _W_US)
     out["query_latest_cm"] = _sq.query_latest_sql(cte, _W_US)
+    out["query_latest_stratified"] = _sq.query_latest_stratified_sql(cte, _W_US)
     out["exact_dedup"] = """
 WITH docs2 AS (
   SELECT doc_id, text FROM documents

@@ -166,7 +166,8 @@ def flagship_hll_pipeline(ds, window: TumblingWindow):
     return syn.map_batches(estimate, batch_format="pandas")
 
 
-def write_time_ordered_fragments(ds, out_dir: str, n_frag: int):
+def write_time_ordered_fragments(ds, out_dir: str, n_frag: int,
+                                 sort_cols: list[str] | None = None):
     """Ray-native replacement for the round-1 driver-side
     ``to_pandas().sort_values()`` fragment-cache build: rows are tagged with a
     time-range fragment id (equal-width ts splits, disjoint + ordered so the
@@ -195,8 +196,10 @@ def write_time_ordered_fragments(ds, out_dir: str, n_frag: int):
         frag = np.searchsorted(bounds, ts_to_us(batch["ts"]), side="right")
         return batch.append_column("frag", pa.array(frag.astype(np.int64)))
 
+    cols = sort_cols or ["ts", "conv_id", "turn_idx"]
+
     def write_frag(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "conv_id", "turn_idx"], kind="mergesort")
+        g = g.sort_values(cols, kind="mergesort")
         frag = int(g["frag"].iloc[0])
         path = os.path.join(out_dir, f"fragment-{frag:05d}.parquet")
         tmp = path + f".tmp-{os.getpid()}"
@@ -234,6 +237,60 @@ def cached_event_stream_fragments(sf_dir: str) -> list[str]:
         open(done, "w").write("ok")
     return sorted(
         os.path.join(cache, f) for f in os.listdir(cache) if f.endswith(".parquet")
+    )
+
+
+def cached_tool_call_fragments(sf_dir: str) -> list[str]:
+    """Ts-ordered fragment replay files of the derived tool-call stream
+    (tool_calls_from_transcripts over the events-derived transcripts)."""
+    import hashlib
+    import os
+
+    from ..sources.events_adapter import transcripts_from_events
+
+    cache = os.path.join(
+        "/tmp/condor_ray_fixtures",
+        "call_stream_v1_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:10],
+    )
+    done = os.path.join(cache, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(cache, exist_ok=True)
+        write_time_ordered_fragments(
+            tool_calls_from_transcripts(transcripts_from_events(sf_dir)),
+            cache,
+            n_frag=4,
+            sort_cols=["ts", "conv_id", "call_id"],
+        )
+        open(done, "w").write("ok")
+    return sorted(
+        os.path.join(cache, f) for f in os.listdir(cache) if f.endswith(".parquet")
+    )
+
+
+def streaming_turns_join(sf_dir: str, bound_ms: int = 5_000, parallelism: int = 4):
+    """Stream-stream join through the STREAMING engine: turn and tool-call
+    fragment streams replayed into the partitioned JoinStateStore actors
+    (two-input min-watermark, bounded buffers, exactly-once emission).  Both
+    streams are ts-ordered, so no row is late and the output row set equals
+    the batch join — the query shares `turns_join_tool_calls`'s SQL oracle."""
+    import tempfile
+
+    from ..engine.streaming_join import StreamingJoinJob
+
+    turn_frags = cached_event_stream_fragments(sf_dir)
+    call_frags = cached_tool_call_fragments(sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="condor_sjoin_")
+    job = StreamingJoinJob(
+        parallelism=parallelism, bound_ms=bound_ms, out_dir=out_dir
+    )
+    job.run(turn_frags, call_frags)
+    out = job.result_dataset().to_pandas()
+    job.shutdown()
+    return (
+        out[["conv_id", "turn_idx", "turn_ts", "call_id", "tool", "status", "call_ts"]]
+        .astype({"turn_idx": np.int32, "turn_ts": np.int64, "call_ts": np.int64})
+        .sort_values(["conv_id", "turn_idx", "call_id"])
+        .reset_index(drop=True)
     )
 
 
@@ -300,6 +357,72 @@ def streaming_windowed_counts(sf_dir: str, window: TumblingWindow, parallelism: 
             "n_rows": out["n_rows"].astype(np.int64),
         }
     ).sort_values("window_start").reset_index(drop=True)
+
+
+def streaming_multi_window_counts(sf_dir: str, size_ms: int, parallelism: int = 4):
+    """MULTIPLE CONCURRENT WINDOWS in one streaming job: a tumbling(size) and
+    a sliding(2*size, size) window share the same slice store (slice =
+    gcd = size), so each slice is built once and fanned out to both window
+    definitions at close — the Scotty shared-slice contract under the driver
+    gate.  Emits (window_kind, window_start, window_end, n_rows); the oracle
+    is the union of both window assignments."""
+    import tempfile
+
+    from ..engine.streaming import StreamingSynopsisJob
+    from ..windows import SlidingWindow
+
+    frags = cached_event_stream_fragments(sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="condor_multiw_q_")
+    cfg = BuildConfiguration(
+        synopsis="CountMinSketch",
+        params=(1024, 3, 7),
+        windows=[TumblingWindow(size_ms), SlidingWindow(2 * size_ms, size_ms)],
+        key=KeySpec("conv_id", "java_hash"),
+        parallelism=parallelism,
+    )
+    job = StreamingSynopsisJob(cfg, out_dir)
+    job.run(frags)
+    out = job.result_dataset().to_pandas()
+    job.shutdown()
+    return (
+        pd.DataFrame(
+            {
+                # engine labels are 'tumbling_{size}' / 'sliding_{size}_{slide}'
+                "window_kind": out["window_kind"].astype(str).str.split("_").str[0],
+                "window_start": out["window_start"].astype(np.int64),
+                "window_end": out["window_end"].astype(np.int64),
+                "n_rows": out["n_rows"].astype(np.int64),
+            }
+        )
+        .sort_values(["window_kind", "window_start"])
+        .reset_index(drop=True)
+    )
+
+
+def multi_window_sql(cte: str, w_us: int) -> str:
+    """Tumbling(w) UNION sliding(2w, w) counts (sliding window k covers
+    [k*w, k*w + 2w); a row at slice s belongs to sliding windows s-1 and s)."""
+    return f"""{cte},
+tumb AS (
+  SELECT 'tumbling' AS window_kind,
+         (epoch_us(ts) // {w_us}) * {w_us} AS window_start,
+         (epoch_us(ts) // {w_us}) * {w_us} + {w_us} AS window_end,
+         count(*) AS n_rows
+  FROM transcripts GROUP BY 2, 3
+),
+assigned AS (
+  SELECT (epoch_us(ts) // {w_us}) AS w FROM transcripts
+  UNION ALL
+  SELECT (epoch_us(ts) // {w_us}) - 1 AS w FROM transcripts
+),
+slide AS (
+  SELECT 'sliding' AS window_kind,
+         w * {w_us} AS window_start,
+         w * {w_us} + {2 * w_us} AS window_end,
+         count(*) AS n_rows
+  FROM assigned WHERE w >= 0 GROUP BY 2, 3
+)
+SELECT * FROM tumb UNION ALL SELECT * FROM slide"""
 
 
 def tool_calls_from_transcripts(ds):

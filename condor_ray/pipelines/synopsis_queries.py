@@ -608,3 +608,64 @@ SELECT (epoch_us(ts) // {w_us}) * {w_us} AS window_start,
        count(DISTINCT conv_id) AS n_convs,
        true AS within_bound
 FROM transcripts GROUP BY 1"""
+
+
+# -- 11. Stratified queryLatest ---------------------------------------------
+
+STRAT_TURN_PROBES = list(range(20))
+
+
+def query_latest_stratified_cm(ds, window: TumblingWindow):
+    """Stratified queryLatest (ApproximateDataAnalytics.queryLatestStratified):
+    CM per (window, role stratum) keyed by turn_idx; every (role, probe
+    turn_idx) pair queries its stratum's LATEST window.  Collision-free in
+    practice (20 probe keys vs width 65536, min over 5 rows), so estimates
+    equal the SQL GROUP BY counts."""
+    import ray.data as rd
+
+    from ..evaluate.queries import query_count_min, query_latest_stratified
+
+    cfg = BuildConfiguration(
+        synopsis="CountMinSketch",
+        params=(65536, 5, 7),
+        windows=[window],
+        key=KeySpec("turn_idx", "value"),
+        stratify_by="role",
+    )
+    syn = build_windowed_synopses(ds, cfg, concurrency=2)
+    roles = ["user", "assistant", "tool"]
+    queries = rd.from_items(
+        [
+            {"query_key": int(k), "stratum": r}
+            for r in roles
+            for k in STRAT_TURN_PROBES
+        ]
+    )
+    out = query_latest_stratified(queries, syn, query_count_min).to_pandas()
+    return pd.DataFrame(
+        {
+            "stratum": out["stratum"].to_numpy(object),
+            "turn_probe": out["query_key"].astype(np.int64),
+            "window_start": out["window_start"].astype(np.int64),
+            "est": out["result"].astype(np.int64),
+        }
+    )
+
+
+def query_latest_stratified_sql(cte: str, w_us: int) -> str:
+    probes = ", ".join(str(p) for p in STRAT_TURN_PROBES)
+    return f"""{cte},
+counts AS (
+  SELECT (epoch_us(ts) // {w_us}) * {w_us} AS window_start, role,
+         CAST(turn_idx AS BIGINT) AS turn_probe, count(*) AS c
+  FROM transcripts GROUP BY 1, 2, 3
+),
+latest AS (SELECT role, max(window_start) AS ws FROM counts GROUP BY 1),
+probes AS (SELECT unnest([{probes}]) AS turn_probe)
+SELECT l.role AS stratum, CAST(p.turn_probe AS BIGINT) AS turn_probe,
+       l.ws AS window_start,
+       CAST(coalesce(c.c, 0) AS BIGINT) AS est
+FROM latest l
+CROSS JOIN probes p
+LEFT JOIN counts c
+  ON c.window_start = l.ws AND c.role = l.role AND c.turn_probe = p.turn_probe"""
