@@ -37,11 +37,19 @@ def build_windowed_wavelets(
     size: int = 1000,
     parallelism: int = 4,
     key: KeySpec | None = None,
+    intra_window_parallel: bool = True,
 ):
     """Dataset -> one DistributedWaveletsManager per tumbling window.
 
     Output: window_start, window_end (int64 us), n_rows, payload (manager).
-    """
+
+    ``intra_window_parallel=True`` (default): stage A sorts/splits each
+    window into P round-robin substreams, stage B builds the P trees in
+    separate tasks, stage C assembles — a hot window spreads over P cores
+    (the 100 TB-skew path).  ``False``: one fused task per window does
+    sort + split + serial sub-builds + assembly — one exchange instead of
+    three, lowest overhead when windows are near-uniform.  Both produce
+    BIT-IDENTICAL managers (same round-robin index contract)."""
     key = key or KeySpec("text", "length")
     size_us = window.size_us
     extractor = KeyExtractor(key)
@@ -60,6 +68,30 @@ def build_windowed_wavelets(
         )
 
     prepared = ds.map_batches(add_window, batch_format="pyarrow")
+
+    if not intra_window_parallel:
+
+        def build_window(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["ts", "conv_id", "turn_idx"], kind="mergesort")
+            values = g["value"].to_numpy()
+            mgr = DistributedWaveletsManager(0, None)
+            for p in range(parallelism):
+                w = WaveletSynopsis(size)
+                w.update_batch(np.ascontiguousarray(values[p::parallelism]))
+                mgr.add_synopsis(w)
+            wid = int(g["window_id"].iloc[0])
+            return pd.DataFrame(
+                {
+                    "window_start": [wid * size_us],
+                    "window_end": [wid * size_us + size_us],
+                    "n_rows": [len(values)],
+                    "payload": [mgr.to_bytes()],
+                }
+            )
+
+        return prepared.groupby("window_id").map_groups(
+            build_window, batch_format="pandas"
+        )
 
     # Stage A (cheap): per window, establish the global stream order and cut
     # it into P round-robin substreams — one output row per (window, p).
