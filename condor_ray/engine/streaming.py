@@ -552,6 +552,16 @@ class StreamingSynopsisJob:
             ref = self._close_windows(len(fragment_paths))
             if ref is not None:
                 ray.get(ref)
+        part_stats = ray.get([s.stats.remote() for s in self.stores])
+        with open(manifest_path, "a") as f:
+            f.write(
+                json.dumps(
+                    {"summary": True, "rows": self.total_rows,
+                     "late_dropped": self.total_late,
+                     "partitions": part_stats}
+                )
+                + "\n"
+            )
         return {
             "rows": self.total_rows,
             "late_dropped": self.total_late,
