@@ -54,7 +54,16 @@ class StreamingJoinJob:
         ]
         self.total_late = 0
 
-    def run(self, turn_fragments: list[str], call_fragments: list[str]) -> dict:
+    def run(
+        self,
+        turn_fragments: list[str],
+        call_fragments: list[str],
+        turn_columns: list[str] | None = None,
+        call_columns: list[str] | None = None,
+    ) -> dict:
+        """``turn_columns``/``call_columns`` prune the fragment reads to the
+        join's needs (the state stores only keep conv_id/turn_idx/ts/tool
+        resp. conv_id/call_id/tool/status/ts — never read text at scale)."""
         # arrival schedule: interleave both streams by fragment index
         # (fragments are ts-ordered within each stream)
         schedule: list[tuple[str, str]] = []
@@ -66,8 +75,9 @@ class StreamingJoinJob:
         wm = {"turn": _NEG_INF, "call": _NEG_INF}
         emitted = 0
         for k, (side, path) in enumerate(schedule):
+            cols = turn_columns if side == "turn" else call_columns
             frag_max, shards = ray.get(
-                _split_by_conv.remote(path, self.parallelism, None)
+                _split_by_conv.remote(path, self.parallelism, cols)
             )
             method = "ingest_turns" if side == "turn" else "ingest_calls"
             combined_before = min(wm.values())

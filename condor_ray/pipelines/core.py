@@ -283,7 +283,11 @@ def streaming_turns_join(sf_dir: str, bound_ms: int = 5_000, parallelism: int = 
     job = StreamingJoinJob(
         parallelism=parallelism, bound_ms=bound_ms, out_dir=out_dir
     )
-    job.run(turn_frags, call_frags)
+    job.run(
+        turn_frags,
+        call_frags,
+        turn_columns=["conv_id", "turn_idx", "ts", "tool"],
+    )
     out = job.result_dataset().to_pandas()
     job.shutdown()
     return (
