@@ -316,7 +316,9 @@ def streaming_sessions(sf_dir: str, gap_ms: int, parallelism: int = 4):
         key=KeySpec("text", "java_hash"),
         parallelism=parallelism,
     )
-    job = StreamingSessionJob(cfg, out_dir)
+    job = StreamingSessionJob(
+        cfg, out_dir, columns=["conv_id", "turn_idx", "text", "ts"]
+    )
     job.run(frags)
     out = job.result_dataset().to_pandas()
     job.shutdown()
@@ -350,7 +352,7 @@ def streaming_windowed_counts(sf_dir: str, window: TumblingWindow, parallelism: 
         key=KeySpec("conv_id", "java_hash"),
         parallelism=parallelism,
     )
-    job = StreamingSynopsisJob(cfg, out_dir)
+    job = StreamingSynopsisJob(cfg, out_dir, columns=["conv_id", "ts"])
     job.run(frags)
     out = job.result_dataset().to_pandas()
     job.shutdown()
@@ -384,7 +386,7 @@ def streaming_multi_window_counts(sf_dir: str, size_ms: int, parallelism: int = 
         key=KeySpec("conv_id", "java_hash"),
         parallelism=parallelism,
     )
-    job = StreamingSynopsisJob(cfg, out_dir)
+    job = StreamingSynopsisJob(cfg, out_dir, columns=["conv_id", "ts"])
     job.run(frags)
     out = job.result_dataset().to_pandas()
     job.shutdown()
