@@ -327,6 +327,26 @@ def _q_ann_topk(sf_dir: str):
     return brute_force_topk(ds, qv, qid, k=10)
 
 
+def _q_ivf_topk(sf_dir: str):
+    """IVF ANN in EXHAUSTIVE-probe mode (n_probe == n_centroids): must equal
+    brute force exactly, so it shares the ann_topk SQL oracle — a hash match
+    verifies the whole IVF machinery (train, cell assign, per-cell search,
+    merge).  Approximate-mode recall is covered by pytest."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from condor_ray.pipelines.similarity import ivf_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    head = emb.slice(0, 10)
+    qv = np.stack(head["embedding"].to_pylist()).astype(np.float64)
+    qid = head["vec_id"].to_numpy()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(ds, qv, qid, k=10, n_centroids=16, n_probe=16)
+
+
 def _q_minhash_neardup(sf_dir: str):
     import ray.data as rd
 
@@ -436,6 +456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "token_stats": _q_token_stats,
         "ann_topk": _q_ann_topk,
+        "ivf_topk": _q_ivf_topk,
         "minhash_neardup": _q_minhash_neardup,   # rows-only (LSH)
         "simhash_neardup": _q_simhash_neardup,   # rows-only
         "quality_scores": _q_quality_scores,     # rows-only (float features)
@@ -595,5 +616,6 @@ ranked AS (
 )
 SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id
 FROM ranked WHERE rank <= 10"""
+    out["ivf_topk"] = out["ann_topk"]
     return out
 

@@ -300,3 +300,114 @@ def embedding_neardup_pairs(
     return pairs.groupby(["vec_a", "vec_b"]).map_groups(
         first_pair, batch_format="pandas"
     )
+
+
+# -- IVF (inverted-file) ANN — the coarse-quantizer scale path ---------------
+
+
+def _kmeans_fit(sample: np.ndarray, n_centroids: int, seed: int, iters: int = 10):
+    """Deterministic spherical k-means on a bounded sample (driver-side
+    numpy; the sample is the ONLY thing that materializes — at 100 TB it
+    stays a few thousand rows regardless of corpus size)."""
+    sn = _normalize(sample)
+    rng = np.random.default_rng(seed)
+    n_centroids = min(n_centroids, len(sn))
+    cent = sn[rng.choice(len(sn), n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sn @ cent.T, axis=1)
+        for c in range(n_centroids):
+            m = assign == c
+            if m.any():
+                cent[c] = sn[m].mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def ivf_topk(
+    ds,
+    query_vecs: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 32,
+    n_probe: int = 8,
+    train_sample: int = 2048,
+    seed: int = 7,
+):
+    """IVF approximate top-k: train a coarse quantizer on a bounded sample,
+    assign every corpus vector to its nearest centroid (one map_batches),
+    then search only the ``n_probe`` closest cells per query — one shuffle
+    by cell, exact cosine inside probed cells, tiny final merge.  Recall
+    grows with n_probe (n_probe == n_centroids -> exact).
+
+    Output schema matches ``brute_force_topk``: query_id, rank, vec_id."""
+    import ray
+
+    sample = ds.limit(train_sample).to_pandas()
+    smat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    cent = _kmeans_fit(smat, n_centroids, seed)
+    cent_ref = ray.put(cent)
+
+    qn = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    # per-query probe cells (tiny driver-side compute: n_q x n_centroids)
+    probe_order = np.argsort(-(qn @ cent.T), axis=1)[:, : min(n_probe, len(cent))]
+    cell_to_queries: dict[int, list[int]] = {}
+    for qi, cells in enumerate(probe_order):
+        for c in cells:
+            cell_to_queries.setdefault(int(c), []).append(qi)
+    probes_ref = ray.put((qn, qids, cell_to_queries))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _normalize(_vec_matrix(batch))
+        cell = np.argmax(m @ c.T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "embedding": batch["embedding"],
+                "cell": pa.array(cell),
+            }
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    def search_cell(g: pd.DataFrame) -> pd.DataFrame:
+        q, ids_, c2q = ray.get(probes_ref)
+        cell = int(g["cell"].iloc[0])
+        q_idx = c2q.get(cell)
+        if not q_idx:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype=np.int64),
+                 "vec_id": pd.Series(dtype=np.int64),
+                 "cosine": pd.Series(dtype=np.float64)}
+            )
+        m = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
+        vids = g["vec_id"].to_numpy(np.int64)
+        sims = q[q_idx] @ m.T
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows_q, rows_v, rows_s = [], [], []
+        for row, qi in enumerate(q_idx):
+            rows_q.extend([int(ids_[qi])] * kk)
+            rows_v.extend(vids[part[row]].tolist())
+            rows_s.extend(sims[row, part[row]].tolist())
+        return pd.DataFrame(
+            {"query_id": np.asarray(rows_q, dtype=np.int64),
+             "vec_id": np.asarray(rows_v, dtype=np.int64),
+             "cosine": np.asarray(rows_s, dtype=np.float64)}
+        )
+
+    partials = assigned.groupby("cell").map_groups(search_cell, batch_format="pandas")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].astype(np.int64),
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                "vec_id": g["vec_id"].astype(np.int64),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")

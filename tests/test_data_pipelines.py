@@ -194,3 +194,48 @@ class TestMultimodal:
         if dec._backend == "fake":
             with pytest.raises(NotImplementedError):
                 dec._decode(b"\x89PNG\r\n" + b"\x00" * 32)
+
+
+class TestIvfTopk:
+    def _queries(self):
+        emb = pq.read_table(f"{SF}/embeddings.parquet")
+        head = emb.slice(0, 20)
+        qv = np.stack(head["embedding"].to_pylist()).astype(np.float64)
+        qid = head["vec_id"].to_numpy()
+        return qv, qid
+
+    def test_exhaustive_probe_equals_brute_force(self, ray_session):
+        from condor_ray.pipelines.similarity import brute_force_topk, ivf_topk
+
+        qv, qid = self._queries()
+        exact = (
+            brute_force_topk(rd.read_parquet(f"{SF}/embeddings.parquet"), qv, qid, k=10)
+            .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        ivf = (
+            ivf_topk(rd.read_parquet(f"{SF}/embeddings.parquet"), qv, qid, k=10,
+                     n_centroids=16, n_probe=16)
+            .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        assert (exact.values == ivf.values).all()
+
+    def test_approximate_recall_tracks_probed_fraction(self, ray_session):
+        """The synthetic embeddings are isotropic (no cluster structure), so
+        IVF recall is lower-bounded by roughly the probed cell fraction;
+        assert comfortably above chance for a half-probe config."""
+        from condor_ray.pipelines.similarity import brute_force_topk, ivf_topk
+
+        qv, qid = self._queries()
+        exact = brute_force_topk(
+            rd.read_parquet(f"{SF}/embeddings.parquet"), qv, qid, k=10
+        ).to_pandas()
+        approx = ivf_topk(
+            rd.read_parquet(f"{SF}/embeddings.parquet"), qv, qid, k=10,
+            n_centroids=16, n_probe=8,
+        ).to_pandas()
+        recalls = []
+        for q in qid:
+            a = set(exact[exact["query_id"] == q]["vec_id"])
+            b = set(approx[approx["query_id"] == q]["vec_id"])
+            recalls.append(len(a & b) / len(a))
+        assert float(np.mean(recalls)) >= 0.6  # >= probed fraction (0.5)
