@@ -246,6 +246,57 @@ def _q_cm_asof_queries(sf_dir: str):
     )
 
 
+def _q_cm_asof_stratified(sf_dir: str):
+    """queryTimestampedStratified: CM per (window, role stratum) keyed by
+    turn_idx; every turn queries its own (role, turn_idx) frequency as of its
+    own timestamp.  Probe universe (20 turn indices vs width 65536, min over
+    5 rows) is collision-free in practice => estimates equal GROUP BY counts."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from condor_ray.engine.batch import build_windowed_synopses
+    from condor_ray.config import BuildConfiguration, KeySpec
+    from condor_ray.evaluate.queries import (
+        query_count_min,
+        query_timestamped_stratified,
+    )
+    from condor_ray.sources.events_adapter import transcripts_from_events
+    from condor_ray.windows import TumblingWindow
+
+    ds = transcripts_from_events(sf_dir)
+    cfg = BuildConfiguration(
+        synopsis="CountMinSketch",
+        params=(65536, 5, 7),
+        windows=[TumblingWindow(WINDOW_MS)],
+        key=KeySpec("turn_idx", "value"),
+        stratify_by="role",
+    )
+    syn = build_windowed_synopses(ds, cfg, concurrency=2)
+
+    def to_queries(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["turn_idx"], 20))
+        return pa.table(
+            {
+                "query_key": t["turn_idx"].cast(pa.int32()),
+                "query_ts": t["ts"],
+                "stratum": t["role"],
+            }
+        )
+
+    queries = ds.map_batches(to_queries, batch_format="pyarrow")
+    out = query_timestamped_stratified(queries, syn, query_count_min).to_pandas()
+    return pd.DataFrame(
+        {
+            "stratum": out["stratum"],
+            "turn_probe": out["query_key"].astype("int64"),
+            "query_ts": out["query_ts"].astype("int64"),
+            "window_start": out["window_start"].astype("int64"),
+            "est": out["result"].astype("int64"),
+        }
+    )
+
+
 def _q_streaming_windowed_counts(sf_dir: str):
     from condor_ray.pipelines.core import streaming_windowed_counts
     from condor_ray.windows import TumblingWindow
@@ -437,6 +488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_turns_join": _q_streaming_turns_join,
         "streaming_multi_window": _q_streaming_multi_window,
         "cm_asof_queries": _q_cm_asof_queries,
+        "cm_asof_stratified": _q_cm_asof_stratified,
         "wavelet_window_sums": _q_wavelet_window_sums,
         "streaming_wavelet_sums": _q_streaming_wavelet_sums,
         "fifo_newest_ts": _q_fifo_newest_ts,
@@ -551,6 +603,23 @@ FROM transcripts t
 JOIN counts c
   ON c.tool = t.tool AND c.window_start = (epoch_us(t.ts) // {_W_US}) * {_W_US}
 WHERE t.tool IS NOT NULL"""
+    out["cm_asof_stratified"] = f"""{cte},
+counts AS (
+  SELECT (epoch_us(ts) // {_W_US}) * {_W_US} AS window_start, role,
+         CAST(turn_idx AS BIGINT) AS turn_probe, count(*) AS est
+  FROM transcripts WHERE turn_idx < 20 GROUP BY 1, 2, 3
+)
+SELECT t.role AS stratum,
+       CAST(t.turn_idx AS BIGINT) AS turn_probe,
+       epoch_us(t.ts) AS query_ts,
+       (epoch_us(t.ts) // {_W_US}) * {_W_US} AS window_start,
+       c.est
+FROM transcripts t
+JOIN counts c
+  ON c.role = t.role
+ AND c.window_start = (epoch_us(t.ts) // {_W_US}) * {_W_US}
+ AND c.turn_probe = t.turn_idx
+WHERE t.turn_idx < 20"""
     out["fifo_newest_ts"] = f"""{cte},
 win_ts AS (
   SELECT DISTINCT (epoch_us(ts) // {_W_US}) * {_W_US} AS window_start,
