@@ -209,6 +209,48 @@ def run_bench() -> dict:
     query_latest(q_ds, syn_df, query_count_min).materialize()
     queries["query_latest_2m"] = time.perf_counter() - t0
 
+    # q7: documents-scale MinHash-LSH near-dup dedup.  The small documents
+    # table is deterministically inflated 40x (every rep r>0 suffixes each
+    # word with _r => mostly-distinct corpus); every 50th doc of rep 1 keeps
+    # the rep-0 text plus a short tail => planted near-dup pairs the LSH
+    # must surface.  Measures the full signature -> band -> candidate ->
+    # verify pipeline at ~40x the base corpus.
+    import polars as pl
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from condor_ray.pipelines.dedup import minhash_lsh_pairs
+
+    docs = _pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    base = pl.from_arrow(docs)
+    reps = []
+    n_reps = 40
+    for r in range(n_reps):
+        if r == 0:
+            reps.append(base)
+            continue
+        mutated = base.with_columns(
+            (pl.col("doc_id") + r * 1_000_000).alias("doc_id"),
+            pl.col("text").str.replace_all(r"(\S+)", "${1}_" + str(r)).alias("text"),
+        )
+        if r == 1:
+            near = base.filter(pl.col("doc_id") % 50 == 0).with_columns(
+                (pl.col("doc_id") + 1_000_000).alias("doc_id"),
+                (pl.col("text") + " planted tail").alias("text"),
+            )
+            mutated = pl.concat(
+                [mutated.filter(pl.col("doc_id") % 50 != 0), near]
+            )
+        reps.append(mutated)
+    corpus = _rd.from_arrow(pl.concat(reps).to_arrow()).repartition(ncpu).materialize()
+    n_docs = corpus.count()
+    t0 = time.perf_counter()
+    n_pairs = minhash_lsh_pairs(corpus, concurrency=max(2, ncpu // 2)).count()
+    queries["minhash_dedup_docs"] = time.perf_counter() - t0
+    dedup_tput = n_docs / queries["minhash_dedup_docs"]
+
     # q6: exact stratified windowed counts (pure Ray Data groupby path)
     ds = read_transcripts(fixture, columns=["role", "ts"])
     t0 = time.perf_counter()
@@ -226,6 +268,9 @@ def run_bench() -> dict:
         "num_cpus": ncpu,
         "rows": total_rows,
         "throughput_rows_per_s": round(headline_tput),
+        "dedup_docs": n_docs,
+        "dedup_pairs": n_pairs,
+        "dedup_docs_per_s": round(dedup_tput),
     }
 
 

@@ -16,8 +16,6 @@ Scale design notes (100 TB):
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -87,48 +85,249 @@ def exact_dedup(ds):
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
+def _sig_matrix(col, num_perm: int) -> np.ndarray:
+    """Zero-copy-ish (n, num_perm) int64 matrix from a list<int64> column."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.flatten().to_numpy().reshape(-1, num_perm)
+
+
+def _pairs_within_groups(
+    group_sizes_per_row: np.ndarray,
+    local: np.ndarray,
+    doc: np.ndarray,
+    bucket_cap: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """All (i < j) index pairs within consecutive groups, fully vectorized.
+
+    Rows must be grouped contiguously; ``local`` is each row's 0-based index
+    within its group.  Groups larger than ``bucket_cap`` fall back to a star
+    around the group's first row (same connected components, O(B) not
+    O(B^2)) — expressed as clipping each row's predecessor count to 1.
+    Returns (a_idx, b_idx) global row indices with a_idx < b_idx positions."""
+    n = len(doc)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    preds = np.where(group_sizes_per_row > bucket_cap, np.minimum(local, 1), local)
+    m = int(preds.sum())
+    if m == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    pos = np.arange(n, dtype=np.int64)
+    b_idx = np.repeat(pos, preds)
+    csum = np.concatenate(([0], np.cumsum(preds)))
+    intra = np.arange(m, dtype=np.int64) - np.repeat(csum[:-1], preds)
+    # row j pairs with rows [head .. head+preds[j]) of its group, where
+    # head = pos - local (star mode clips preds to 1 => pairs with the head)
+    a_idx = np.repeat(pos - local, preds) + intra
+    return a_idx, b_idx
+
+
+def _dedup_pairs(pairs_ds, n_parts: int = 64, min_col: str | None = None):
+    """Distinct (doc_a, doc_b) rows (optionally keeping min of ``min_col``)
+    without a per-group Ray aggregate.
+
+    ``groupby(pair).aggregate(...)`` costs ~1 ms per distinct group in Ray's
+    sort-based path — fatal when candidate pairs number in the millions.
+    Instead: hash-partition pairs into a bounded number of groups and run
+    one vectorized polars dedup per partition."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy().astype(np.uint64)
+        b = batch["doc_b"].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            mixed = ((a * _GOLDEN) ^ b) * _GOLDEN
+        part = ((mixed >> np.uint64(33)) % np.uint64(n_parts)).astype(np.int32)
+        return batch.append_column("part", pa.array(part))
+
+    def uniq(g: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        pldf = pl.from_pandas(g.drop(columns=["part"]))
+        if min_col is not None:
+            out = pldf.group_by(["doc_a", "doc_b"]).agg(pl.col(min_col).min())
+        else:
+            out = pldf.unique(subset=["doc_a", "doc_b"])
+        return out.sort(["doc_a", "doc_b"]).to_pandas()
+
+    return (
+        pairs_ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(uniq, batch_format="pandas")
+    )
+
+
+def _bucket_pair_stage(key_cols: tuple[str, str], bucket_cap: int,
+                       carry: tuple[str, ...] = ()):
+    """Vectorized per-partition candidate-pair emitter.
+
+    The caller hash-partitions banded rows into a BOUNDED number of
+    partitions (``groupby('part')`` with P ~ O(cores), not one group per
+    bucket — Ray's per-group pandas dispatch costs ~0.5 ms/group, fatal at
+    millions of near-singleton LSH buckets).  This stage lexsorts one whole
+    partition and emits every within-bucket pair with CSR index math; the
+    only Python-level loop is over partitions."""
+
+    c0, c1 = key_cols
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            out = {"doc_a": pd.Series(dtype=np.int64),
+                   "doc_b": pd.Series(dtype=np.int64)}
+            for col in carry:
+                out[f"{col}_a"] = g[col]
+                out[f"{col}_b"] = g[col]
+            return pd.DataFrame(out)
+        a0 = g[c0].to_numpy()
+        a1 = g[c1].to_numpy()
+        doc = g["doc_id"].to_numpy()
+        order = np.lexsort((doc, a1, a0))
+        a0, a1, doc = a0[order], a1[order], doc[order]
+        boundary = np.empty(len(doc), dtype=bool)
+        boundary[0] = True
+        boundary[1:] = (a0[1:] != a0[:-1]) | (a1[1:] != a1[:-1])
+        gid = np.cumsum(boundary) - 1
+        starts = np.flatnonzero(boundary)
+        sizes = np.diff(np.concatenate((starts, [len(doc)])))
+        local = np.arange(len(doc), dtype=np.int64) - starts[gid]
+        a_idx, b_idx = _pairs_within_groups(sizes[gid], local, doc, bucket_cap)
+        out = {
+            "doc_a": doc[a_idx].astype(np.int64),
+            "doc_b": doc[b_idx].astype(np.int64),
+        }
+        for col in carry:
+            vals = g[col].to_numpy()[order]
+            out[f"{col}_a"] = vals[a_idx]
+            out[f"{col}_b"] = vals[b_idx]
+        return pd.DataFrame(out)
+
+    return emit
+
+
+_FOLD_INIT = np.uint64(0xCBF29CE484222325)  # fnv offset basis, any constant works
+
+
 class MinHasher:
-    """Actor-pool stage: word-shingle MinHash signatures (setup once).
+    """Actor-pool stage: word-shingle MinHash signatures, fully vectorized.
+
+    No per-document Python: tokenization is one polars regex extract over the
+    whole batch, word hashing is polars xxhash64 over the exploded word
+    column, shingle hashes are a k-pass splitmix fold over shifted views of
+    the flat word-hash array (doc boundaries masked out), and the per-doc
+    permutation minimum is ``np.minimum.reduceat`` over a CSR layout.
 
     Permutations are splitmix-style multiplicative hashes in uint64
     ((h ^ seed_k) * GOLDEN, wrapping) — well-mixed and overflow-defined,
     unlike an (a*h+b) mod p construction whose int64 product would silently
-    wrap before the modulo."""
+    wrap before the modulo.  Duplicate shingles within a doc need no
+    dedup — the min over a multiset equals the min over its support."""
 
-    def __init__(self, num_perm: int = 64, shingle: int = 3, seed: int = 7):
+    def __init__(self, num_perm: int = 64, shingle: int = 3, seed: int = 7,
+                 perm_chunk: int = 16):
         rng = np.random.default_rng(seed)
         self.seeds = rng.integers(0, 2**63, num_perm, dtype=np.uint64)
+        # the permutation-min runs in 32 bits: half the memory traffic of a
+        # u64 family (the min scan is bandwidth-bound), and a collision adds
+        # ~n_shingles/2^32 spurious agreement per permutation — negligible
+        self.seeds32 = (self.seeds >> np.uint64(32)).astype(np.uint32)
         self.num_perm = num_perm
         self.shingle = shingle
+        self.perm_chunk = perm_chunk
+
+    def _shingle_hashes(self, texts) -> tuple[np.ndarray, np.ndarray]:
+        """texts (polars Series[str]) -> (flat shingle hashes u64, CSR offsets).
+
+        offsets has len(texts)+1 entries; doc d's shingle hashes are
+        flat[offsets[d]:offsets[d+1]] and every doc has >= 1 entry (short
+        docs collapse to one gram of all their words, empty docs to the
+        empty gram), matching the scalar reference semantics."""
+        import polars as pl
+
+        k = self.shingle
+        words = texts.str.extract_all(r"\S+")
+        lens = words.list.len().fill_null(0).to_numpy().astype(np.int64)
+        flat = words.explode(empty_as_null=False).drop_nulls()
+        wh = flat.hash(seed=12345).to_numpy().astype(np.uint64, copy=False)
+        total = len(wh)
+        word_off = np.concatenate(([0], np.cumsum(lens)))
+
+        # long docs (L >= k): rolling k-fold over the flat array, then keep
+        # only starts that do not cross a doc boundary
+        n_roll = max(total - k + 1, 0)
+        with np.errstate(over="ignore"):
+            g = np.full(n_roll, _FOLD_INIT, dtype=np.uint64)
+            for j in range(k):
+                g = (g ^ wh[j : j + n_roll]) * _GOLDEN
+            g ^= g >> np.uint64(29)
+        counts = np.where(lens >= k, lens - k + 1, 0)
+        csum = np.concatenate(([0], np.cumsum(counts)))
+        intra = np.arange(csum[-1], dtype=np.int64) - np.repeat(csum[:-1], counts)
+        valid_starts = np.repeat(word_off[:-1], counts) + intra
+        long_sh = g[valid_starts] if n_roll else np.empty(0, np.uint64)
+
+        # short docs (0 < L < k): one gram folding all L words — vectorized
+        # per length class (at most k-1 classes, each a gather + fold)
+        n_sh = np.where(lens >= k, lens - k + 1, 1).astype(np.int64)
+        out_off = np.concatenate(([0], np.cumsum(n_sh)))
+        sh_flat = np.empty(out_off[-1], dtype=np.uint64)
+        sh_flat[np.repeat(out_off[:-1], counts) + intra] = long_sh
+        with np.errstate(over="ignore"):
+            empty_hash = (_FOLD_INIT ^ np.uint64(0)) * _GOLDEN
+        for L in range(0, k):
+            docs_L = np.flatnonzero(lens == L)
+            if len(docs_L) == 0:
+                continue
+            if L == 0:
+                sh_flat[out_off[docs_L]] = empty_hash
+                continue
+            idx = word_off[docs_L][:, None] + np.arange(L)[None, :]
+            with np.errstate(over="ignore"):
+                gL = np.full(len(docs_L), _FOLD_INIT, dtype=np.uint64)
+                for j in range(L):
+                    gL = (gL ^ wh[idx[:, j]]) * _GOLDEN
+                gL ^= gL >> np.uint64(29)
+            sh_flat[out_off[docs_L]] = gL
+        return sh_flat, out_off
+
+    def signatures(self, texts) -> np.ndarray:
+        """texts (polars Series[str]) -> (n_docs, num_perm) int64 matrix."""
+        n = len(texts)
+        if n == 0:
+            return np.empty((0, self.num_perm), dtype=np.int64)
+        sh_flat, out_off = self._shingle_hashes(texts)
+        sh32 = (sh_flat >> np.uint64(32)).astype(np.uint32)
+        sig = np.empty((n, self.num_perm), dtype=np.int64)
+        starts = out_off[:-1]
+        # chunk the permutation axis so the expanded (chunk x n_shingles)
+        # matrix stays bounded regardless of batch size; reuse the buffer
+        vals = np.empty((min(self.perm_chunk, self.num_perm), len(sh32)), np.uint32)
+        G32 = np.uint32(0x9E3779B9)
+        for p0 in range(0, self.num_perm, self.perm_chunk):
+            seeds = self.seeds32[p0 : p0 + self.perm_chunk]
+            v = vals[: len(seeds)]
+            np.bitwise_xor(sh32[None, :], seeds[:, None], out=v)
+            with np.errstate(over="ignore"):
+                np.multiply(v, G32, out=v)
+            sig[:, p0 : p0 + len(seeds)] = np.minimum.reduceat(v, starts, axis=1).T
+        return sig
 
     def signature(self, text: str) -> np.ndarray:
-        words = text.split()
-        if len(words) < self.shingle:
-            grams = [" ".join(words)] if words else [""]
-        else:
-            grams = [
-                " ".join(words[i : i + self.shingle])
-                for i in range(len(words) - self.shingle + 1)
-            ]
-        h = np.fromiter(
-            (
-                int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
-                for g in set(grams)
-            ),
-            dtype=np.uint64,
-        )
-        with np.errstate(over="ignore"):
-            vals = (h[None, :] ^ self.seeds[:, None]) * _GOLDEN
-        return vals.min(axis=1).astype(np.int64)
+        import polars as pl
+
+        return self.signatures(pl.Series([text]))[0]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = np.stack(
-            [self.signature(t) for t in batch["text"].to_pylist()]
-        )
+        import polars as pl
+
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        sigs = self.signatures(pl.from_arrow(text))
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "sig": pa.array(list(sigs), type=pa.list_(pa.int64())),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sigs.ravel(), type=pa.int64()), self.num_perm
+                ).cast(pa.list_(pa.int64())),
             }
         )
 
@@ -168,8 +367,8 @@ def minhash_lsh_pairs(
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         doc = batch["doc_id"].to_numpy()
-        sig = np.stack(batch["sig"].to_pylist()).astype(np.uint64)
         n = len(doc)
+        sig = _sig_matrix(batch["sig"], num_perm).astype(np.uint64)
         out_band = np.repeat(np.arange(bands, dtype=np.int32), n)
         out_doc = np.tile(doc, bands)
         out_bucket = np.empty(bands * n, dtype=np.int64)
@@ -192,27 +391,26 @@ def minhash_lsh_pairs(
 
     banded = sigs.map_batches(explode_bands, batch_format="pyarrow")
 
-    def candidates(g: pd.DataFrame) -> pd.DataFrame:
-        docs = np.unique(g["doc_id"].to_numpy())
-        if len(docs) < 2:
-            return pd.DataFrame(
-                {"doc_a": pd.Series(dtype=np.int64),
-                 "doc_b": pd.Series(dtype=np.int64)}
-            )
-        if len(docs) > bucket_cap:
-            # star: every member pairs with the min doc — O(B) pairs
-            a = np.full(len(docs) - 1, docs[0], dtype=np.int64)
-            b = docs[1:]
-        else:
-            ii, jj = np.triu_indices(len(docs), k=1)
-            a, b = docs[ii], docs[jj]
-        return pd.DataFrame({"doc_a": a, "doc_b": b})
+    # hash-partition buckets into a BOUNDED number of groups (bucket is
+    # already a mixed 64-bit hash that folds the band id in) and emit all
+    # within-bucket pairs vectorized — one map_groups call per partition,
+    # never one per LSH bucket
+    n_parts = 64
 
-    pairs = banded.groupby(["band", "bucket"]).map_groups(
-        candidates, batch_format="pandas"
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = (batch["bucket"].to_numpy() % n_parts).astype(np.int32)
+        return batch.append_column("part", pa.array(part))
+
+    pairs = (
+        banded.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            _bucket_pair_stage(("band", "bucket"), bucket_cap),
+            batch_format="pandas",
+        )
     )
-    # dedup pairs found in multiple bands (tiny groupby over candidate pairs)
-    uniq_pairs = pairs.groupby(["doc_a", "doc_b"]).count().drop_columns(["count()"])
+    # dedup pairs found in multiple bands (partitioned vectorized distinct)
+    uniq_pairs = _dedup_pairs(pairs)
 
     # verification: broadcast a doc -> signature lookup bounded by the
     # candidate set, estimate Jaccard per pair, filter by threshold
@@ -237,11 +435,14 @@ def minhash_lsh_pairs(
         keep = (idx < len(cand)) & (cand[np.clip(idx, 0, len(cand) - 1)] == doc)
         return batch.filter(pa.array(keep))
 
-    cand_sigs = sigs.map_batches(filter_sigs, batch_format="pyarrow").to_pandas()
-    sig_mat = np.stack(cand_sigs["sig"].to_numpy())
-    order = np.argsort(cand_sigs["doc_id"].to_numpy())
+    cand_tbl = pa.concat_tables(
+        ray.get(sigs.map_batches(filter_sigs, batch_format="pyarrow").to_arrow_refs())
+    )  # bounded by the candidate set
+    sig_mat = _sig_matrix(cand_tbl["sig"], num_perm)
+    cand_doc = cand_tbl["doc_id"].to_numpy()
+    order = np.argsort(cand_doc)
     sig_mat = sig_mat[order]
-    sorted_docs = cand_sigs["doc_id"].to_numpy()[order]
+    sorted_docs = cand_doc[order]
 
     # vectorized verification over the (bounded) candidate pair list
     ia = np.searchsorted(sorted_docs, pairs_pd["doc_a"].to_numpy())
@@ -265,61 +466,50 @@ def minhash_lsh_pairs(
 class SimHasher:
     """64-bit SimHash fingerprints over word hashes (actor-pool stage).
 
-    Per-batch work is vectorized: unique words hash through a per-actor
-    cache, bit contributions accumulate with one ``np.add.at`` scatter, and
-    fingerprints pack with ``np.packbits`` — no per-document bit loops."""
+    Fully vectorized per batch: tokenization and per-doc word dedup are
+    polars list ops (one regex extract + ``list.unique``), word hashing is
+    polars xxhash64 over the exploded column, bit contributions accumulate
+    with one ``np.add.at`` scatter, and fingerprints pack with
+    ``np.packbits`` — no per-document Python."""
 
-    def __init__(self):
-        self._cache: dict[str, int] = {}
-
-    def _word_hash(self, w: str) -> int:
-        h = self._cache.get(w)
-        if h is None:
-            h = int.from_bytes(
-                hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
-            )
-            self._cache[w] = h
-        return h
+    _WORD_SEED = 54321
 
     @staticmethod
-    def fingerprint(text: str) -> int:
-        acc = np.zeros(64, dtype=np.int64)
-        for w in set(text.split()):
-            h = np.uint64(int.from_bytes(
-                hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
-            ))
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits == np.uint64(1), 1, -1)
-        fp = 0
-        for k in np.flatnonzero(acc > 0):
-            fp |= 1 << int(k)
-        return fp
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        doc_idx: list[int] = []
-        words: list[str] = []
-        for i, t in enumerate(texts):
-            ws = set(t.split())
-            words.extend(ws)
-            doc_idx.extend([i] * len(ws))
-        if words:
-            hs = np.fromiter(
-                (self._word_hash(w) for w in words), dtype=np.uint64, count=len(words)
+    def _batch_fingerprints(texts) -> np.ndarray:
+        """texts (polars Series[str]) -> uint64 fingerprints."""
+        n = len(texts)
+        words = texts.str.extract_all(r"\S+").list.unique()
+        lens = words.list.len().fill_null(0).to_numpy().astype(np.int64)
+        flat = words.explode(empty_as_null=False).drop_nulls()
+        acc = np.zeros((n, 64), dtype=np.int64)
+        if len(flat):
+            hs = flat.hash(seed=SimHasher._WORD_SEED).to_numpy().astype(
+                np.uint64, copy=False
             )
             bits = np.unpackbits(
                 hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
             ).astype(np.int64)  # bits[:, k] == (h >> k) & 1 (little-endian)
-            acc = np.zeros((len(texts), 64), dtype=np.int64)
-            np.add.at(acc, np.asarray(doc_idx), 2 * bits - 1)
-        else:
-            acc = np.zeros((len(texts), 64), dtype=np.int64)
+            doc_idx = np.repeat(np.arange(n), lens)
+            np.add.at(acc, doc_idx, 2 * bits - 1)
         fps = np.packbits((acc > 0).astype(np.uint8), axis=1, bitorder="little")
-        fps = fps.view(np.uint64).ravel()
+        return fps.view(np.uint64).ravel()
+
+    @staticmethod
+    def fingerprint(text: str) -> int:
+        import polars as pl
+
+        return int(SimHasher._batch_fingerprints(pl.Series([text]))[0])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "simhash": pa.array(fps),
+                "simhash": pa.array(self._batch_fingerprints(pl.from_arrow(text))),
             }
         )
 
@@ -363,48 +553,42 @@ def simhash_pairs(
 
     banded = fps.map_batches(explode, batch_format="pyarrow")
 
-    def candidates(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"doc_a": pd.Series(dtype=np.int64),
-             "doc_b": pd.Series(dtype=np.int64),
-             "hamming": pd.Series(dtype=np.int64)}
-        )
-        if len(g) < 2:
-            return empty
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        n = len(g)
-        if n < 2:
-            return empty
-        docs = g["doc_id"].to_numpy()
-        fps_ = g["simhash"].to_numpy().astype(np.uint64)
-        bits = np.unpackbits(fps_.view(np.uint8).reshape(n, 8), axis=1)
-        if n > bucket_cap:
-            ham = (bits[:1] != bits[1:]).sum(axis=1)
-            keep = ham <= max_hamming
-            return pd.DataFrame(
-                {
-                    "doc_a": np.full(int(keep.sum()), docs[0], dtype=np.int64),
-                    "doc_b": docs[1:][keep].astype(np.int64),
-                    "hamming": ham[keep].astype(np.int64),
-                }
-            )
-        ii, jj = np.triu_indices(n, k=1)
-        ham = (bits[ii] != bits[jj]).sum(axis=1)
+    n_parts = 64
+    pair_stage = _bucket_pair_stage(("band", "bucket"), bucket_cap,
+                                    carry=("simhash",))
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        # mix band into the partition key: raw 16-bit band chunks collide
+        # across bands, unlike minhash's folded bucket hash
+        bucket = batch["bucket"].to_numpy().astype(np.uint64)
+        band = batch["band"].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            mixed = (bucket ^ (band + np.uint64(1)) * _GOLDEN) * _GOLDEN
+        part = ((mixed >> np.uint64(33)) % np.uint64(n_parts)).astype(np.int32)
+        return batch.append_column("part", pa.array(part))
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        fa = g["simhash_a"].to_numpy().astype(np.uint64)
+        fb = g["simhash_b"].to_numpy().astype(np.uint64)
+        diff = (fa ^ fb).view(np.uint8).reshape(-1, 8)
+        ham = np.unpackbits(diff, axis=1).sum(axis=1).astype(np.int64)
         keep = ham <= max_hamming
         return pd.DataFrame(
             {
-                "doc_a": docs[ii[keep]].astype(np.int64),
-                "doc_b": docs[jj[keep]].astype(np.int64),
-                "hamming": ham[keep].astype(np.int64),
+                "doc_a": g["doc_a"].to_numpy()[keep],
+                "doc_b": g["doc_b"].to_numpy()[keep],
+                "hamming": ham[keep],
             }
         )
 
-    pairs = banded.groupby(["band", "bucket"]).map_groups(
-        candidates, batch_format="pandas"
+    pairs = (
+        banded.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: verify(pair_stage(g)), batch_format="pandas"
+        )
     )
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return _dedup_pairs(pairs, min_col="hamming")
 
 
 def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
