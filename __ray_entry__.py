@@ -417,6 +417,38 @@ def _q_simhash_neardup(sf_dir: str):
     return simhash_pairs(docs, max_hamming=6, bands=8)
 
 
+def _q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dup over the embeddings table with one planted
+    exact duplicate per 100 vectors (deterministic) — every planted pair must
+    surface at threshold 0.999 (identical vectors share all LSH tables).
+    Rows-only: LSH pair sets are not SQL-expressible."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from condor_ray.pipelines.similarity import embedding_neardup_pairs
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    dup = emb[emb["vec_id"] % 100 == 0].copy()
+    dup["vec_id"] = dup["vec_id"] + 1_000_000
+    ds = rd.from_pandas(pd.concat([emb, dup], ignore_index=True))
+    pairs = embedding_neardup_pairs(ds, threshold=0.999)
+    planted = np.sort(emb[emb["vec_id"] % 100 == 0]["vec_id"].to_numpy())
+
+    def check(batch):
+        import pyarrow as pa
+
+        a = batch["vec_a"].to_numpy()
+        found = np.isin(a, planted) & (
+            batch["vec_b"].to_numpy() == a + 1_000_000
+        )
+        return batch.append_column("is_planted", pa.array(found))
+
+    return pairs.map_batches(check, batch_format="pyarrow")
+
+
 def _q_quality_scores(sf_dir: str):
     import ray.data as rd
 
@@ -511,6 +543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": _q_ivf_topk,
         "minhash_neardup": _q_minhash_neardup,   # rows-only (LSH)
         "simhash_neardup": _q_simhash_neardup,   # rows-only
+        "embedding_neardup": _q_embedding_neardup,  # rows-only (LSH)
         "quality_scores": _q_quality_scores,     # rows-only (float features)
         "language_id": _q_language_id,           # rows-only (heuristic)
         "doc_fingerprints": _q_doc_fingerprints, # rows-only (rolling hash)

@@ -97,18 +97,23 @@ def _pairs_within_groups(
     local: np.ndarray,
     doc: np.ndarray,
     bucket_cap: int,
+    window: int = 1,
 ) -> tuple[np.ndarray, np.ndarray]:
     """All (i < j) index pairs within consecutive groups, fully vectorized.
 
     Rows must be grouped contiguously; ``local`` is each row's 0-based index
-    within its group.  Groups larger than ``bucket_cap`` fall back to a star
-    around the group's first row (same connected components, O(B) not
-    O(B^2)) — expressed as clipping each row's predecessor count to 1.
+    within its group.  Groups larger than ``bucket_cap`` (degenerate
+    boilerplate buckets) emit only pairs within ``window`` preceding rows —
+    window=1 is a chain through the sorted group (same connected components
+    as all-pairs, O(B) rows); a larger window trades rows for direct-pair
+    recall among near neighbors in sort order.
     Returns (a_idx, b_idx) global row indices with a_idx < b_idx positions."""
     n = len(doc)
     if n == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    preds = np.where(group_sizes_per_row > bucket_cap, np.minimum(local, 1), local)
+    preds = np.where(
+        group_sizes_per_row > bucket_cap, np.minimum(local, window), local
+    )
     m = int(preds.sum())
     if m == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
@@ -116,9 +121,9 @@ def _pairs_within_groups(
     b_idx = np.repeat(pos, preds)
     csum = np.concatenate(([0], np.cumsum(preds)))
     intra = np.arange(m, dtype=np.int64) - np.repeat(csum[:-1], preds)
-    # row j pairs with rows [head .. head+preds[j]) of its group, where
-    # head = pos - local (star mode clips preds to 1 => pairs with the head)
-    a_idx = np.repeat(pos - local, preds) + intra
+    # row j pairs with the preds[j] rows immediately before it in its group
+    # (all-pairs mode: preds == local => everything back to the group head)
+    a_idx = np.repeat(pos - preds, preds) + intra
     return a_idx, b_idx
 
 
@@ -157,7 +162,8 @@ def _dedup_pairs(pairs_ds, n_parts: int = 64, min_col: str | None = None):
 
 
 def _bucket_pair_stage(key_cols: tuple[str, str], bucket_cap: int,
-                       carry: tuple[str, ...] = ()):
+                       carry: tuple[str, ...] = (), id_col: str = "doc_id",
+                       window: int = 1):
     """Vectorized per-partition candidate-pair emitter.
 
     The caller hash-partitions banded rows into a BOUNDED number of
@@ -179,7 +185,7 @@ def _bucket_pair_stage(key_cols: tuple[str, str], bucket_cap: int,
             return pd.DataFrame(out)
         a0 = g[c0].to_numpy()
         a1 = g[c1].to_numpy()
-        doc = g["doc_id"].to_numpy()
+        doc = g[id_col].to_numpy()
         order = np.lexsort((doc, a1, a0))
         a0, a1, doc = a0[order], a1[order], doc[order]
         boundary = np.empty(len(doc), dtype=bool)
@@ -189,7 +195,9 @@ def _bucket_pair_stage(key_cols: tuple[str, str], bucket_cap: int,
         starts = np.flatnonzero(boundary)
         sizes = np.diff(np.concatenate((starts, [len(doc)])))
         local = np.arange(len(doc), dtype=np.int64) - starts[gid]
-        a_idx, b_idx = _pairs_within_groups(sizes[gid], local, doc, bucket_cap)
+        a_idx, b_idx = _pairs_within_groups(
+            sizes[gid], local, doc, bucket_cap, window=window
+        )
         out = {
             "doc_a": doc[a_idx].astype(np.int64),
             "doc_b": doc[b_idx].astype(np.int64),

@@ -212,17 +212,15 @@ class _MultiTableLshStage:
             tables.append(np.full(n, t, dtype=np.int32))
             buckets.append(b)
         k = len(self.planes)
-        dim = m.shape[1]
-        # ship the NORMALIZED vectors as fixed-size lists built straight from
-        # the numpy matrix (no per-row python conversion)
-        flat = np.tile(m, (k, 1)).ravel()
-        emb = pa.FixedSizeListArray.from_arrays(pa.array(flat), dim)
+        # banded rows carry IDS ONLY — 13 bytes/row instead of replicating
+        # the embedding vector n_tables times through the shuffle; candidate
+        # pairs batch-lookup their vectors afterwards (bounded by the
+        # candidate count, not the corpus)
         return pa.table(
             {
                 "table": pa.array(np.concatenate(tables)),
                 "bucket": pa.array(np.concatenate(buckets), type=pa.int64()),
                 "vec_id": pa.array(np.tile(ids, k), type=pa.int64()),
-                "embedding": emb,
             }
         )
 
@@ -240,13 +238,19 @@ def embedding_neardup_pairs(
 
     100 TB path: vectors are bucketed under ``n_tables`` independent
     random-hyperplane sign patterns (identical/near-identical vectors share
-    every bucket); exact pairwise cosine runs only WITHIN each (table,
-    bucket) group — never a corpus-wide materialization or O(n^2) scan.
-    Pairs found in several tables dedup in a tiny final groupby.  Recall for
-    cosine>=0.95 with 8 planes x 4 tables is ~0.9 (probabilistic; identical
-    vectors are always found); oversize buckets chunk at ``bucket_cap`` rows
-    (pairs computed within and across adjacent chunks of the id-sorted
-    bucket, bounding memory at cap^2 while keeping duplicate runs paired)."""
+    every bucket); banded rows carry ONLY (table, bucket, vec_id) — no
+    vector replication through the shuffle.  Candidate pairs come from a
+    bounded hash-partitioned vectorized pair stage (oversize buckets emit a
+    sliding id-window of width ``bucket_cap``, keeping duplicate runs
+    paired without O(B^2) blowup), dedup across tables, then ONE bounded
+    batch-lookup of the candidate vectors verifies exact cosine.  Recall
+    for cosine>=0.95 with 8 planes x 4 tables is ~0.9 (probabilistic;
+    identical vectors are always found)."""
+    import ray
+    import ray.data as rd
+
+    from .dedup import _GOLDEN, _bucket_pair_stage, _dedup_pairs
+
     dim = len(ds.take(1)[0]["embedding"])
     bucketed = ds.map_batches(
         _MultiTableLshStage,
@@ -255,51 +259,77 @@ def embedding_neardup_pairs(
         concurrency=concurrency,
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"vec_a": pd.Series(dtype=np.int64),
-             "vec_b": pd.Series(dtype=np.int64),
-             "cosine": pd.Series(dtype=np.float64)}
+    n_parts = 64
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        bucket = batch["bucket"].to_numpy().astype(np.uint64)
+        table = batch["table"].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            mixed = (bucket ^ (table + np.uint64(1)) * _GOLDEN) * _GOLDEN
+        part = ((mixed >> np.uint64(33)) % np.uint64(n_parts)).astype(np.int32)
+        return batch.append_column("part", pa.array(part))
+
+    pairs = (
+        bucketed.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            _bucket_pair_stage(
+                ("table", "bucket"), bucket_cap, id_col="vec_id",
+                window=bucket_cap,
+            ),
+            batch_format="pandas",
         )
-        if len(g) < 2:
-            return empty
-        g = g.sort_values("vec_id")
-        ids = g["vec_id"].to_numpy(np.int64)
-        m = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
-        out = []
-        for lo in range(0, len(ids), bucket_cap):
-            hi = min(len(ids), lo + 2 * bucket_cap)  # overlap adjacent chunks
-            sims = m[lo:hi] @ m[lo:hi].T
-            ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
-            if len(ii):
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "vec_a": ids[lo:hi][ii],
-                            "vec_b": ids[lo:hi][jj],
-                            "cosine": sims[ii, jj],
-                        }
-                    )
-                )
-            if hi == len(ids):
-                break
-        if not out:
-            return empty
-        res = pd.concat(out, ignore_index=True).drop_duplicates(["vec_a", "vec_b"])
-        return res.astype(
-            {"vec_a": np.int64, "vec_b": np.int64, "cosine": np.float64}
-        )
-
-    pairs = bucketed.groupby(["table", "bucket"]).map_groups(
-        bucket_pairs, batch_format="pandas"
     )
+    pairs_pd = _dedup_pairs(pairs).to_pandas()  # bounded by candidate count
 
-    def first_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)[["vec_a", "vec_b"]]
-
-    return pairs.groupby(["vec_a", "vec_b"]).map_groups(
-        first_pair, batch_format="pandas"
+    empty = pd.DataFrame(
+        {"vec_a": pd.Series(dtype=np.int64),
+         "vec_b": pd.Series(dtype=np.int64),
+         "cosine": pd.Series(dtype=np.float64)}
     )
+    if len(pairs_pd) == 0:
+        return rd.from_pandas(empty)
+
+    # verification: one pass over the corpus keeps only candidate vectors
+    # (broadcast sorted id filter), then exact cosine per candidate pair
+    cand_ids = np.union1d(
+        pairs_pd["doc_a"].to_numpy(), pairs_pd["doc_b"].to_numpy()
+    )
+    cand_ref = ray.put(np.sort(cand_ids))
+
+    def filter_vecs(batch: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        ids = batch["vec_id"].to_numpy()
+        idx = np.searchsorted(cand, ids)
+        keep = (idx < len(cand)) & (cand[np.clip(idx, 0, len(cand) - 1)] == ids)
+        kept = batch.filter(pa.array(keep))
+        return kept.select(["vec_id", "embedding"])
+
+    cand_tbl = pa.concat_tables(
+        [
+            t.combine_chunks()
+            for t in ray.get(
+                ds.map_batches(filter_vecs, batch_format="pyarrow").to_arrow_refs()
+            )
+        ],
+        promote_options="default",
+    )
+    mat = _normalize(_vec_matrix(cand_tbl))
+    ids = cand_tbl["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    mat, ids = mat[order], ids[order]
+    ia = np.searchsorted(ids, pairs_pd["doc_a"].to_numpy())
+    ib = np.searchsorted(ids, pairs_pd["doc_b"].to_numpy())
+    cos = np.einsum("ij,ij->i", mat[ia], mat[ib])
+    keep = cos >= threshold
+    out = pd.DataFrame(
+        {
+            "vec_a": pairs_pd["doc_a"].to_numpy(np.int64)[keep],
+            "vec_b": pairs_pd["doc_b"].to_numpy(np.int64)[keep],
+            "cosine": cos[keep].astype(np.float64),
+        }
+    )
+    return rd.from_pandas(out if len(out) else empty)
 
 
 # -- IVF (inverted-file) ANN — the coarse-quantizer scale path ---------------
