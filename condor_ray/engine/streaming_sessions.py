@@ -30,6 +30,7 @@ keyed by (stratum, slice), not by conv).
 
 from __future__ import annotations
 
+import heapq
 import json
 import os
 
@@ -114,6 +115,15 @@ class SessionStateStore:
         self.sessions: dict[str, list] = {}
         self.closed_counts: dict[str, int] = {}
         self.rows_ingested = 0
+        # lazy-deletion min-heap of (earliest open session last_ts, conv):
+        # a close cycle touches only convs whose sessions actually close,
+        # never the full open-conversation map.  Invariant: after every
+        # mutation of a conv's session list, its CURRENT earliest last_ts is
+        # pushed; stale (smaller) entries are skipped on pop by re-checking
+        # the live state.  Sessions of one conv are disjoint and >= gap
+        # apart, so last_ts is increasing with first_ts and the closable
+        # set is always a prefix.
+        self._expiry: list[tuple[int, str]] = []
 
     def _new_synopsis(self, conv: str) -> Synopsis:
         syn = make_synopsis(self.config.synopsis, self.config.params)
@@ -200,31 +210,42 @@ class SessionStateStore:
         if cur is not None:
             flush(cur)
         self.sessions[cid] = merged
+        heapq.heappush(self._expiry, (merged[0][1], cid))
 
     def close_sessions(self, watermark_us: int) -> pa.Table:
-        """Emit + evict every session with last_ts + gap <= watermark."""
+        """Emit + evict every session with last_ts + gap <= watermark.
+
+        Heap-indexed: pops only convs whose earliest session is due (plus
+        stale lazy entries), so a close cycle is O(closing + stale), not
+        O(open conversations).  A popped conv closes its due prefix; if
+        sessions remain, its new earliest last_ts is re-pushed."""
         gap = self.gap_us
         out = {k: [] for k in _EMPTY_SCHEMA}
-        for cid in sorted(self.sessions):
-            sess = self.sessions[cid]
-            keep = []
-            for s in sess:
-                if s[1] + gap <= watermark_us:
-                    idx = self.closed_counts.get(cid, 0)
-                    self.closed_counts[cid] = idx + 1
-                    out["conv_id"].append(cid)
-                    out["session_idx"].append(idx)
-                    out["session_start"].append(int(s[0]))
-                    out["session_end"].append(int(s[1]))
-                    out["n_rows"].append(int(s[3]))
-                    out["synopsis_type"].append(self.config.synopsis)
-                    out["payload"].append(
-                        s[2].to_bytes() if s[2] is not None else b""
-                    )
-                else:
-                    keep.append(s)
-            if keep:
-                self.sessions[cid] = keep
+        while self._expiry and self._expiry[0][0] + gap <= watermark_us:
+            _, cid = heapq.heappop(self._expiry)
+            sess = self.sessions.get(cid)
+            if not sess:
+                continue  # stale entry for an already-evicted conv
+            i = 0
+            while i < len(sess) and sess[i][1] + gap <= watermark_us:
+                s = sess[i]
+                i += 1
+                idx = self.closed_counts.get(cid, 0)
+                self.closed_counts[cid] = idx + 1
+                out["conv_id"].append(cid)
+                out["session_idx"].append(idx)
+                out["session_start"].append(int(s[0]))
+                out["session_end"].append(int(s[1]))
+                out["n_rows"].append(int(s[3]))
+                out["synopsis_type"].append(self.config.synopsis)
+                out["payload"].append(
+                    s[2].to_bytes() if s[2] is not None else b""
+                )
+            if i == 0:
+                continue  # stale entry; a newer one covers this conv
+            if i < len(sess):
+                self.sessions[cid] = sess[i:]
+                heapq.heappush(self._expiry, (sess[i][1], cid))
             else:
                 del self.sessions[cid]
         return pa.table({k: pa.array(v, type=t) for (k, t), v in zip(_EMPTY_SCHEMA.items(), out.values())})
@@ -261,6 +282,11 @@ class SessionStateStore:
         }
         self.closed_counts = dict(st["closed_counts"])
         self.rows_ingested = st["rows_ingested"]
+        # rebuild the expiry heap from live state (not snapshotted)
+        self._expiry = [
+            (sess[0][1], cid) for cid, sess in self.sessions.items()
+        ]
+        heapq.heapify(self._expiry)
 
 
 class StreamingSessionJob:

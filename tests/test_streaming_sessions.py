@@ -167,3 +167,43 @@ class TestStreamingSessions:
         cfg.hot_key_threshold = 100
         with pytest.raises(ValueError):
             StreamingSessionJob(cfg, str(tmp_path / "x"))
+
+
+class TestCloseCycleScaling:
+    def test_close_cycle_independent_of_open_count(self, ray_session):
+        """With ~50k open (idle) conversations, a no-op close cycle must not
+        sweep the whole open-conv map — the expiry heap makes it O(closing),
+        so 200 cycles stay well under the O(open) sweep cost."""
+        import time
+
+        import pyarrow as pa
+        import ray
+
+        from condor_ray.engine.streaming_sessions import SessionStateStore
+
+        n = 50_000
+        store = SessionStateStore.remote(0, _cfg(parallelism=1), GAP_US)
+        batch = pa.table(
+            {
+                "conv_id": pa.array([f"c{i:06d}" for i in range(n)]),
+                "ts": pa.array(np.arange(n, dtype=np.int64) + 1_000_000),
+                "text": pa.array(["hello world"] * n),
+            }
+        )
+        assert ray.get(store.ingest.remote(batch)) == n
+
+        # 200 close cycles at a watermark that closes nothing
+        t0 = time.perf_counter()
+        for _ in range(200):
+            t = ray.get(store.close_sessions.remote(0))
+            assert t.num_rows == 0
+        noop_wall = time.perf_counter() - t0
+        # heap path: pure RPC overhead (~1 ms/cycle); the old full sweep of
+        # 50k convs costs ~25 ms/cycle => ~5 s for 200 cycles
+        assert noop_wall < 2.0, f"no-op close cycles took {noop_wall:.2f}s"
+
+        # closing watermark emits every session exactly once
+        t = ray.get(store.close_sessions.remote(2**62))
+        assert t.num_rows == n
+        assert ray.get(store.close_sessions.remote(2**62)).num_rows == 0
+        ray.kill(store)
