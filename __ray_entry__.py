@@ -197,6 +197,16 @@ def _q_streaming_multi_window(sf_dir: str):
     return streaming_multi_window_counts(sf_dir, WINDOW_MS)
 
 
+def _q_streaming_ten_windows(sf_dir: str):
+    """10 concurrent sliding windows (size i*6h, slide 6h) sharing one slice
+    store — window-count stress parity with the reference's 100-window
+    benchmark shape (bench:windowing/Bucketing.java:57-61), oracle-checked
+    at n=10; the wall-vs-n sweep to n=100 runs in bench.py."""
+    from condor_ray.pipelines.core import streaming_n_window_counts
+
+    return streaming_n_window_counts(sf_dir, WINDOW_MS, n_windows=10)
+
+
 def _q_cm_asof_queries(sf_dir: str):
     """queryTimestamped evaluation: every tool turn queries its own tool's
     frequency at its own timestamp; collision-free CM => exact counts."""
@@ -519,6 +529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turns_join_tool_calls": _q_turns_join_tool_calls,
         "streaming_turns_join": _q_streaming_turns_join,
         "streaming_multi_window": _q_streaming_multi_window,
+        "streaming_ten_windows": _q_streaming_ten_windows,
         "cm_asof_queries": _q_cm_asof_queries,
         "cm_asof_stratified": _q_cm_asof_stratified,
         "wavelet_window_sums": _q_wavelet_window_sums,
@@ -622,6 +633,9 @@ WHERE t.tool IS NOT NULL"""
     from condor_ray.pipelines.core import multi_window_sql as _mwsql
 
     out["streaming_multi_window"] = _mwsql(cte, _W_US)
+    from condor_ray.pipelines.core import n_window_sql as _nwsql
+
+    out["streaming_ten_windows"] = _nwsql(cte, _W_US, 10)
     out["cm_asof_queries"] = f"""{cte},
 counts AS (
   SELECT (epoch_us(ts) // {_W_US}) * {_W_US} AS window_start, tool,

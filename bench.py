@@ -149,6 +149,28 @@ def run_bench() -> dict:
     queries["stream_hll_sliding_5s_2.5s"] = time.perf_counter() - t0
     job.shutdown()
 
+    # q2b: window-count stress — n concurrent sliding windows (size i*60s,
+    # slide 60s) sharing ONE slice store, the reference's up-to-100-window
+    # benchmark shape (bench:windowing/Bucketing.java:57-61).  Slices build
+    # once and fan out n ways at close; wall-vs-n shows the shared-slice
+    # design absorbs window count.
+    for n_win in (1, 10, 100):
+        out = tempfile.mkdtemp(prefix=f"bench_nwin{n_win}_")
+        cfg = BuildConfiguration(
+            synopsis="CountMinSketch",
+            params=(1024, 3, 7),
+            windows=[
+                SlidingWindow(i * 60_000, 60_000) for i in range(1, n_win + 1)
+            ],
+            key=KeySpec("conv_id", "java_hash"),
+            parallelism=p_fine,
+        )
+        job = StreamingSynopsisJob(cfg, out, columns=["conv_id", "ts"])
+        t0 = time.perf_counter()
+        job.run(stress_frags)
+        queries[f"windows_n{n_win}"] = time.perf_counter() - t0
+        job.shutdown()
+
     # q3: batch-path DDSketch quantiles over text length, tumbling 60 s
     ds = read_transcripts(stress_fix, columns=["text", "ts"])
     cfg = BuildConfiguration(

@@ -405,6 +405,68 @@ def streaming_multi_window_counts(sf_dir: str, size_ms: int, parallelism: int = 
     )
 
 
+def streaming_n_window_counts(
+    sf_dir: str, slice_ms: int, n_windows: int, parallelism: int = 4
+):
+    """N CONCURRENT SLIDING WINDOWS in one streaming job — the reference's
+    window-count stress shape (bench:windowing/Bucketing.java:57-61 runs up
+    to 100 windows through one shared operator).  Window i in 1..n is
+    sliding(size=i*slice, slide=slice); all n share ONE slice store (gcd =
+    slice), so each slice is built once and fanned out n ways at close.
+    Emits (window_kind, window_start, window_end, n_rows) with the engine's
+    full 'sliding_{size}_{slide}' label so every window is distinguishable
+    in the oracle."""
+    import tempfile
+
+    from ..engine.streaming import StreamingSynopsisJob
+    from ..windows import SlidingWindow
+
+    frags = cached_event_stream_fragments(sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="condor_nwin_q_")
+    cfg = BuildConfiguration(
+        synopsis="CountMinSketch",
+        params=(1024, 3, 7),
+        windows=[
+            SlidingWindow(i * slice_ms, slice_ms) for i in range(1, n_windows + 1)
+        ],
+        key=KeySpec("conv_id", "java_hash"),
+        parallelism=parallelism,
+    )
+    job = StreamingSynopsisJob(cfg, out_dir, columns=["conv_id", "ts"])
+    job.run(frags)
+    out = job.result_dataset().to_pandas()
+    job.shutdown()
+    return (
+        pd.DataFrame(
+            {
+                "window_kind": out["window_kind"].astype(str),
+                "window_start": out["window_start"].astype(np.int64),
+                "window_end": out["window_end"].astype(np.int64),
+                "n_rows": out["n_rows"].astype(np.int64),
+            }
+        )
+        .sort_values(["window_kind", "window_start"])
+        .reset_index(drop=True)
+    )
+
+
+def n_window_sql(cte: str, w_us: int, n_windows: int) -> str:
+    """Oracle for ``streaming_n_window_counts``: window i (size i*w, slide w)
+    assigns a row at slice s to windows s-i+1..s (start >= 0)."""
+    w_ms = w_us // 1000
+    parts = []
+    for i in range(1, n_windows + 1):
+        parts.append(f"""
+SELECT 'sliding_{i * w_ms}_{w_ms}' AS window_kind,
+       ((epoch_us(ts) // {w_us}) - j) * {w_us} AS window_start,
+       ((epoch_us(ts) // {w_us}) - j) * {w_us} + {i * w_us} AS window_end,
+       count(*) AS n_rows
+FROM transcripts CROSS JOIN generate_series(0, {i - 1}) AS g(j)
+WHERE (epoch_us(ts) // {w_us}) - j >= 0
+GROUP BY 1, 2, 3""")
+    return cte + "\n" + "\nUNION ALL".join(parts)
+
+
 def multi_window_sql(cte: str, w_us: int) -> str:
     """Tumbling(w) UNION sliding(2w, w) counts (sliding window k covers
     [k*w, k*w + 2w); a row at slice s belongs to sliding windows s-1 and s)."""

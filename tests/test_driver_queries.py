@@ -13,6 +13,7 @@ SF = "/root/testdata/sf0.001"
 QUERIES = [
     "hll_distinct",
     "streaming_multi_window",
+    "streaming_ten_windows",
     "streaming_turns_join",
     "query_latest_stratified",
     "session_synopses",
