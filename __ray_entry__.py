@@ -459,6 +459,16 @@ def _q_embedding_neardup(sf_dir: str):
     return pairs.map_batches(check, batch_format="pyarrow")
 
 
+def _q_streaming_query_latest(sf_dir: str):
+    """Standing query set evaluated per close cycle inside the streaming CM
+    job (continuous queryLatest); the final cycle equals batch queryLatest,
+    sharing its SQL oracle."""
+    from condor_ray.pipelines.synopsis_queries import streaming_query_latest_cm
+    from condor_ray.windows import TumblingWindow
+
+    return streaming_query_latest_cm(sf_dir, TumblingWindow(WINDOW_MS))
+
+
 def _q_quality_scores(sf_dir: str):
     import ray.data as rd
 
@@ -547,6 +557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bash_equidepth": _mk_synopsis_query("bash_total_check"),
         "hll_distinct": _mk_synopsis_query("hll_distinct_check"),
         "query_latest_cm": _mk_synopsis_query("query_latest_cm"),
+        "streaming_query_latest": _q_streaming_query_latest,
         "query_latest_stratified": _mk_synopsis_query("query_latest_stratified_cm"),
         "exact_dedup": _q_exact_dedup,
         "token_stats": _q_token_stats,
@@ -703,6 +714,8 @@ GROUP BY 1, 2"""
     out["wavelet_window_sums"] = _wsql(cte, _W_US)
     out["streaming_wavelet_sums"] = _wsql(cte, _W_US)
     out["query_latest_cm"] = _sq.query_latest_sql(cte, _W_US)
+    # continuous evaluation converges to batch queryLatest on bounded input
+    out["streaming_query_latest"] = _sq.query_latest_sql(cte, _W_US)
     out["query_latest_stratified"] = _sq.query_latest_stratified_sql(cte, _W_US)
     out["exact_dedup"] = """
 WITH docs2 AS (

@@ -1,0 +1,133 @@
+"""Continuous (streaming) query evaluation: a standing query set evaluated
+against the live synopsis stream, per close cycle, inside the streaming job.
+
+Reference semantics (conn/.../evaluator/QueryLatestFunction.java:27-61): the
+query stream is broadcast against the synopsis stream; each query answers
+against the LATEST synopsis at its arrival, and queries arriving BEFORE the
+first synopsis buffer until one exists, then flush against it (:42-60).
+
+Ray-native shape: the micro-batch streaming job already has a natural cycle
+boundary (fragment ingest -> watermark advance -> window close/emit).  This
+evaluator drives the job one fragment at a time and interleaves query
+arrivals at those boundaries:
+
+  cycle k: ingest fragment k -> close windows due at the new watermark ->
+           update `latest` from the cycle's emissions -> flush any buffered
+           queries (first-synopsis flush) -> evaluate cycle-k arrivals
+
+Evaluation is driver-side vectorized (``query_fn`` over the key array) —
+the synopsis stream is tiny (one row per closed window); the heavy query
+fan-out path stays ``evaluate.queries.query_latest`` (broadcast +
+map_batches).  On bounded input the FINAL cycle's standing-query answers
+equal the batch ``queryLatest`` result — the driver-gate equivalence.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from ..synopses.base import Synopsis
+
+
+class ContinuousQueryLatest:
+    """Standing queryLatest over a ``StreamingSynopsisJob``'s close cycles.
+
+    ``results`` rows carry (cycle, query columns, result, window_start,
+    window_end); a query answered from the buffer records the cycle it was
+    FLUSHED in (the first-synopsis cycle), like the reference's buffered
+    elements being processed on flush."""
+
+    def __init__(self, job, query_fn):
+        self.job = job
+        self.query_fn = query_fn
+        self.buffered: list[pd.DataFrame] = []
+        self.latest: tuple[bytes, int, int] | None = None
+        self.results: list[pd.DataFrame] = []
+        self._seen_emits: set[str] = set()
+
+    def _refresh_latest(self) -> None:
+        out_dir = self.job.out_dir
+        new = sorted(
+            f
+            for f in os.listdir(out_dir)
+            if f.startswith("emit-") and f.endswith(".parquet")
+            and f not in self._seen_emits
+        )
+        for f in new:
+            self._seen_emits.add(f)
+            t = pq.read_table(
+                os.path.join(out_dir, f),
+                columns=["window_start", "window_end", "payload"],
+            )
+            if t.num_rows == 0:
+                continue
+            starts = t["window_start"].to_numpy()
+            i = int(np.argmax(starts))
+            ws = int(starts[i])
+            if self.latest is None or ws > self.latest[1]:
+                self.latest = (
+                    t["payload"][i].as_py(),
+                    ws,
+                    int(t["window_end"][i].as_py()),
+                )
+
+    def _evaluate(self, cycle: int, queries: pd.DataFrame) -> None:
+        payload, ws, we = self.latest
+        synopsis = Synopsis.from_bytes(payload)
+        out = queries.copy()
+        out["result"] = self.query_fn(synopsis, queries["query_key"].to_numpy())
+        out["window_start"] = ws
+        out["window_end"] = we
+        out.insert(0, "cycle", cycle)
+        self.results.append(out)
+
+    def _arrive(self, cycle: int, queries: pd.DataFrame | None) -> None:
+        # flush buffered queries once the first synopsis exists
+        if self.latest is not None and self.buffered:
+            for q in self.buffered:
+                self._evaluate(cycle, q)
+            self.buffered = []
+        if queries is None or len(queries) == 0:
+            return
+        if self.latest is None:
+            self.buffered.append(queries)
+        else:
+            self._evaluate(cycle, queries)
+
+    def run(
+        self,
+        fragment_paths: list[str],
+        query_arrivals,
+    ) -> pd.DataFrame:
+        """``query_arrivals``: dict cycle->DataFrame(query_key, ...) or a
+        callable cycle->DataFrame (a STANDING query set passes the same
+        frame every cycle).  Cycle k runs after fragment k's close; cycle
+        ``len(fragment_paths)`` is the end-of-stream flush."""
+        get = (
+            query_arrivals
+            if callable(query_arrivals)
+            else lambda k: query_arrivals.get(k)
+        )
+        for k in range(len(fragment_paths)):
+            self.job.run(
+                fragment_paths[: k + 1], final_flush=False, pipelined=False
+            )
+            self._refresh_latest()
+            self._arrive(k, get(k))
+        # end-of-stream: final close cycle, then the last arrivals/flush
+        self.job.run(fragment_paths, final_flush=True, pipelined=False)
+        self._refresh_latest()
+        self._arrive(len(fragment_paths), get(len(fragment_paths)))
+        if not self.results:
+            return pd.DataFrame(
+                {"cycle": pd.Series(dtype=np.int64),
+                 "query_key": pd.Series(dtype=np.int64),
+                 "result": pd.Series(dtype=np.float64),
+                 "window_start": pd.Series(dtype=np.int64),
+                 "window_end": pd.Series(dtype=np.int64)}
+            )
+        return pd.concat(self.results, ignore_index=True)

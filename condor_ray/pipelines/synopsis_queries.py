@@ -540,6 +540,70 @@ def query_latest_cm(ds, window: TumblingWindow):
     )
 
 
+def streaming_query_latest_cm(sf_dir: str, window: TumblingWindow):
+    """CONTINUOUS queryLatest: the 20-tool standing query set re-evaluates
+    against the live synopsis stream at every close cycle of a streaming
+    CM job (queries pre-dating the first synopsis buffer, then flush —
+    QueryLatestFunction.java:42-60).  On bounded input the final cycle's
+    answers equal batch queryLatest, so this row SHARES query_latest_cm's
+    SQL oracle; the per-cycle evolution is covered by pytest."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..engine.streaming import StreamingSynopsisJob
+    from ..evaluate.continuous import ContinuousQueryLatest
+    from ..evaluate.queries import query_count_min
+    from .core import cached_event_stream_fragments
+
+    # ts-ordered tool-row fragments (tool IS NOT NULL), cached per sf_dir
+    frags = cached_event_stream_fragments(sf_dir)
+    cache = os.path.join(
+        "/tmp/condor_ray_fixtures",
+        "tool_stream_v2_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:10],
+    )
+    done = os.path.join(cache, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(cache, exist_ok=True)
+        for f in frags:
+            t = pq.read_table(f, columns=["conv_id", "tool", "ts"])
+            t = t.filter(pc.is_valid(t["tool"]))
+            pq.write_table(t, os.path.join(cache, os.path.basename(f)))
+        open(done, "w").write("ok")
+    tool_frags = sorted(
+        os.path.join(cache, f) for f in os.listdir(cache) if f.endswith(".parquet")
+    )
+
+    cfg = BuildConfiguration(
+        synopsis="CountMinSketch",
+        params=(65536, 5, 7),
+        windows=[window],
+        key=KeySpec("tool", "java_hash"),
+        parallelism=2,
+    )
+    out_dir = tempfile.mkdtemp(prefix="condor_contq_")
+    job = StreamingSynopsisJob(cfg, out_dir, columns=["conv_id", "tool", "ts"])
+    standing = pd.DataFrame(
+        {
+            "query_key": java_string_hash_array(TOOL_UNIVERSE).astype(np.int64),
+            "tool": TOOL_UNIVERSE,
+        }
+    )
+    ev = ContinuousQueryLatest(job, query_count_min)
+    res = ev.run(tool_frags, lambda k: standing)
+    job.shutdown()
+    final = res[res["cycle"] == res["cycle"].max()]
+    return pd.DataFrame(
+        {
+            "tool": final["tool"].to_numpy(object),
+            "window_start": final["window_start"].astype(np.int64).to_numpy(),
+            "est": final["result"].astype(np.int64).to_numpy(),
+        }
+    ).reset_index(drop=True)
+
+
 def query_latest_sql(cte: str, w_us: int) -> str:
     return f"""{cte},
 counts AS (

@@ -1,0 +1,82 @@
+"""Continuous query evaluation: standing queries re-evaluate per close
+cycle; queries arriving before the first synopsis buffer, then flush
+(QueryLatestFunction.java:42-60 semantics)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from condor_ray.config import BuildConfiguration, KeySpec
+from condor_ray.engine.streaming import StreamingSynopsisJob
+from condor_ray.evaluate.continuous import ContinuousQueryLatest
+from condor_ray.evaluate.queries import query_count_min
+from condor_ray.hashing import java_string_hash_array
+from condor_ray.windows import TumblingWindow
+
+W_MS = 10_000  # 10 s tumbling
+W_US = W_MS * 1000
+
+
+def _fragment(path, ts_lo_s, rows_per_conv):
+    convs = np.repeat(
+        [f"conv{i}" for i in range(len(rows_per_conv))], rows_per_conv
+    )
+    n = len(convs)
+    ts = (ts_lo_s * 1_000_000 + np.arange(n) * 1000).astype("datetime64[us]")
+    pq.write_table(
+        pa.table({"conv_id": pa.array(convs.tolist()), "ts": pa.array(ts)}),
+        path,
+    )
+
+
+@pytest.fixture()
+def stream(tmp_path):
+    # fragment k holds data in window k's FIRST half, so after fragment k
+    # the watermark has not yet closed window k — window k-1 closes instead
+    paths = []
+    for k, per_conv in enumerate([(3, 1), (5, 2), (7, 4)]):
+        p = str(tmp_path / f"frag-{k:05d}.parquet")
+        _fragment(p, ts_lo_s=10 * k, rows_per_conv=per_conv)
+        paths.append(p)
+    return paths
+
+
+def test_buffer_then_flush_and_track_latest(ray_session, stream, tmp_path):
+    cfg = BuildConfiguration(
+        synopsis="CountMinSketch",
+        params=(4096, 3, 7),
+        windows=[TumblingWindow(W_MS)],
+        key=KeySpec("conv_id", "java_hash"),
+        parallelism=2,
+    )
+    job = StreamingSynopsisJob(cfg, str(tmp_path / "out"), columns=["conv_id", "ts"])
+    keys = java_string_hash_array(["conv0", "conv1"]).astype(np.int64)
+    standing = pd.DataFrame({"query_key": keys, "conv": ["conv0", "conv1"]})
+    ev = ContinuousQueryLatest(job, query_count_min)
+    res = ev.run(stream, lambda k: standing)
+    job.shutdown()
+
+    # cycle 0: no window closed yet -> queries buffered, no cycle-0 rows
+    assert (res["cycle"] == 0).sum() == 0
+    # cycle 1: window 0 closes; the buffered cycle-0 queries FLUSH here, so
+    # cycle 1 carries two evaluations (flushed + standing), both vs window 0
+    c1 = res[res["cycle"] == 1]
+    assert len(c1) == 4
+    assert (c1["window_start"] == 0).all()
+    got = c1.groupby("conv")["result"].unique()
+    assert list(got["conv0"]) == [3] and list(got["conv1"]) == [1]
+    # cycle 2: latest is window 1
+    c2 = res[res["cycle"] == 2]
+    assert (c2["window_start"] == W_US).all()
+    assert c2.set_index("conv")["result"]["conv0"] == 5
+    # final flush cycle: latest is window 2
+    c3 = res[res["cycle"] == 3]
+    assert (c3["window_start"] == 2 * W_US).all()
+    assert c3.set_index("conv")["result"]["conv1"] == 4
+    # standing query answers are monotone in window_start across cycles
+    per_cycle = res.groupby("cycle")["window_start"].max()
+    assert per_cycle.is_monotonic_increasing

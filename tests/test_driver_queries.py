@@ -14,6 +14,7 @@ QUERIES = [
     "hll_distinct",
     "streaming_multi_window",
     "streaming_ten_windows",
+    "streaming_query_latest",
     "streaming_turns_join",
     "query_latest_stratified",
     "session_synopses",
