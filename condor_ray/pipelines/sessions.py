@@ -10,7 +10,9 @@
   on GLOBAL arrival ordinals instead (documented deviation, SURVEY §7) so the
   result is partition-count invariant.  For the events-derived stream the
   arrival ordinal IS event_id (the file is arrival-ordered), which keeps the
-  oracle in plain SQL.
+  oracle in plain SQL.  ``count_window_ids(mode="condor")`` reproduces the
+  reference's parallelism-dependent boundaries exactly for callers that need
+  bit-parity with a Condor deployment.
 """
 
 from __future__ import annotations
@@ -69,6 +71,57 @@ SELECT conv_id, session_idx,
        max(ts_us) AS session_end,
        count(*) AS n_turns
 FROM islands GROUP BY conv_id, session_idx"""
+
+
+def count_window_ids(
+    ordinals: np.ndarray,
+    size: int,
+    parallelism: int = 1,
+    mode: str = "global",
+    subtask: np.ndarray | None = None,
+) -> np.ndarray:
+    """Count-window id per element.
+
+    mode="global" (the documented default): wid = arrival ordinal // size —
+    partition-count invariant.
+
+    mode="condor": reference parity with
+    ``conn/.../processor/SynopsisBuilder.java:213-233`` — elements
+    round-robin from each source subtask onto ``parallelism`` builders
+    (rescale + AddParallelismIndex), each builder closes a partial synopsis
+    every ``size // parallelism`` elements, and ``countWindowAll(P)`` merges
+    every P consecutive partials into one window.  Emulated
+    deterministically: builder = per-subtask round-robin counter % P;
+    wid = per-builder arrival rank // (size // P).  With a single source
+    subtask this degenerates to the global mode (round-robin interleaves
+    builders in lockstep); with several subtasks the boundaries become
+    distribution-dependent, exactly like the reference.
+    """
+    n = len(ordinals)
+    order = np.argsort(ordinals, kind="stable")
+    if mode == "global":
+        wid = np.empty(n, dtype=np.int64)
+        wid[order] = np.arange(n, dtype=np.int64) // size
+        return wid
+    if mode != "condor":
+        raise ValueError(f"unknown count-window mode {mode!r}")
+    if size % parallelism:
+        raise ValueError("condor mode needs parallelism | size (Java int division drops the remainder per builder)")
+    per = size // parallelism
+    st = (
+        np.zeros(n, dtype=np.int64)
+        if subtask is None
+        else np.asarray(subtask)[order]
+    )
+    # per-subtask round-robin counter -> builder id
+    df = pd.DataFrame({"st": st})
+    rr = df.groupby("st", sort=False).cumcount().to_numpy()
+    builder = rr % parallelism
+    # per-builder arrival rank -> partial index -> window id
+    rank = pd.DataFrame({"b": builder}).groupby("b", sort=False).cumcount().to_numpy()
+    wid = np.empty(n, dtype=np.int64)
+    wid[order] = rank // per
+    return wid
 
 
 def count_window_distinct(sf_dir: str, size: int):
