@@ -52,12 +52,25 @@ def _split_wavelet_fragment(
     watermark_us: int,
     key_spec: KeySpec,
     columns: list[str] | None,
+    mini_batch: int | None = None,
 ):
-    """Order-and-index one fragment: sort rows into the stable per-turn
-    order, assign global per-window ordinals continuing from ``counters``,
-    and cut into P round-robin shards.  Returns (meta, new_counters,
-    shard_0..shard_{P-1}); shard_p = Table(window_id, pos, value) where pos
-    is the ordinal // P append position."""
+    """Order-and-index one fragment: establish the stream order, assign
+    global per-window ordinals continuing from ``counters``, and cut into P
+    round-robin shards.  Returns (meta, new_counters, shard_0..shard_{P-1});
+    shard_p = Table(window_id, pos, value) where pos is the ordinal // P
+    append position.
+
+    Ordering modes:
+    - ``mini_batch=None`` (default): full (ts, conv_id, turn_idx) sort — the
+      stronger-than-reference guarantee the repo documents.
+    - ``mini_batch=N`` reproduces the reference's ``OrderAndIndex``
+      re-ordering knob (conn/.../processor/divide/OrderAndIndex.java:41-67):
+      N=1 dispatches in raw arrival order; N>1 buffers N consecutive
+      arrivals into a PriorityQueue and drains them in timestamp order
+      before round-robin assignment — a bounded partial re-order.  Chunk
+      boundaries reset per fragment, and the tail (< N arrivals at fragment
+      end) is flushed rather than dropped (the reference's open buffer
+      would silently hold it at end-of-stream)."""
     table = pq.read_table(path, columns=columns)
     n = table.num_rows
     ts = ts_to_us(table["ts"])
@@ -69,9 +82,16 @@ def _split_wavelet_fragment(
         table = table.filter(pa.array(~late))
         ts = ts[~late]
 
-    conv = table["conv_id"].to_pandas().to_numpy()
-    turn = table["turn_idx"].to_numpy()
-    order = np.lexsort((turn, conv, ts))
+    if mini_batch is None:
+        conv = table["conv_id"].to_pandas().to_numpy()
+        turn = table["turn_idx"].to_numpy()
+        order = np.lexsort((turn, conv, ts))
+    elif mini_batch <= 1:
+        order = np.arange(len(ts), dtype=np.int64)  # raw arrival order
+    else:
+        # chunk-major, ts within chunk, stable on arrival — one lexsort
+        chunk = np.arange(len(ts), dtype=np.int64) // mini_batch
+        order = np.lexsort((np.arange(len(ts)), ts, chunk))
     ts = ts[order]
     values = KeyExtractor(key_spec)(table)[order].astype(np.float64)
     wid = ts // size_us
@@ -172,12 +192,14 @@ class StreamingWaveletJob:
         parallelism: int = 4,
         key: KeySpec | None = None,
         columns: list[str] | None = None,
+        mini_batch: int | None = None,
     ):
         self.window = window
         self.size = size
         self.parallelism = parallelism
         self.key = key or KeySpec("turn_idx", "value")
         self.columns = columns
+        self.mini_batch = mini_batch
         self.out_dir = out_dir
         os.makedirs(out_dir, exist_ok=True)
         self.builders = [
@@ -258,7 +280,7 @@ class StreamingWaveletJob:
         for k, path in enumerate(fragment_paths):
             refs = split.remote(
                 path, counters_ref, self.parallelism, size_us, wm, self.key,
-                self.columns,
+                self.columns, self.mini_batch,
             )
             meta_ref, counters_ref, shard_refs = refs[0], refs[1], refs[2:]
             ing = [
