@@ -195,6 +195,46 @@ class TestMultimodal:
             with pytest.raises(NotImplementedError):
                 dec._decode(b"\x89PNG\r\n" + b"\x00" * 32)
 
+    def test_pillow_branch_via_fake_codec(self, monkeypatch):
+        """Exercise the real-codec probe/decode branch: a stand-in PIL
+        module (same Image.open + width/height/__array__ surface) verifies
+        the __init__ probe selects it and _decode routes payload bytes
+        through the codec, not the FIMG header parser."""
+        import sys
+        import types
+
+        import pyarrow as pa
+
+        class _Img:
+            def __init__(self, data: bytes):
+                self.width = 8
+                self.height = 4
+                self._data = data
+
+            def __array__(self, dtype=None):
+                arr = np.frombuffer(self._data[:32], dtype=np.uint8)
+                return arr.astype(dtype or np.uint8).reshape(4, 8)
+
+        fake_pil = types.ModuleType("PIL")
+        fake_pil.Image = types.SimpleNamespace(
+            open=lambda fp: _Img(fp.read())
+        )
+        monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+
+        from condor_ray.pipelines.multimodal import ImageDecoder
+
+        dec = ImageDecoder()
+        assert dec._backend == "pillow"
+        payload = bytes(range(32))
+        w, h, mean = dec._decode(payload)
+        assert (w, h) == (8, 4)
+        assert mean == pytest.approx(np.arange(32).mean())
+        # the batch path runs end-to-end through the codec branch too
+        out = dec(
+            pa.table({"doc_id": pa.array([1]), "image": pa.array([payload])})
+        )
+        assert out["aspect"][0].as_py() == 2.0
+
 
 class TestIvfTopk:
     def _queries(self):
