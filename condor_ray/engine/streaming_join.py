@@ -95,7 +95,12 @@ class StreamingJoinJob:
             if combined > _NEG_INF:
                 emitted += self._emit(k, combined)
         emitted += self._emit(len(schedule), 2**62)  # end-of-stream flush
-        return {"matches": emitted, "late_dropped": self.total_late}
+        hwm = [b["max_buffered"] for b in ray.get([s.buffered.remote() for s in self.stores])]
+        return {
+            "matches": emitted,
+            "late_dropped": self.total_late,
+            "max_buffered_rows": max(hwm) if hwm else 0,
+        }
 
     def _emit(self, k: int, horizon_us: int) -> int:
         tables = ray.get([s.emit_matches.remote(horizon_us) for s in self.stores])

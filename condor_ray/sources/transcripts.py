@@ -50,6 +50,7 @@ def generate_stream_fixture(
     n_fragments: int = 8,
     turn_gap_ms: int = 1_000,
     out_dir: str | None = None,
+    columns: tuple[str, ...] | None = None,
 ) -> str:
     """Generate (or reuse cached) transcripts + tool_calls + queries fixture.
 
@@ -59,6 +60,10 @@ def generate_stream_fixture(
       queries.parquet                        (F3 evaluation stream)
     """
     spec = f"v6:{n_rows}:{n_convs}:{seed}:{n_fragments}:{turn_gap_ms}"
+    if columns is not None:
+        # thin soak fixtures: write only the requested columns (a 600M-row
+        # full-text fixture is ~220 GB on disk; conv_id/role/ts is ~3 GB)
+        spec += ":" + ",".join(sorted(columns))
     if out_dir is None:
         digest = hashlib.sha256(spec.encode()).hexdigest()[:12]
         out_dir = os.path.join(_CACHE_ROOT, digest)
@@ -153,12 +158,15 @@ def generate_stream_fixture(
 
     bounds = np.linspace(0, total, n_fragments + 1).astype(int)
     for i in range(n_fragments):
+        t = _fragment_table(bounds[i], bounds[i + 1])
+        if columns is not None:
+            t = t.select([c for c in t.column_names if c in columns])
         pq.write_table(
-            _fragment_table(bounds[i], bounds[i + 1]),
+            t,
             os.path.join(out_dir, "transcripts", f"fragment-{i:05d}.parquet"),
         )
 
-    if total > 10_000_000:
+    if total > 10_000_000 or columns is not None:
         # throughput-scale fixture: skip the F2/F3 side tables (join and
         # query-stream tests use the small fixtures)
         with open(done, "w") as f:

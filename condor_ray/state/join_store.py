@@ -30,6 +30,7 @@ class JoinStateStore:
         self._turns: list[pd.DataFrame] = []
         self._calls: list[pd.DataFrame] = []
         self._emitted_through = -(2**62)
+        self.max_buffered = 0  # buffer high-water mark (bounded-state proof)
 
     def ingest_turns(self, batch: pa.Table, watermark_us: int = -(2**62)) -> int:
         """Buffer turn rows; a turn whose emission horizon (ts + bound) is
@@ -54,6 +55,7 @@ class JoinStateStore:
                     )
                 )
         self.late_dropped = getattr(self, "late_dropped", 0) + n_late
+        self._track_hwm()
         return n_late
 
     def ingest_calls(self, batch: pa.Table, watermark_us: int = -(2**62)) -> int:
@@ -79,7 +81,13 @@ class JoinStateStore:
                 )
             )
         self.late_dropped = getattr(self, "late_dropped", 0) + n_late
+        self._track_hwm()
         return n_late
+
+    def _track_hwm(self) -> None:
+        cur = sum(len(t) for t in self._turns) + sum(len(c) for c in self._calls)
+        if cur > self.max_buffered:
+            self.max_buffered = cur
 
     def emit_matches(self, watermark_us: int) -> pa.Table:
         """Emit pairs whose join horizon passed; purge buffers below
@@ -133,4 +141,5 @@ class JoinStateStore:
         return {
             "turns": sum(len(t) for t in self._turns),
             "calls": sum(len(c) for c in self._calls),
+            "max_buffered": self.max_buffered,
         }

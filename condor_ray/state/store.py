@@ -50,6 +50,7 @@ class PartitionStateStore:
         # per-partition metrics (surfaced via stats() into the run manifest)
         self.ingest_sec = 0.0
         self.collect_sec = 0.0
+        self.max_open_slices = 0  # state high-water mark (bounded-state proof)
 
     # -- ingest one micro-batch shard (already partition-filtered, already
     #    late-dropped upstream where arrival order is known) ---------------
@@ -115,6 +116,8 @@ class PartitionStateStore:
                 syn.update_batch(values[idx])
             self.slice_counts[key] += hi - lo
         self.rows_ingested += n
+        if len(self.slices) > self.max_open_slices:
+            self.max_open_slices = len(self.slices)
         self.ingest_sec += time.perf_counter() - _t0
         return n
 
@@ -173,6 +176,7 @@ class PartitionStateStore:
             "partition_id": self.partition_id,
             "rows_ingested": self.rows_ingested,
             "open_slices": len(self.slices),
+            "max_open_slices": self.max_open_slices,
             "ingest_sec": self.ingest_sec,
             "collect_sec": self.collect_sec,
         }

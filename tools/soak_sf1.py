@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""sf1 soak: the headline streaming pipelines at 600M rows (10x the bench
+scale, 100x the driver gate), with state high-water marks recorded to
+evidence bounded state.
+
+The fixture is THIN (conv_id, role, ts only): the headline jobs prune their
+reads to those columns anyway, so the compute path is identical while the
+fixture stays ~3 GB instead of ~220 GB.  Writes BENCH_soak_sf1.json.
+
+Usage: PYTHONPATH=/root/repo python tools/soak_sf1.py [n_rows]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import ray
+
+
+def main() -> None:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000_000
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    ray.init(
+        address="local",
+        num_cpus=ncpu,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from condor_ray.config import BuildConfiguration, KeySpec
+    from condor_ray.engine.batch import windowed_counts
+    from condor_ray.engine.streaming import StreamingSynopsisJob
+    from condor_ray.sources.transcripts import (
+        generate_stream_fixture,
+        read_transcripts,
+        transcript_fragments,
+    )
+    from condor_ray.windows import SlidingWindow, TumblingWindow
+
+    t0 = time.perf_counter()
+    fixture = generate_stream_fixture(
+        n_rows=n_rows,
+        n_convs=max(n_rows // 1000, 600),
+        seed=42,
+        n_fragments=512,
+        columns=("conv_id", "role", "ts"),
+    )
+    frags = transcript_fragments(fixture)
+    gen_sec = time.perf_counter() - t0
+    total_rows = sum(
+        __import__("pyarrow.parquet", fromlist=["x"]).read_metadata(f).num_rows
+        for f in frags
+    )
+    fixture_gb = sum(os.path.getsize(f) for f in frags) / 2**30
+    print(f"fixture: {total_rows} rows, {fixture_gb:.1f} GiB, gen {gen_sec:.0f}s",
+          flush=True)
+
+    results: dict = {
+        "rows": total_rows,
+        "num_cpus": ncpu,
+        "fixture_gib": round(fixture_gb, 2),
+        "jobs": {},
+    }
+
+    def manifest_hwm(out_dir: str) -> int:
+        last = None
+        with open(os.path.join(out_dir, "manifest.jsonl")) as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec.get("summary"):
+                    last = rec
+        if not last or "partitions" not in last:
+            return -1
+        return max(p.get("max_open_slices", -1) for p in last["partitions"])
+
+    # 1) headline: streaming CM{65536,5,7} tumbling 60 s
+    p = max(2, min(16, ncpu // 2))
+    out = tempfile.mkdtemp(prefix="soak_cm_")
+    cfg = BuildConfiguration(
+        synopsis="CountMinSketch",
+        params=(65536, 5, 7),
+        windows=[TumblingWindow(60_000)],
+        key=KeySpec("conv_id", "java_hash"),
+        parallelism=p,
+    )
+    job = StreamingSynopsisJob(cfg, out, columns=["conv_id", "ts"])
+    t0 = time.perf_counter()
+    job.run(frags)
+    wall = time.perf_counter() - t0
+    job.shutdown()
+    results["jobs"]["stream_cm_tumbling_60s"] = {
+        "wall_s": round(wall, 2),
+        "rows_per_s": round(total_rows / wall),
+        "max_open_slices": manifest_hwm(out),
+    }
+    print("cm:", results["jobs"]["stream_cm_tumbling_60s"], flush=True)
+
+    # 2) streaming HLL sliding 60s/30s (invertible close path) at full scale
+    out = tempfile.mkdtemp(prefix="soak_hll_")
+    cfg = BuildConfiguration(
+        synopsis="HyperLogLogSketch",
+        params=(16, 7),
+        windows=[SlidingWindow(60_000, 30_000)],
+        key=KeySpec("conv_id", "java_hash"),
+        parallelism=p,
+    )
+    job = StreamingSynopsisJob(cfg, out, columns=["conv_id", "ts"])
+    t0 = time.perf_counter()
+    job.run(frags)
+    wall = time.perf_counter() - t0
+    job.shutdown()
+    results["jobs"]["stream_hll_sliding_60s_30s"] = {
+        "wall_s": round(wall, 2),
+        "rows_per_s": round(total_rows / wall),
+        "max_open_slices": manifest_hwm(out),
+    }
+    print("hll:", results["jobs"]["stream_hll_sliding_60s_30s"], flush=True)
+
+    # 3) exact stratified windowed counts (pure Ray Data groupby path)
+    ds = read_transcripts(fixture, columns=["role", "ts"])
+    t0 = time.perf_counter()
+    windowed_counts(ds, TumblingWindow(60_000), stratify_by="role").materialize()
+    wall = time.perf_counter() - t0
+    results["jobs"]["windowed_counts_by_role"] = {
+        "wall_s": round(wall, 2),
+        "rows_per_s": round(total_rows / wall),
+    }
+    print("counts:", results["jobs"]["windowed_counts_by_role"], flush=True)
+
+    with open(
+        os.path.join(os.path.dirname(__file__), "..", "BENCH_soak_sf1.json"), "w"
+    ) as f:
+        f.write(json.dumps(results) + "\n")
+    print(json.dumps(results))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
