@@ -2,16 +2,18 @@
 exact, MinHash+LSH, SimHash, n-gram Jaccard verification).
 
 Scale design notes (100 TB):
-- exact dedup: content-hash inside ``map_batches`` (vectorized), then
-  hash-partitioned ``groupby(content_hash).map_groups(first)`` — the shuffle
-  carries (hash, id) pairs, never document bodies twice.
-- MinHash-LSH: per-batch shingling + minhashing (vectorized over a word-id
-  matrix), explode to (band, bucket, doc) rows, ``groupby(band, bucket)``
-  emits candidate pairs, exact-Jaccard verification filters false positives.
-  Every stage is a batch transform; only candidate pairs (tiny) leave the
-  shuffle.
+- exact dedup: content-hash inside ``map_batches`` (vectorized), then a
+  bounded hash-partitioned vectorized group_by — the shuffle carries
+  (hash, id) triples, never document bodies twice.
+- MinHash-LSH: per-batch shingling + minhashing (fully vectorized), explode
+  to (band, bucket, doc) rows, bounded-partition vectorized pair emission,
+  exact signature-Jaccard verification filters false positives.  Only
+  candidate pairs (tiny) leave the shuffle.
 - SimHash: 64-bit fingerprints, banded into 4x16-bit chunks for bucketing;
-  hamming-distance verification per bucket.
+  hamming-distance verification at pair time.
+- Shared rule: NEVER one Ray group per LSH bucket or per pair — per-group
+  dispatch costs ~0.5-1 ms; all grouping is hash-partitioned into O(cores)
+  groups with CSR index math inside.
 """
 
 from __future__ import annotations
@@ -364,8 +366,8 @@ def minhash_lsh_pairs(
     Scale design: banded rows carry ONLY (band, bucket:int64, doc_id) — 20
     bytes/row, not the full signature per band (round-1 shuffle carried the
     512-byte signature 16x).  Buckets larger than ``bucket_cap`` (degenerate
-    boilerplate) pair each member with the bucket's min doc (star topology —
-    same connected components, O(B) instead of O(B^2)).  Verification joins
+    boilerplate) fall back to a chain through the sorted bucket (same
+    connected components as all-pairs, O(B) instead of O(B^2)).  Verification joins
     the candidate pairs back to signatures via a broadcast lookup bounded by
     the candidate count (the output size), never the corpus."""
     import ray
@@ -542,8 +544,8 @@ def simhash_pairs(
 
     Recall guarantee needs ``max_hamming < bands`` (pigeonhole: some band is
     then error-free); use bands=8 for distances up to 7.  Buckets above
-    ``bucket_cap`` (boilerplate skew) fall back to a star around the min doc
-    — same connected components, O(B) work instead of O(B^2)."""
+    ``bucket_cap`` (boilerplate skew) fall back to a chain through the
+    sorted bucket — same connected components, O(B) work instead of O(B^2)."""
     if 64 % bands:
         raise ValueError("bands must divide 64")
     width = 64 // bands
