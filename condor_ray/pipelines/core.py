@@ -19,10 +19,8 @@ def windowed_distinct_convs(ds, window: TumblingWindow):
     """Exact distinct conversations per tumbling window.
 
     Dedups (window, conv) pairs inside each batch before the shuffle, so the
-    exchange carries near-distinct pairs, not raw rows; the second tiny
-    groupby counts pairs per window."""
-    from ray.data.aggregate import Count
-
+    exchange carries near-distinct pairs, not raw rows; distinct counting is
+    per conv-hash partition (vectorized), finished by a tiny window Sum."""
     size_us = window.size_us
 
     def pairs(batch: pa.Table) -> pa.Table:
@@ -43,9 +41,42 @@ def windowed_distinct_convs(ds, window: TumblingWindow):
             }
         )
 
+    # distinct (window, conv) per conv-hash partition (vectorized polars),
+    # then a tiny window_id Sum — never one Ray aggregate group per
+    # (window, conv) pair (~50 us/group dispatch, fatal at windows x convs)
+    from ray.data.aggregate import Sum
+
+    n_parts = 64
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        conv = batch["conv_id"]
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        h = pl.from_arrow(conv).hash(seed=9).to_numpy()
+        return batch.append_column(
+            "part", pa.array((h % n_parts).astype(np.int32))
+        )
+
+    def partial_counts(g: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        out = (
+            pl.from_pandas(g[["window_id", "conv_id"]])
+            .unique()
+            .group_by("window_id")
+            .agg(pl.len().cast(pl.Int64).alias("c"))
+        )
+        return out.to_pandas()
+
     p = ds.map_batches(pairs, batch_format="pyarrow")
-    dedup = p.groupby(["window_id", "conv_id"]).count()
-    out = dedup.groupby("window_id").aggregate(Count(alias_name="n_convs"))
+    partials = (
+        p.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(partial_counts, batch_format="pandas")
+    )
+    out = partials.groupby("window_id").aggregate(Sum("c", alias_name="n_convs"))
 
     def bounds(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

@@ -23,31 +23,85 @@ import pandas as pd
 from ..windows import sessionize
 
 
-def session_stats(ds, gap_ms: int):
+def _conv_partition(n_parts: int):
+    """Append a bounded hash partition over conv_id (one Ray group per
+    conversation costs ~0.5 ms dispatch — fatal at millions of convs)."""
+    import pyarrow as pa
+
+    from ..hashing import java_string_hash_arrow
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        conv = batch["conv_id"]
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        dic = conv.dictionary_encode()
+        h = java_string_hash_arrow(dic.dictionary).astype(np.int64)
+        lut = ((h * 0x9E3779B9) >> 16) % n_parts
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "part", pa.array(lut[codes].astype(np.int32))
+        )
+
+    return add_part
+
+
+def session_stats(ds, gap_ms: int, n_parts: int = 64):
     """Per-conversation sessions: conv_id, session_idx, session_start,
-    session_end (int64 us), n_turns."""
+    session_end (int64 us), n_turns.
+
+    Conversations hash-partition into a bounded number of groups; inside a
+    partition the whole gaps-and-islands computation is vectorized (sort by
+    (conv, ts, turn), boundary = new conv or gap >= threshold, reduceat
+    per-session aggregation) — no per-conversation Python."""
     gap_us = gap_ms * 1000
 
-    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "turn_idx"], kind="mergesort")
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        conv = g["conv_id"].to_numpy()
         ts = g["ts"].astype("int64").to_numpy()
-        sess = sessionize(ts, gap_us)
-        out = (
-            pd.DataFrame({"session_idx": sess, "ts": ts})
-            .groupby("session_idx")
-            .agg(
-                session_start=("ts", "min"),
-                session_end=("ts", "max"),
-                n_turns=("ts", "size"),
+        turn = g["turn_idx"].to_numpy()
+        order = np.lexsort((turn, ts, conv))
+        conv, ts = conv[order], ts[order]
+        n = len(ts)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series(dtype=object),
+                    "session_idx": pd.Series(dtype=np.int64),
+                    "session_start": pd.Series(dtype=np.int64),
+                    "session_end": pd.Series(dtype=np.int64),
+                    "n_turns": pd.Series(dtype=np.int64),
+                }
             )
-            .reset_index()
+        new_conv = np.empty(n, dtype=bool)
+        new_conv[0] = True
+        new_conv[1:] = conv[1:] != conv[:-1]
+        boundary = new_conv | np.concatenate(
+            ([False], np.diff(ts) >= gap_us)
         )
-        out.insert(0, "conv_id", g["conv_id"].iloc[0])
-        out["session_idx"] = out["session_idx"].astype(np.int64)
-        out["n_turns"] = out["n_turns"].astype(np.int64)
-        return out
+        starts = np.flatnonzero(boundary)
+        # per-conv session ordinal: session rank minus the rank of the
+        # conv's first session
+        sess_of_conv_start = np.cumsum(new_conv[starts]) - 1
+        conv_first_sess = np.flatnonzero(new_conv[starts])
+        sidx = np.arange(len(starts)) - conv_first_sess[sess_of_conv_start]
+        ends = np.concatenate((starts[1:], [n])) - 1
+        return pd.DataFrame(
+            {
+                "conv_id": conv[starts],
+                "session_idx": sidx.astype(np.int64),
+                "session_start": ts[starts],
+                "session_end": ts[ends],
+                "n_turns": (ends - starts + 1).astype(np.int64),
+            }
+        )
 
-    return ds.groupby("conv_id").map_groups(per_conv, batch_format="pandas")
+    return (
+        ds.map_batches(_conv_partition(n_parts), batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: per_part(g.drop(columns=["part"])), batch_format="pandas"
+        )
+    )
 
 
 def session_sql(transcripts_cte: str, gap_ms: int) -> str:
@@ -129,7 +183,7 @@ def count_window_distinct(sf_dir: str, size: int):
     over the events stream (ordinal == event_id, see module docstring)."""
     import pyarrow as pa
     import ray.data as rd
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
 
@@ -146,9 +200,33 @@ def count_window_distinct(sf_dir: str, size: int):
             }
         )
 
+    n_parts = 64
+
+    def add_part(batch):
+        import pyarrow as pa
+
+        u = batch["user_id"].to_numpy().astype(np.int64)
+        part = (((u * 0x9E3779B9) >> 16) % n_parts).astype(np.int32)
+        return batch.append_column("part", pa.array(part))
+
+    def partial_counts(g: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        return (
+            pl.from_pandas(g[["window_id", "user_id"]])
+            .unique()
+            .group_by("window_id")
+            .agg(pl.len().cast(pl.Int64).alias("c"))
+            .to_pandas()
+        )
+
     p = ds.map_batches(pairs, batch_format="pyarrow")
-    dedup = p.groupby(["window_id", "user_id"]).count()
-    out = dedup.groupby("window_id").aggregate(Count(alias_name="n_convs"))
+    partials = (
+        p.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(partial_counts, batch_format="pandas")
+    )
+    out = partials.groupby("window_id").aggregate(Sum("c", alias_name="n_convs"))
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -184,30 +262,59 @@ def session_synopses(
     gap_us = gap_ms * 1000
     extractor = KeyExtractor(KeySpec(key_field, key_transform))
 
-    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "turn_idx"], kind="mergesort")
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized gaps-and-islands over the whole partition; the only
+        # loop is over SESSIONS (one synopsis build each — inherent work),
+        # never a Ray dispatch per conversation
+        conv = g["conv_id"].to_numpy()
         ts = g["ts"].astype("int64").to_numpy()
-        sess = sessionize(ts, gap_us)
-        values = extractor(pa.Table.from_pandas(g, preserve_index=False))
+        turn = g["turn_idx"].to_numpy()
+        order = np.lexsort((turn, ts, conv))
+        conv, ts = conv[order], ts[order]
+        values = extractor(pa.Table.from_pandas(g, preserve_index=False))[order]
+        n = len(ts)
         rows = []
-        for s in np.unique(sess):
-            m = sess == s
-            syn = make_synopsis(synopsis, params)
-            syn.set_partition_value(g["conv_id"].iloc[0])
-            syn.update_batch(values[m], timestamps=ts[m]) if syn.timestamped else syn.update_batch(values[m])
-            rows.append(
-                {
-                    "conv_id": g["conv_id"].iloc[0],
-                    "session_start": int(ts[m].min()),
-                    "session_end": int(ts[m].max()),
-                    "n_rows": int(m.sum()),
-                    "synopsis_type": synopsis,
-                    "payload": syn.to_bytes(),
-                }
+        if n:
+            new_conv = np.empty(n, dtype=bool)
+            new_conv[0] = True
+            new_conv[1:] = conv[1:] != conv[:-1]
+            boundary = new_conv | np.concatenate(
+                ([False], np.diff(ts) >= gap_us)
             )
-        return pd.DataFrame(rows)
+            starts = np.flatnonzero(boundary)
+            ends = np.concatenate((starts[1:], [n]))
+            for lo, hi in zip(starts, ends):
+                syn = make_synopsis(synopsis, params)
+                syn.set_partition_value(conv[lo])
+                if syn.timestamped:
+                    syn.update_batch(values[lo:hi], timestamps=ts[lo:hi])
+                else:
+                    syn.update_batch(values[lo:hi])
+                rows.append(
+                    {
+                        "conv_id": conv[lo],
+                        "session_start": int(ts[lo]),
+                        "session_end": int(ts[hi - 1]),
+                        "n_rows": int(hi - lo),
+                        "synopsis_type": synopsis,
+                        "payload": syn.to_bytes(),
+                    }
+                )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "conv_id", "session_start", "session_end", "n_rows",
+                "synopsis_type", "payload",
+            ],
+        )
 
-    return ds.groupby("conv_id").map_groups(per_conv, batch_format="pandas")
+    return (
+        ds.map_batches(_conv_partition(64), batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: per_part(g.drop(columns=["part"])), batch_format="pandas"
+        )
+    )
 
 
 def session_synopsis_sql(transcripts_cte: str, gap_ms: int) -> str:

@@ -43,15 +43,32 @@ _ROLE_MAP = {
 }
 
 
-def _events_group_to_transcripts(g: pd.DataFrame) -> pd.DataFrame:
-    g = g.sort_values(["ts", "event_id"], kind="mergesort")
-    uid = int(g["user_id"].iloc[0])
-    role = g["event_type"].map(lambda e: _ROLE_MAP.get(e, "tool"))
-    is_tool = role == "tool"
+def _events_part_to_transcripts(g: pd.DataFrame) -> pd.DataFrame:
+    """One hash partition of users -> transcript rows, fully vectorized
+    (per-user turn ordinals via boundary cumsum, never one Ray group per
+    user — per-group dispatch costs ~0.5 ms, fatal at millions of users)."""
+    uid = g["user_id"].to_numpy()
+    order = np.lexsort((g["event_id"].to_numpy(), g["ts"].to_numpy(), uid))
+    g = g.iloc[order]
+    uid = uid[order]
+    n = len(g)
+    if n == 0:
+        turn_idx = np.empty(0, dtype=np.int32)
+    else:
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new_user)
+        counts = np.diff(np.concatenate((starts, [n])))
+        turn_idx = (
+            np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+        ).astype(np.int32)
+    role = g["event_type"].map(_ROLE_MAP).fillna("tool")
+    is_tool = (role == "tool").to_numpy()
     return pd.DataFrame(
         {
-            "conv_id": f"c{uid}",
-            "turn_idx": np.arange(len(g), dtype=np.int32),
+            "conv_id": np.char.add("c", uid.astype(str)),
+            "turn_idx": turn_idx,
             "role": role.to_numpy(),
             "text": (g["props"] + ":" + g["event_type"]).to_numpy(),
             "tool": np.where(
@@ -62,14 +79,26 @@ def _events_group_to_transcripts(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def transcripts_from_events(sf_dir: str):
+def transcripts_from_events(sf_dir: str, n_parts: int = 64):
     """Ray Dataset of transcripts derived from ``{sf_dir}/events.parquet``."""
+    import pyarrow as pa
     import ray.data as rd
 
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type", "props"],
     )
-    return ds.groupby("user_id").map_groups(
-        _events_group_to_transcripts, batch_format="pandas"
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy().astype(np.int64)
+        part = (((u * 0x9E3779B9) >> 16) % n_parts).astype(np.int32)
+        return batch.append_column("part", pa.array(part))
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: _events_part_to_transcripts(g.drop(columns=["part"])),
+            batch_format="pandas",
+        )
     )
