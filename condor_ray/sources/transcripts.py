@@ -134,35 +134,37 @@ def generate_stream_fixture(
     def _fragment_table(lo: int, hi: int) -> pa.Table:
         sl = slice(lo, hi)
         tool_i = tool_idx_sorted[sl]
+        # per-column thunks: thin fixtures build ONLY the requested columns
+        # (the dictionary->string casts dominate fragment-write time)
+        makers = {
+            "conv_id": lambda: pa.DictionaryArray.from_arrays(
+                pa.array(conv_idx_sorted[sl]), conv_dict
+            ).cast(pa.string()),
+            "turn_idx": lambda: pa.array(turn_sorted[sl], type=pa.int32()),
+            "role": lambda: pa.DictionaryArray.from_arrays(
+                pa.array(role_idx_sorted[sl]), role_dict
+            ).cast(pa.string()),
+            "text": lambda: pa.DictionaryArray.from_arrays(
+                pa.array(text_idx_sorted[sl]), pool
+            ).cast(pa.string()),
+            "tool": lambda: pa.DictionaryArray.from_arrays(
+                pa.array(tool_i, mask=tool_i < 0), tool_dict
+            ).cast(pa.string()),
+            "ts": lambda: pa.array(ts[sl], type=pa.timestamp("us")),
+            "arrival_seq": lambda: pa.array(np.arange(lo, hi, dtype=np.int64)),
+        }
         return pa.table(
             {
-                "conv_id": pa.DictionaryArray.from_arrays(
-                    pa.array(conv_idx_sorted[sl]), conv_dict
-                ).cast(pa.string()),
-                "turn_idx": pa.array(turn_sorted[sl], type=pa.int32()),
-                "role": pa.DictionaryArray.from_arrays(
-                    pa.array(role_idx_sorted[sl]), role_dict
-                ).cast(pa.string()),
-                "text": pa.DictionaryArray.from_arrays(
-                    pa.array(text_idx_sorted[sl]), pool
-                ).cast(pa.string()),
-                "tool": pa.DictionaryArray.from_arrays(
-                    pa.array(tool_i, mask=tool_i < 0), tool_dict
-                ).cast(pa.string()),
-                "ts": pa.array(ts[sl], type=pa.timestamp("us")),
-                "arrival_seq": pa.array(
-                    np.arange(lo, hi, dtype=np.int64)
-                ),
+                name: mk()
+                for name, mk in makers.items()
+                if columns is None or name in columns
             }
         )
 
     bounds = np.linspace(0, total, n_fragments + 1).astype(int)
     for i in range(n_fragments):
-        t = _fragment_table(bounds[i], bounds[i + 1])
-        if columns is not None:
-            t = t.select([c for c in t.column_names if c in columns])
         pq.write_table(
-            t,
+            _fragment_table(bounds[i], bounds[i + 1]),
             os.path.join(out_dir, "transcripts", f"fragment-{i:05d}.parquet"),
         )
 
