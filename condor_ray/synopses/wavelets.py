@@ -21,11 +21,13 @@ lazy-deletion heap keyed by the reference's exact compareTo tuple
 
 from __future__ import annotations
 
+import ctypes
 import heapq
 
 import numpy as np
 
 from .base import Synopsis
+from .._native import load_wavelet_native
 
 LEFT, RIGHT, NONE = 0, 1, 2  # Utils.relationship
 
@@ -227,6 +229,13 @@ class _ErrorHeap:
         return len(self._live)
 
 
+def _rebuild_wavelet(cls, ctor_args, state, partition_value):
+    obj = cls(*ctor_args)
+    obj.load_state(state)
+    obj.partition_value = partition_value
+    return obj
+
+
 class WaveletSynopsis(Synopsis):
     order_based = True
 
@@ -241,10 +250,33 @@ class WaveletSynopsis(Synopsis):
         self.rootnode: FrontlineNode | None = None
         self.error_heap = _ErrorHeap()
         self._data1 = 0.0
+        self._native = None  # (ctypes lib, ctx ptr) while the C build is live
+        self._arrays = None  # compact array state awaiting lazy materialization
 
     # -- update (WaveletSynopsis.java:47-68) -------------------------------
     def update_batch(self, values: np.ndarray, timestamps=None) -> None:
-        for v in np.asarray(values, dtype=np.float64).tolist():
+        arr = np.ascontiguousarray(values, dtype=np.float64)
+        if (
+            self._native is None
+            and self._arrays is None
+            and self.stream_element_counter == 0
+            and self.frontline_bottom is None
+        ):
+            # fresh synopsis: route the whole build through the C kernel
+            # (bit-identical tree, see _native/wavelet.c); export back to the
+            # Python node graph lazily on first query/serialize
+            lib = load_wavelet_native()
+            if lib is not None:
+                self._native = (lib, lib.wv_new(self.size))
+        if self._native is not None:
+            if len(arr):
+                lib, ctx = self._native
+                lib.wv_update(ctx, arr.ctypes.data_as(ctypes.c_void_p), len(arr))
+                self.stream_element_counter += len(arr)
+            return
+        if self._arrays is not None:
+            self._ensure_python()
+        for v in arr.tolist():
             self._update_one(v)
 
     def _update_one(self, element: float) -> None:
@@ -405,8 +437,148 @@ class WaveletSynopsis(Synopsis):
         if descendant.next_sibling is not None:
             self._propagate_error_down(descendant.next_sibling, ancestor)
 
+    # -- native build export ----------------------------------------------
+    def _export_arrays(self) -> dict | None:
+        """Compact array state in the C exporter's layout (the wire format
+        of the fast serde path).  Drains a live C context into ``_arrays``;
+        returns ``None`` when only the materialized Python graph exists (the
+        caller then falls back to the pickled-graph serde)."""
+        if self._arrays is not None:
+            return self._arrays
+        if self._native is None:
+            return None
+        lib, ctx = self._native
+        self._native = None
+        try:
+            nn_c = ctypes.c_int64()
+            nf_c = ctypes.c_int64()
+            counter_c = ctypes.c_int64()
+            data1_c = ctypes.c_double()
+            lib.wv_export_counts(
+                ctx,
+                ctypes.byref(nn_c),
+                ctypes.byref(nf_c),
+                ctypes.byref(counter_c),
+                ctypes.byref(data1_c),
+            )
+            nn, nf = nn_c.value, nf_c.value
+            nodes_f64 = np.empty(max(nn, 1) * 6, dtype=np.float64)
+            nodes_i64 = np.empty(max(nn, 1), dtype=np.int64)
+            nodes_i32 = np.empty(max(nn, 1) * 7, dtype=np.int32)
+            fronts_f64 = np.empty(max(nf, 1) * 3, dtype=np.float64)
+            fronts_i32 = np.empty(max(nf, 1) * 3, dtype=np.int32)
+
+            def _p(a):
+                return a.ctypes.data_as(ctypes.c_void_p)
+
+            chain_end = int(
+                lib.wv_export(
+                    ctx, _p(nodes_f64), _p(nodes_i64), _p(nodes_i32),
+                    _p(fronts_f64), _p(fronts_i32),
+                )
+            )
+        finally:
+            lib.wv_free(ctx)
+        self._arrays = {
+            "nn": nn,
+            "nf": nf,
+            "chain_end": chain_end,
+            "counter": int(counter_c.value),
+            "data1": float(data1_c.value),
+            "nodes_f64": nodes_f64[: nn * 6],
+            "nodes_i64": nodes_i64[:nn],
+            "nodes_i32": nodes_i32[: nn * 7],
+            "fronts_f64": fronts_f64[: nf * 3],
+            "fronts_i32": fronts_i32[: nf * 3],
+        }
+        self.stream_element_counter = int(counter_c.value)
+        self._data1 = float(data1_c.value)
+        return self._arrays
+
+    def _ensure_python(self) -> None:
+        """Materialize the Python DataNode/FrontlineNode graph from the C
+        build context or a loaded compact-array state (no-op when the graph
+        already exists).  Called before padding, queries and graph-walking
+        serde; further updates after an export continue on the pure-Python
+        path."""
+        arrs = self._export_arrays()
+        if arrs is None:
+            return
+        self._arrays = None
+        nn, nf, chain_end = arrs["nn"], arrs["nf"], arrs["chain_end"]
+        nodes_f64, nodes_i64 = arrs["nodes_f64"], arrs["nodes_i64"]
+        nodes_i32 = arrs["nodes_i32"]
+        fronts_f64, fronts_i32 = arrs["fronts_f64"], arrs["fronts_i32"]
+        counter_c = ctypes.c_int64(arrs["counter"])
+        data1_c = ctypes.c_double(arrs["data1"])
+
+        nodes = [DataNode.__new__(DataNode) for _ in range(nn)]
+        fronts = [
+            FrontlineNode(float(fronts_f64[i * 3]), int(fronts_i32[i * 3]))
+            for i in range(nf)
+        ]
+        for i, nd in enumerate(nodes):
+            f = i * 6
+            nd.data = float(nodes_f64[f])
+            nd.maxerrorleft = float(nodes_f64[f + 1])
+            nd.minerrorleft = float(nodes_f64[f + 2])
+            nd.maxerrorright = float(nodes_f64[f + 3])
+            nd.minerrorright = float(nodes_f64[f + 4])
+            nd.maxabserror = float(nodes_f64[f + 5])
+            nd.orderinlevel = int(nodes_i64[i])
+            v = i * 7
+            nd.level = int(nodes_i32[v])
+            nd.parent = nodes[nodes_i32[v + 1]] if nodes_i32[v + 1] >= 0 else None
+            nd.left_most_child = (
+                nodes[nodes_i32[v + 2]] if nodes_i32[v + 2] >= 0 else None
+            )
+            nd.next_sibling = (
+                nodes[nodes_i32[v + 3]] if nodes_i32[v + 3] >= 0 else None
+            )
+            nd.previous_sibling = (
+                nodes[nodes_i32[v + 4]] if nodes_i32[v + 4] >= 0 else None
+            )
+            nd.reltoparent = int(nodes_i32[v + 5])
+            nd.front = fronts[nodes_i32[v + 6]] if nodes_i32[v + 6] >= 0 else None
+        for i, fr in enumerate(fronts):
+            fr.positiveerror = float(fronts_f64[i * 3 + 1])
+            fr.negativeerror = float(fronts_f64[i * 3 + 2])
+            hc = int(fronts_i32[i * 3 + 1])
+            fr.hung_child = nodes[hc] if hc >= 0 else None
+        chain = fronts[:chain_end]
+        for a, b in zip(chain, chain[1:]):
+            a.next = b
+            b.prev = a
+        self.frontline_bottom = chain[0] if chain else None
+        self.frontline_top = chain[-1] if chain else None
+        self.stream_element_counter = int(counter_c.value)
+        self._data1 = float(data1_c.value)
+        heap = _ErrorHeap()
+        for nd in nodes:
+            heap.add(nd)
+        self.error_heap = heap
+
+    def __del__(self):
+        native = getattr(self, "_native", None)
+        if native is not None:
+            lib, ctx = native
+            try:
+                lib.wv_free(ctx)
+            except Exception:
+                pass
+
+    def __reduce__(self):
+        # raw pickling (vs the normal to_bytes path) must not capture the
+        # ctypes context or the id()-keyed heap index; state_dict drains a
+        # live native context into the compact-array form
+        return (
+            _rebuild_wavelet,
+            (type(self), self._ctor_args(), self.state_dict(), self.partition_value),
+        )
+
     # -- padding (:200-256) ------------------------------------------------
     def padding(self) -> None:
+        self._ensure_python()
         if self.stream_element_counter % 2 == 1:
             self._update_one(self._data1)
             self.stream_element_counter -= 1
@@ -464,6 +636,7 @@ class WaveletSynopsis(Synopsis):
 
     # -- queries (:76-194) -------------------------------------------------
     def point_query(self, index: int) -> float:
+        self._ensure_python()
         if index > self.stream_element_counter or index < 0:
             raise ValueError(f"index out of range: {index}")
         if self.rootnode is None:
@@ -485,6 +658,7 @@ class WaveletSynopsis(Synopsis):
         return self._point_query(index, current.left_most_child, current_average)
 
     def range_sum_query(self, left_index: int, right_index: int) -> float:
+        self._ensure_python()
         if right_index < left_index:
             raise ValueError("rightIndex has to be greater than leftIndex.")
         if (
@@ -539,6 +713,13 @@ class WaveletSynopsis(Synopsis):
         import pickle
         import sys
 
+        # fast path: a native build (or a relayed compact state) serializes
+        # as five flat numpy arrays — no recursive graph pickle.  The graph
+        # is materialized lazily on the receiving side at first query; pure
+        # relay hops (build -> unify -> assemble) never pay materialization.
+        arrs = self._export_arrays()
+        if arrs is not None:
+            return {"arrays": arrs}
         old = sys.getrecursionlimit()
         sys.setrecursionlimit(max(old, 100000))
         try:
@@ -560,6 +741,21 @@ class WaveletSynopsis(Synopsis):
     def load_state(self, state):
         import pickle
 
+        if self._native is not None:
+            lib, ctx = self._native
+            self._native = None
+            lib.wv_free(ctx)
+        self._arrays = None
+        if "arrays" in state:
+            a = state["arrays"]
+            self._arrays = a
+            self.stream_element_counter = int(a["counter"])
+            self._data1 = float(a["data1"])
+            self.frontline_bottom = None
+            self.frontline_top = None
+            self.rootnode = None
+            self.error_heap = _ErrorHeap()
+            return
         (
             self.stream_element_counter,
             self.frontline_bottom,

@@ -513,6 +513,109 @@ class TestWavelet:
             assert rt.point_query(i) == pytest.approx(w2.point_query(i))
 
 
+class TestWaveletNative:
+    """C build kernel (condor_ray/_native/wavelet.c) vs the pure-Python
+    reference path: bit-exact trees, compact-array serde, lazy
+    materialization."""
+
+    @staticmethod
+    def _pure(data, size):
+        import os
+
+        os.environ["CONDOR_RAY_NO_NATIVE"] = "1"
+        try:
+            w = WaveletSynopsis(size)
+            w.update_batch(data)
+        finally:
+            del os.environ["CONDOR_RAY_NO_NATIVE"]
+        return w
+
+    @staticmethod
+    def _native_available():
+        from condor_ray._native import load_wavelet_native
+
+        return load_wavelet_native() is not None
+
+    def test_native_build_bit_exact(self):
+        if not self._native_available():
+            pytest.skip("no C compiler available")
+        for size in (8, 32, 128):
+            for n in (7, 64, 500, 1024):
+                data = np.random.default_rng(size * 10000 + n).uniform(-10, 10, n)
+                wn = WaveletSynopsis(size)
+                wn.update_batch(data)
+                assert wn._native is not None  # actually took the C path
+                wp = self._pure(data, size)
+                for i in (0, n // 3, n - 1):
+                    assert wn.point_query(i) == wp.point_query(i)
+                assert wn.range_sum_query(0, n - 1) == wp.range_sum_query(0, n - 1)
+                assert wn.range_sum_query(n // 4, n // 2) == wp.range_sum_query(
+                    n // 4, n // 2
+                )
+
+    def test_compact_serde_relay_stays_lazy(self):
+        if not self._native_available():
+            pytest.skip("no C compiler available")
+        data = RNG.uniform(0, 10, 300)
+        wn = WaveletSynopsis(32)
+        wn.update_batch(data)
+        # two relay hops without a query: state must stay in array form
+        hop1 = Synopsis.from_bytes(wn.to_bytes())
+        assert hop1._arrays is not None and hop1.frontline_bottom is None
+        hop2 = Synopsis.from_bytes(hop1.to_bytes())
+        assert hop2._arrays is not None
+        assert hop2.stream_element_counter == 300
+        wp = self._pure(data, 32)
+        for i in (0, 150, 299):
+            assert hop2.point_query(i) == wp.point_query(i)
+        assert hop2.range_sum_query(10, 250) == wp.range_sum_query(10, 250)
+
+    def test_resume_updates_after_serde_in_python(self):
+        # checkpoint-resume path: a native build shipped as compact arrays
+        # keeps streaming on the pure-Python kernel after load, bit-exact
+        # with a build that never left Python
+        if not self._native_available():
+            pytest.skip("no C compiler available")
+        head = RNG.uniform(0, 10, 100)
+        tail = RNG.uniform(0, 10, 60)
+        wn = WaveletSynopsis(64)
+        wn.update_batch(head)
+        resumed = Synopsis.from_bytes(wn.to_bytes())
+        assert resumed._arrays is not None
+        resumed.update_batch(tail)  # materializes, then continues in Python
+        assert resumed._arrays is None and resumed._native is None
+        wp = self._pure(np.concatenate([head, tail]), 64)
+        assert resumed.stream_element_counter == wp.stream_element_counter
+        for i in (0, 99, 159):
+            assert resumed.point_query(i) == wp.point_query(i)
+        assert resumed.range_sum_query(20, 140) == wp.range_sum_query(20, 140)
+
+    def test_pickle_of_live_native_build(self):
+        if not self._native_available():
+            pytest.skip("no C compiler available")
+        import pickle
+
+        data = RNG.uniform(0, 10, 200)
+        wn = WaveletSynopsis(32)
+        wn.update_batch(data)
+        rt = pickle.loads(pickle.dumps(wn))
+        wp = self._pure(data, 32)
+        assert rt.range_sum_query(0, 199) == wp.range_sum_query(0, 199)
+        # the original must remain queryable after __reduce__ drained its ctx
+        assert wn.range_sum_query(0, 199) == wp.range_sum_query(0, 199)
+
+    def test_graph_pickle_fallback_after_query(self):
+        # a queried (materialized) synopsis serializes via the graph pickle
+        # and still roundtrips
+        data = RNG.uniform(0, 10, 120)
+        w = WaveletSynopsis(32)
+        w.update_batch(data)
+        w.padding()
+        q = w.range_sum_query(5, 100)
+        rt = Synopsis.from_bytes(w.to_bytes())
+        assert rt.range_sum_query(5, 100) == q
+
+
 class TestWaveletManagers:
     def test_distributed_round_robin(self):
         # DistributedWaveletsManager.java:38-80 index arithmetic
