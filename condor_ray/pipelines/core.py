@@ -10,6 +10,7 @@ import pyarrow as pa
 from ..config import BuildConfiguration, KeySpec
 from ..engine.batch import build_windowed_synopses
 from ..hashing import java_string_hash_array
+from ..runtime import worker_polars
 from ..stages.extract import ts_to_us
 from ..synopses.base import Synopsis
 from ..windows import TumblingWindow
@@ -49,7 +50,7 @@ def windowed_distinct_convs(ds, window: TumblingWindow):
     n_parts = 64
 
     def add_part(batch: pa.Table) -> pa.Table:
-        import polars as pl
+        pl = worker_polars()
 
         conv = batch["conv_id"]
         if isinstance(conv, pa.ChunkedArray):
@@ -60,7 +61,7 @@ def windowed_distinct_convs(ds, window: TumblingWindow):
         )
 
     def partial_counts(g: pd.DataFrame) -> pd.DataFrame:
-        import polars as pl
+        pl = worker_polars()
 
         out = (
             pl.from_pandas(g[["window_id", "conv_id"]])

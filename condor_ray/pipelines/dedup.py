@@ -23,6 +23,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..runtime import worker_polars
+
 
 def with_planted_duplicates(ds, every: int = 7, offset: int = 10_000):
     """documents + deterministic copies: every ``every``-th doc_id reappears
@@ -53,7 +55,7 @@ def exact_dedup(ds, n_parts: int = 64):
     group, which dominates once distinct texts reach the millions."""
 
     def hash_stage(batch: pa.Table) -> pa.Table:
-        import polars as pl
+        pl = worker_polars()
 
         text = batch["text"]
         if isinstance(text, pa.ChunkedArray):
@@ -70,7 +72,7 @@ def exact_dedup(ds, n_parts: int = 64):
         )
 
     def agg(g: pd.DataFrame) -> pd.DataFrame:
-        import polars as pl
+        pl = worker_polars()
 
         out = (
             pl.from_pandas(g[["h1", "h2", "doc_id"]])
@@ -155,7 +157,7 @@ def _dedup_pairs(pairs_ds, n_parts: int = 64, min_col: str | None = None):
         return batch.append_column("part", pa.array(part))
 
     def uniq(g: pd.DataFrame) -> pd.DataFrame:
-        import polars as pl
+        pl = worker_polars()
 
         pldf = pl.from_pandas(g.drop(columns=["part"]))
         if min_col is not None:
@@ -258,7 +260,7 @@ class MinHasher:
         flat[offsets[d]:offsets[d+1]] and every doc has >= 1 entry (short
         docs collapse to one gram of all their words, empty docs to the
         empty gram), matching the scalar reference semantics."""
-        import polars as pl
+        pl = worker_polars()
 
         k = self.shingle
         words = texts.str.extract_all(r"\S+")
@@ -329,12 +331,12 @@ class MinHasher:
         return sig
 
     def signature(self, text: str) -> np.ndarray:
-        import polars as pl
+        pl = worker_polars()
 
         return self.signatures(pl.Series([text]))[0]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import polars as pl
+        pl = worker_polars()
 
         text = batch["text"]
         if isinstance(text, pa.ChunkedArray):
@@ -376,11 +378,16 @@ def minhash_lsh_pairs(
     # materialized once: the signature table (num_perm x 8 B/doc, far smaller
     # than the text corpus, spills to the object store) feeds both the band
     # explode and the verification lookup without recomputing the shingling
+    # bounded batch_size: a whole 25k-row block would peak ~150 MB of numpy
+    # temporaries per actor (perm_chunk x n_shingles expansion) — first-touch
+    # page faults at that size measurably serialize on fresh worker heaps;
+    # ~2k docs keeps per-call temporaries ~10 MB so the arena is reused
     sigs = ds.map_batches(
         MinHasher,
         batch_format="pyarrow",
         fn_constructor_args=(num_perm, shingle),
         concurrency=concurrency,
+        batch_size=2048,
     ).materialize()
 
     def explode_bands(batch: pa.Table) -> pa.Table:
@@ -514,12 +521,12 @@ class SimHasher:
 
     @staticmethod
     def fingerprint(text: str) -> int:
-        import polars as pl
+        pl = worker_polars()
 
         return int(SimHasher._batch_fingerprints(pl.Series([text]))[0])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import polars as pl
+        pl = worker_polars()
 
         text = batch["text"]
         if isinstance(text, pa.ChunkedArray):
@@ -550,7 +557,9 @@ def simhash_pairs(
         raise ValueError("bands must divide 64")
     width = 64 // bands
     mask = np.uint64((1 << width) - 1)
-    fps = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=concurrency)
+    fps = ds.map_batches(
+        SimHasher, batch_format="pyarrow", concurrency=concurrency, batch_size=4096
+    )
 
     def explode(batch: pa.Table) -> pa.Table:
         doc = batch["doc_id"].to_numpy()

@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from ..runtime import worker_polars
 from ..windows import sessionize
 
 
@@ -210,7 +211,7 @@ def count_window_distinct(sf_dir: str, size: int):
         return batch.append_column("part", pa.array(part))
 
     def partial_counts(g: pd.DataFrame) -> pd.DataFrame:
-        import polars as pl
+        pl = worker_polars()
 
         return (
             pl.from_pandas(g[["window_id", "user_id"]])

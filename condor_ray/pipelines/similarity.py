@@ -45,42 +45,81 @@ def brute_force_topk(ds, query_vecs: np.ndarray, query_ids: np.ndarray, k: int =
     qn = _normalize(np.asarray(query_vecs, dtype=np.float64))
     q_ref = ray.put(qn)
     qids = np.asarray(query_ids, dtype=np.int64)
+    n_parts = 64
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         q = ray.get(q_ref)
         m = _normalize(_vec_matrix(batch))
         ids = batch["vec_id"].to_numpy()
-        sims = q @ m.T  # (n_q, n_batch)
-        kk = min(k, sims.shape[1])
-        # partial top-k per query within this batch
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        out_q, out_v, out_s = [], [], []
-        for qi in range(len(q)):
-            out_q.extend([int(qids[qi])] * kk)
-            out_v.extend(ids[part[qi]].tolist())
-            out_s.extend(sims[qi, part[qi]].tolist())
+        n_q = len(q)
+        kk = min(k, len(ids))
+        if kk == 0 or n_q == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
+                    "part": pa.array([], type=pa.int32()),
+                }
+            )
+        # chunk the query axis so the sims matrix stays ~4 MB regardless of
+        # the number of standing queries: that size is served from the
+        # reused malloc arena, while tens-of-MB numpy temporaries get
+        # mmap'd/munmap'd per chunk and their repeated first-touch page
+        # faults can dominate the dgemm itself; one preallocated buffer is
+        # reused (out=) across chunks
+        q_chunk = max(1, min(n_q, (1 << 19) // max(len(ids), 1)))
+        out_v = np.empty((n_q, kk), dtype=np.int64)
+        out_s = np.empty((n_q, kk), dtype=np.float64)
+        mt = np.ascontiguousarray(m.T)
+        sims = np.empty((q_chunk, len(ids)), dtype=np.float64)
+        for q0 in range(0, n_q, q_chunk):
+            qc = q[q0 : q0 + q_chunk]
+            buf = sims[: len(qc)]
+            np.matmul(qc, mt, out=buf)
+            np.negative(buf, out=buf)  # ascending argpartition == cosine desc
+            part = np.argpartition(buf, kk - 1, axis=1)[:, :kk]
+            out_v[q0 : q0 + q_chunk] = ids[part]
+            out_s[q0 : q0 + q_chunk] = -np.take_along_axis(buf, part, axis=1)
         return pa.table(
             {
-                "query_id": pa.array(out_q, type=pa.int64()),
-                "vec_id": pa.array(out_v, type=pa.int64()),
-                "cosine": pa.array(out_s, type=pa.float64()),
+                "query_id": pa.array(np.repeat(qids, kk)),
+                "vec_id": pa.array(out_v.ravel()),
+                "cosine": pa.array(out_s.ravel()),
+                "part": pa.array(
+                    np.repeat((qids % n_parts).astype(np.int32), kk)
+                ),
             }
         )
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow")
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
+        # one vectorized merge per hash partition of queries — NEVER one Ray
+        # group per query (per-group dispatch costs ~0.5-1 ms, fatal for
+        # thousands of standing queries)
+        qid = g["query_id"].to_numpy()
+        vid = g["vec_id"].to_numpy()
+        cos = g["cosine"].to_numpy()
+        order = np.lexsort((vid, -cos, qid))
+        qid, vid = qid[order], vid[order]
+        boundary = np.empty(len(qid), dtype=bool)
+        if len(qid):
+            boundary[0] = True
+            boundary[1:] = qid[1:] != qid[:-1]
+        starts = np.flatnonzero(boundary)
+        gid = np.cumsum(boundary) - 1
+        rank = np.arange(len(qid), dtype=np.int64) - starts[gid] + 1
+        keep = rank <= k
         return pd.DataFrame(
             {
-                "query_id": g["query_id"].astype(np.int64),
-                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-                "vec_id": g["vec_id"].astype(np.int64),
+                "query_id": qid[keep],
+                "rank": rank[keep],
+                "vec_id": vid[keep],
             }
         )
 
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return partials.groupby("part").map_groups(final_topk, batch_format="pandas")
 
 
 class _LshIndexStage:

@@ -1,0 +1,33 @@
+"""Worker-process runtime knobs.
+
+The one that matters: polars sizes its global rayon pool to ALL visible
+cores at first import.  Inside a Ray worker that oversubscribes the node by
+roughly (concurrent workers) x (cores) threads — measured 2.3x wall-time
+inflation on the MinHash dedup pipeline at 32 CPUs (16 actors each spinning
+a 32-thread pool).  Ray exports ``OMP_NUM_THREADS`` = the task's assigned
+``num_cpus`` (default 1) into every worker before user code runs; mirroring
+it into ``POLARS_MAX_THREADS`` before the first polars import keeps each
+worker's pool sized to its actual CPU share.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+
+def worker_polars():
+    """Import polars with its thread pool capped to this worker's CPU share.
+
+    Must be used (instead of a bare ``import polars``) by every function or
+    actor that runs inside Ray workers.  No-op when polars is already
+    imported in this process, when the user pinned ``POLARS_MAX_THREADS``
+    themselves, or outside Ray (no ``OMP_NUM_THREADS`` exported).
+    """
+    if "polars" not in sys.modules and "POLARS_MAX_THREADS" not in os.environ:
+        omp = os.environ.get("OMP_NUM_THREADS")
+        if omp:
+            os.environ["POLARS_MAX_THREADS"] = omp
+    import polars as pl
+
+    return pl
