@@ -362,6 +362,74 @@ def _q_exact_dedup(sf_dir: str):
     return exact_dedup(with_planted_duplicates(docs))
 
 
+def _q_dup_components(sf_dir: str):
+    """Dedup clustering: near-dup pair graph -> connected components ->
+    per-doc keep decision (condor_ray.pipelines.graph).
+
+    The corpus plants copies at two offsets (d%7 -> d+1e7, d%3 -> d+2e7), so
+    d%21 docs form 3-member clusters.  Pairs are emitted as a CHAIN through
+    each duplicate group (consecutive ids, not all-pairs), which forces the
+    distributed min-label propagation to walk multiple hops — the SQL twin
+    can still derive the same components because same-text happens to be
+    transitive (the Ray operator does not rely on that)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from condor_ray.pipelines.dedup import _bucket_pair_stage
+    from condor_ray.pipelines.graph import dedup_keep_list
+    from condor_ray.runtime import worker_polars
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].combine_chunks().to_numpy() if isinstance(
+            batch["doc_id"], pa.ChunkedArray
+        ) else batch["doc_id"].to_numpy()
+        parts = [batch]
+        for every, offset in ((7, 10_000_000), (3, 20_000_000)):
+            dup = batch.filter(pa.array(ids % every == 0))
+            dup = dup.set_column(
+                dup.schema.get_field_index("doc_id"),
+                "doc_id",
+                pa.compute.add(dup["doc_id"], offset),
+            )
+            parts.append(dup)
+        return pa.concat_tables(parts)
+
+    corpus = docs.map_batches(plant, batch_format="pyarrow").materialize()
+    n_parts = 16
+
+    def hash_stage(batch: pa.Table) -> pa.Table:
+        pl = worker_polars()
+
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        s = pl.from_arrow(text)
+        h1 = s.hash(seed=1).to_numpy().view(np.int64)
+        return pa.table(
+            {
+                "h1": pa.array(h1),
+                "h2": pa.array(s.hash(seed=2).to_numpy().view(np.int64)),
+                "doc_id": batch["doc_id"],
+                "part": pa.array((h1 % n_parts).astype(np.int32)),
+            }
+        )
+
+    # bucket_cap=1 => every duplicate group emits a chain through its
+    # sorted ids (multi-hop), not all-pairs
+    pairs = (
+        corpus.map_batches(hash_stage, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            _bucket_pair_stage(("h1", "h2"), bucket_cap=1),
+            batch_format="pandas",
+        )
+    )
+    return dedup_keep_list(corpus, pairs, n_parts=n_parts)
+
+
 def _q_token_stats(sf_dir: str):
     import ray.data as rd
 
@@ -560,6 +628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_query_latest": _q_streaming_query_latest,
         "query_latest_stratified": _mk_synopsis_query("query_latest_stratified_cm"),
         "exact_dedup": _q_exact_dedup,
+        "dup_components": _q_dup_components,
         "token_stats": _q_token_stats,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
@@ -725,6 +794,18 @@ WITH docs2 AS (
 )
 SELECT min(doc_id) AS doc_id, count(*) AS n_copies
 FROM docs2 GROUP BY text"""
+    out["dup_components"] = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 20000000, text FROM documents WHERE doc_id % 3 = 0
+)
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY text) AS component,
+       doc_id = MIN(doc_id) OVER (PARTITION BY text) AS keep
+FROM corpus"""
     out["token_stats"] = """
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -1,0 +1,100 @@
+"""Distributed connected components / dedup keep-list
+(condor_ray/pipelines/graph.py) vs a sequential union-find oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from condor_ray.pipelines.graph import connected_components, dedup_keep_list
+
+
+def _uf_components(pairs, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, list[int]] = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for n in members:
+            out[n] = m
+    return out
+
+
+def _pairs_ds(pairs):
+    import ray.data as rd
+
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_a": np.array([a for a, _ in pairs], dtype=np.int64),
+                "doc_b": np.array([b for _, b in pairs], dtype=np.int64),
+            }
+        )
+    )
+
+
+class TestConnectedComponents:
+    def test_random_graph_plus_chain_matches_union_find(self, ray_session):
+        rng = np.random.default_rng(0)
+        pairs = [
+            (int(a), int(b)) for a, b in rng.integers(0, 400, (300, 2)) if a != b
+        ]
+        # a 60-link chain of increasing ids: min label must walk multi-hop
+        # (pointer jumping keeps rounds logarithmic)
+        pairs += [(10_000 + i, 10_000 + i + 1) for i in range(60)]
+        nodes = sorted({x for p in pairs for x in p})
+        expected = _uf_components(pairs, nodes)
+
+        res = connected_components(_pairs_ds(pairs), n_parts=8).to_pandas()
+        got = dict(zip(res["doc_id"], res["component"]))
+        assert len(got) == len(nodes)
+        assert all(got[n] == expected[n] for n in nodes)
+
+    def test_duplicate_and_reversed_edges(self, ray_session):
+        pairs = [(1, 2), (2, 1), (1, 2), (3, 2), (7, 7)]
+        res = connected_components(_pairs_ds(pairs), n_parts=4).to_pandas()
+        got = dict(zip(res["doc_id"], res["component"]))
+        assert got == {1: 1, 2: 1, 3: 1, 7: 7}
+
+
+class TestDedupKeepList:
+    def test_keep_one_representative_per_cluster(self, ray_session):
+        import ray.data as rd
+
+        docs = rd.from_pandas(
+            pd.DataFrame({"doc_id": np.arange(10, dtype=np.int64)})
+        )
+        pairs = _pairs_ds([(1, 2), (2, 3), (7, 8)])
+        res = dedup_keep_list(docs, pairs, n_parts=4).to_pandas()
+        res = res.sort_values("doc_id").reset_index(drop=True)
+        assert len(res) == 10
+        got = {
+            int(r.doc_id): (int(r.component), bool(r.keep))
+            for r in res.itertuples()
+        }
+        # clustered docs: one keeper (the min id)
+        assert got[1] == (1, True)
+        assert got[2] == (1, False)
+        assert got[3] == (1, False)
+        assert got[7] == (7, True)
+        assert got[8] == (7, False)
+        # unpaired docs keep themselves
+        for n in (0, 4, 5, 6, 9):
+            assert got[n] == (n, True)
+        # exactly one keeper per component
+        keepers = res[res["keep"]].groupby("component").size()
+        assert (keepers == 1).all()
