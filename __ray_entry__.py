@@ -485,6 +485,23 @@ def _q_minhash_neardup(sf_dir: str):
     return minhash_lsh_pairs(docs, jaccard_threshold=0.5)
 
 
+def _q_minhash_dedup_keep(sf_dir: str):
+    """End-to-end near-dup dedup: MinHash-LSH pairs -> connected components
+    -> one kept representative per cluster (rows-only: LSH pair sets are
+    not SQL-expressible; the clustering step alone is oracle-backed via
+    ``dup_components``)."""
+    import ray.data as rd
+
+    from condor_ray.pipelines.dedup import minhash_lsh_pairs
+    from condor_ray.pipelines.graph import dedup_keep_list
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    return dedup_keep_list(
+        docs.select_columns(["doc_id"]), pairs, n_parts=16
+    )
+
+
 def _q_simhash_neardup(sf_dir: str):
     import ray.data as rd
 
@@ -633,6 +650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "minhash_neardup": _q_minhash_neardup,   # rows-only (LSH)
+        "minhash_dedup_keep": _q_minhash_dedup_keep,  # rows-only (LSH->components->keep)
         "simhash_neardup": _q_simhash_neardup,   # rows-only
         "embedding_neardup": _q_embedding_neardup,  # rows-only (LSH)
         "quality_scores": _q_quality_scores,     # rows-only (float features)

@@ -7,9 +7,12 @@ Prints ONE JSON line:
      "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
      "throughput_rows_per_s": ...}
 
-``--scaling`` runs the headline job at num_cpus=8 and num_cpus=32 in fresh
-processes on the SAME input and reports both throughputs + efficiency
-(the two-cluster-size criterion evidenced at two parallelism levels).
+``--scaling`` runs three scaling jobs (streaming CM ingest, windowed
+wavelets, brute-force ANN) each at num_cpus=8 and num_cpus=32 in fresh
+processes on the SAME input and reports both throughputs + efficiency per
+job (the two-cluster-size criterion evidenced at two parallelism levels;
+the compute-bound ANN job carries the headline efficiency).
+``--job NAME --ncpu N`` runs one of those jobs standalone.
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32).
 """

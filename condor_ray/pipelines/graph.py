@@ -48,7 +48,8 @@ def connected_components(
     """Connected components of an undirected pair list.
 
     ``pairs_ds``: dataset with int64 columns ``doc_a``, ``doc_b`` (one row
-    per edge; direction and duplicate edges don't matter).  Returns a
+    per edge; direction and duplicate edges don't matter; ids must be
+    non-negative — ``-1`` is the internal label-row sentinel).  Returns a
     dataset (doc_id, component) covering every endpoint, ``component`` =
     the smallest doc_id in the doc's connected component (the canonical
     keep id)."""
