@@ -256,6 +256,16 @@ def _q_cm_asof_queries(sf_dir: str):
     )
 
 
+def _q_streaming_cm_asof(sf_dir: str):
+    """Continuous queryTimestamped (bounded-archive broadcast operator,
+    QueryTimestampedFunction.java:31-97) over the live streaming CM job;
+    equals batch queryTimestamped on bounded input, sharing its oracle."""
+    from condor_ray.pipelines.synopsis_queries import streaming_cm_asof
+    from condor_ray.windows import TumblingWindow
+
+    return streaming_cm_asof(sf_dir, TumblingWindow(WINDOW_MS))
+
+
 def _q_cm_asof_stratified(sf_dir: str):
     """queryTimestampedStratified: CM per (window, role stratum) keyed by
     turn_idx; every turn queries its own (role, turn_idx) frequency as of its
@@ -626,6 +636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_multi_window": _q_streaming_multi_window,
         "streaming_ten_windows": _q_streaming_ten_windows,
         "cm_asof_queries": _q_cm_asof_queries,
+        "streaming_cm_asof": _q_streaming_cm_asof,
         "cm_asof_stratified": _q_cm_asof_stratified,
         "wavelet_window_sums": _q_wavelet_window_sums,
         "streaming_wavelet_sums": _q_streaming_wavelet_sums,
@@ -748,6 +759,9 @@ FROM transcripts t
 JOIN counts c
   ON c.tool = t.tool AND c.window_start = (epoch_us(t.ts) // {_W_US}) * {_W_US}
 WHERE t.tool IS NOT NULL"""
+    # continuous timestamped evaluation converges to batch as-of on bounded
+    # input (unbounded archive, all windows closed at end of stream)
+    out["streaming_cm_asof"] = out["cm_asof_queries"]
     out["cm_asof_stratified"] = f"""{cte},
 counts AS (
   SELECT (epoch_us(ts) // {_W_US}) * {_W_US} AS window_start, role,

@@ -33,6 +33,145 @@ import pyarrow.parquet as pq
 from ..synopses.base import Synopsis
 
 
+class ContinuousQueryTimestamped:
+    """Standing queryTimestamped over a streaming job's close cycles.
+
+    Reference semantics (conn/.../evaluator/evaluation/
+    QueryTimestampedFunction.java:31-97): synopses accumulate in a bounded
+    archive ordered by windowStart — at ``max_synopsis_count`` the OLDEST
+    (smallest windowStart) is evicted before insert (:77-79).  A query
+    routes to the floor window (largest windowStart <= query ts) and is
+    answered only when that window also covers the ts (windowEnd >= ts,
+    :53-62); otherwise it is DROPPED silently.  Queries arriving before any
+    synopsis buffer; the flush happens only against the FIRST synopsis and
+    only for buffered queries whose ts falls inside that first window —
+    the rest of the buffer is silently lost (:64-66, :91-95; reproduced).
+
+    ``results`` rows carry (cycle, query columns, result, window_start,
+    window_end)."""
+
+    def __init__(self, job, query_fn, max_synopsis_count: int = 1 << 30):
+        self.job = job
+        self.query_fn = query_fn
+        self.max_synopsis_count = max_synopsis_count
+        self.starts: list[int] = []  # sorted by window_start
+        self.ends: list[int] = []
+        self.payloads: list[bytes] = []
+        self.buffered: list[pd.DataFrame] = []
+        self.results: list[pd.DataFrame] = []
+        self._seen_emits: set[str] = set()
+
+    def _insert(self, cycle: int, ws: int, we: int, payload: bytes) -> None:
+        first = not self.starts
+        if not first and len(self.starts) >= self.max_synopsis_count:
+            # evict the oldest window (TreeSet.pollFirst, :77-79)
+            self.starts.pop(0)
+            self.ends.pop(0)
+            self.payloads.pop(0)
+        i = int(np.searchsorted(np.asarray(self.starts, dtype=np.int64), ws))
+        self.starts.insert(i, ws)
+        self.ends.insert(i, we)
+        self.payloads.insert(i, payload)
+        if first and self.buffered:
+            synopsis = Synopsis.from_bytes(payload)
+            for q in self.buffered:
+                ts = q["query_ts"].to_numpy()
+                hit = q[(ts >= ws) & (ts <= we)]
+                if len(hit):
+                    out = hit.copy()
+                    out["result"] = self.query_fn(
+                        synopsis, hit["query_key"].to_numpy()
+                    )
+                    out["window_start"] = ws
+                    out["window_end"] = we
+                    out.insert(0, "cycle", cycle)
+                    self.results.append(out)
+            self.buffered = []  # unmatched buffered queries are lost (:64-66)
+
+    def _refresh_archive(self, cycle: int) -> None:
+        out_dir = self.job.out_dir
+        new = sorted(
+            f
+            for f in os.listdir(out_dir)
+            if f.startswith("emit-") and f.endswith(".parquet")
+            and f not in self._seen_emits
+        )
+        rows: list[tuple[int, int, bytes]] = []
+        for f in new:
+            self._seen_emits.add(f)
+            t = pq.read_table(
+                os.path.join(out_dir, f),
+                columns=["window_start", "window_end", "payload"],
+            )
+            for i in range(t.num_rows):
+                rows.append(
+                    (
+                        int(t["window_start"][i].as_py()),
+                        int(t["window_end"][i].as_py()),
+                        t["payload"][i].as_py(),
+                    )
+                )
+        # windows emit in close (window_start) order; make it explicit so
+        # "first synopsis" is deterministic when one cycle closes several
+        for ws, we, payload in sorted(rows, key=lambda r: r[0]):
+            self._insert(cycle, ws, we, payload)
+
+    def _arrive(self, cycle: int, queries: pd.DataFrame | None) -> None:
+        if queries is None or len(queries) == 0:
+            return
+        if not self.starts:
+            self.buffered.append(queries)
+            return
+        starts = np.asarray(self.starts, dtype=np.int64)
+        ends = np.asarray(self.ends, dtype=np.int64)
+        ts = queries["query_ts"].to_numpy().astype(np.int64)
+        idx = np.searchsorted(starts, ts, side="right") - 1
+        ok = (idx >= 0) & (ends[np.clip(idx, 0, len(ends) - 1)] >= ts)
+        if not ok.any():
+            return  # all outside the archive: dropped (:57-62)
+        hit = queries[ok]
+        widx = idx[ok]
+        out = hit.copy()
+        res = np.empty(len(hit), dtype=np.float64)
+        for w in np.unique(widx):
+            synopsis = Synopsis.from_bytes(self.payloads[int(w)])
+            m = widx == w
+            res[m] = self.query_fn(synopsis, hit["query_key"].to_numpy()[m])
+        out["result"] = res
+        out["window_start"] = np.asarray(self.starts, dtype=np.int64)[widx]
+        out["window_end"] = np.asarray(self.ends, dtype=np.int64)[widx]
+        out.insert(0, "cycle", cycle)
+        self.results.append(out)
+
+    def run(self, fragment_paths: list[str], query_arrivals) -> pd.DataFrame:
+        """Same cycle contract as ``ContinuousQueryLatest.run``; query
+        frames need ``query_key`` and ``query_ts`` (event-time us)."""
+        get = (
+            query_arrivals
+            if callable(query_arrivals)
+            else lambda k: query_arrivals.get(k)
+        )
+        for k in range(len(fragment_paths)):
+            self.job.run(
+                fragment_paths[: k + 1], final_flush=False, pipelined=False
+            )
+            self._refresh_archive(k)
+            self._arrive(k, get(k))
+        self.job.run(fragment_paths, final_flush=True, pipelined=False)
+        self._refresh_archive(len(fragment_paths))
+        self._arrive(len(fragment_paths), get(len(fragment_paths)))
+        if not self.results:
+            return pd.DataFrame(
+                {"cycle": pd.Series(dtype=np.int64),
+                 "query_key": pd.Series(dtype=np.int64),
+                 "query_ts": pd.Series(dtype=np.int64),
+                 "result": pd.Series(dtype=np.float64),
+                 "window_start": pd.Series(dtype=np.int64),
+                 "window_end": pd.Series(dtype=np.int64)}
+            )
+        return pd.concat(self.results, ignore_index=True)
+
+
 class ContinuousQueryLatest:
     """Standing queryLatest over a ``StreamingSynopsisJob``'s close cycles.
 

@@ -540,25 +540,15 @@ def query_latest_cm(ds, window: TumblingWindow):
     )
 
 
-def streaming_query_latest_cm(sf_dir: str, window: TumblingWindow):
-    """CONTINUOUS queryLatest: the 20-tool standing query set re-evaluates
-    against the live synopsis stream at every close cycle of a streaming
-    CM job (queries pre-dating the first synopsis buffer, then flush —
-    QueryLatestFunction.java:42-60).  On bounded input the final cycle's
-    answers equal batch queryLatest, so this row SHARES query_latest_cm's
-    SQL oracle; the per-cycle evolution is covered by pytest."""
+def _tool_stream_fragments(sf_dir: str) -> list[str]:
+    """ts-ordered tool-row fragments (tool IS NOT NULL), cached per sf_dir."""
     import hashlib
     import os
-    import tempfile
 
     import pyarrow.parquet as pq
 
-    from ..engine.streaming import StreamingSynopsisJob
-    from ..evaluate.continuous import ContinuousQueryLatest
-    from ..evaluate.queries import query_count_min
     from .core import cached_event_stream_fragments
 
-    # ts-ordered tool-row fragments (tool IS NOT NULL), cached per sf_dir
     frags = cached_event_stream_fragments(sf_dir)
     cache = os.path.join(
         "/tmp/condor_ray_fixtures",
@@ -572,9 +562,25 @@ def streaming_query_latest_cm(sf_dir: str, window: TumblingWindow):
             t = t.filter(pc.is_valid(t["tool"]))
             pq.write_table(t, os.path.join(cache, os.path.basename(f)))
         open(done, "w").write("ok")
-    tool_frags = sorted(
+    return sorted(
         os.path.join(cache, f) for f in os.listdir(cache) if f.endswith(".parquet")
     )
+
+
+def streaming_query_latest_cm(sf_dir: str, window: TumblingWindow):
+    """CONTINUOUS queryLatest: the 20-tool standing query set re-evaluates
+    against the live synopsis stream at every close cycle of a streaming
+    CM job (queries pre-dating the first synopsis buffer, then flush —
+    QueryLatestFunction.java:42-60).  On bounded input the final cycle's
+    answers equal batch queryLatest, so this row SHARES query_latest_cm's
+    SQL oracle; the per-cycle evolution is covered by pytest."""
+    import tempfile
+
+    from ..engine.streaming import StreamingSynopsisJob
+    from ..evaluate.continuous import ContinuousQueryLatest
+    from ..evaluate.queries import query_count_min
+
+    tool_frags = _tool_stream_fragments(sf_dir)
 
     cfg = BuildConfiguration(
         synopsis="CountMinSketch",
@@ -600,6 +606,69 @@ def streaming_query_latest_cm(sf_dir: str, window: TumblingWindow):
             "tool": final["tool"].to_numpy(object),
             "window_start": final["window_start"].astype(np.int64).to_numpy(),
             "est": final["result"].astype(np.int64).to_numpy(),
+        }
+    ).reset_index(drop=True)
+
+
+def streaming_cm_asof(sf_dir: str, window: TumblingWindow):
+    """CONTINUOUS queryTimestamped: every tool turn queries its own tool's
+    frequency at its own event time against the live streaming job's
+    synopsis ARCHIVE (bounded TreeSet, floor routing + in-window check —
+    QueryTimestampedFunction.java:31-97).
+
+    Arrival plan: queries whose ts falls in the FIRST window arrive at
+    cycle 0 (pre-first-synopsis => they exercise the buffer-then-flush
+    path, :64-66/:91-95); the rest arrive at the end-of-stream cycle when
+    every window is closed and archived.  With an unbounded archive the
+    union of answers equals batch queryTimestamped, so this row SHARES
+    cm_asof_queries' SQL oracle; eviction/drop quirks are pytest-covered."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..engine.streaming import StreamingSynopsisJob
+    from ..evaluate.continuous import ContinuousQueryTimestamped
+    from ..evaluate.queries import query_count_min
+
+    tool_frags = _tool_stream_fragments(sf_dir)
+
+    cfg = BuildConfiguration(
+        synopsis="CountMinSketch",
+        params=(65536, 5, 7),
+        windows=[window],
+        key=KeySpec("tool", "java_hash"),
+        parallelism=2,
+    )
+    out_dir = tempfile.mkdtemp(prefix="condor_contts_")
+    job = StreamingSynopsisJob(cfg, out_dir, columns=["conv_id", "tool", "ts"])
+
+    t = pa.concat_tables(
+        pq.read_table(f, columns=["tool", "ts"]) for f in tool_frags
+    )
+    ts_us = ts_to_us(t["ts"])
+    tools = t["tool"].to_pandas().to_numpy(object)
+    q = pd.DataFrame(
+        {
+            "query_key": java_string_hash_array(tools).astype(np.int64),
+            "query_ts": ts_us.astype(np.int64),
+            "tool": tools,
+        }
+    )
+    w_us = window.size_us
+    first_end = (int(q["query_ts"].min()) // w_us) * w_us + w_us
+    arrivals = {
+        0: q[q["query_ts"] < first_end],
+        len(tool_frags): q[q["query_ts"] >= first_end],
+    }
+    ev = ContinuousQueryTimestamped(job, query_count_min)
+    res = ev.run(tool_frags, arrivals)
+    job.shutdown()
+    return pd.DataFrame(
+        {
+            "tool": res["tool"].to_numpy(object),
+            "query_ts": res["query_ts"].astype(np.int64).to_numpy(),
+            "window_start": res["window_start"].astype(np.int64).to_numpy(),
+            "est": res["result"].astype(np.int64).to_numpy(),
         }
     ).reset_index(drop=True)
 

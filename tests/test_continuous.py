@@ -80,3 +80,86 @@ def test_buffer_then_flush_and_track_latest(ray_session, stream, tmp_path):
     # standing query answers are monotone in window_start across cycles
     per_cycle = res.groupby("cycle")["window_start"].max()
     assert per_cycle.is_monotonic_increasing
+
+
+def _cm_job(tmp_path, name="out_ts"):
+    cfg = BuildConfiguration(
+        synopsis="CountMinSketch",
+        params=(4096, 3, 7),
+        windows=[TumblingWindow(W_MS)],
+        key=KeySpec("conv_id", "java_hash"),
+        parallelism=2,
+    )
+    return StreamingSynopsisJob(
+        cfg, str(tmp_path / name), columns=["conv_id", "ts"]
+    )
+
+
+def test_timestamped_buffer_flush_and_floor_routing(ray_session, stream, tmp_path):
+    """QueryTimestampedFunction.java:51-66,91-95: queries pre-dating the
+    first synopsis buffer; the flush answers ONLY those whose ts falls in
+    the first window — the rest of the buffer is silently lost.  Later
+    queries floor-route into the archive; ts beyond the covering window is
+    dropped."""
+    from condor_ray.evaluate.continuous import ContinuousQueryTimestamped
+
+    job = _cm_job(tmp_path)
+    k0 = int(java_string_hash_array(["conv0"])[0])
+    arrivals = {
+        # cycle 0 (no synopsis yet): one query in window 0, one in window 1
+        0: pd.DataFrame(
+            {"query_key": [k0, k0], "query_ts": [5 * 1_000_000, 15 * 1_000_000],
+             "tag": ["w0", "w1-lost"]}
+        ),
+        # final cycle: archive holds all 3 windows
+        3: pd.DataFrame(
+            {"query_key": [k0, k0, k0],
+             "query_ts": [15 * 1_000_000, 25 * 1_000_000, 35 * 1_000_000],
+             "tag": ["w1", "w2", "beyond-dropped"]}
+        ),
+    }
+    ev = ContinuousQueryTimestamped(job, query_count_min)
+    res = ev.run(stream, arrivals)
+    job.shutdown()
+
+    tags = set(res["tag"])
+    # the in-first-window buffered query flushed against window 0...
+    w0 = res[res["tag"] == "w0"]
+    assert len(w0) == 1
+    assert int(w0["window_start"].iloc[0]) == 0
+    assert int(w0["result"].iloc[0]) == 3
+    # ...the out-of-first-window buffered query was lost (reference quirk)
+    assert "w1-lost" not in tags
+    # floor routing at the final cycle
+    w1 = res[res["tag"] == "w1"]
+    assert int(w1["window_start"].iloc[0]) == W_US
+    assert int(w1["result"].iloc[0]) == 5
+    w2 = res[res["tag"] == "w2"]
+    assert int(w2["window_start"].iloc[0]) == 2 * W_US
+    assert int(w2["result"].iloc[0]) == 7
+    # ts past the last window's end: floor window doesn't cover it -> drop
+    assert "beyond-dropped" not in tags
+
+
+def test_timestamped_archive_eviction(ray_session, stream, tmp_path):
+    """QueryTimestampedFunction.java:77-79: at max_synopsis_count the
+    OLDEST window (smallest windowStart) is evicted, so queries into the
+    evicted range are dropped while archived ranges still answer."""
+    from condor_ray.evaluate.continuous import ContinuousQueryTimestamped
+
+    job = _cm_job(tmp_path, "out_evict")
+    k0 = int(java_string_hash_array(["conv0"])[0])
+    arrivals = {
+        3: pd.DataFrame(
+            {"query_key": [k0, k0],
+             "query_ts": [5 * 1_000_000, 12 * 1_000_000],
+             "tag": ["evicted", "kept"]}
+        )
+    }
+    ev = ContinuousQueryTimestamped(job, query_count_min, max_synopsis_count=2)
+    res = ev.run(stream, arrivals)
+    job.shutdown()
+
+    assert list(res["tag"]) == ["kept"]
+    assert int(res["window_start"].iloc[0]) == W_US
+    assert int(res["result"].iloc[0]) == 5
