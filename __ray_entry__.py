@@ -554,6 +554,18 @@ def _q_embedding_neardup(sf_dir: str):
     return pairs.map_batches(check, batch_format="pyarrow")
 
 
+def _q_streaming_query_latest_stratified(sf_dir: str):
+    """Continuous stratified queryLatest over the streaming engine's
+    stratified path (QueryLatestStratifiedFunction.java:28-88); equals
+    batch queryLatestStratified on bounded input, sharing its oracle."""
+    from condor_ray.pipelines.synopsis_queries import (
+        streaming_query_latest_stratified,
+    )
+    from condor_ray.windows import TumblingWindow
+
+    return streaming_query_latest_stratified(sf_dir, TumblingWindow(WINDOW_MS))
+
+
 def _q_streaming_query_latest(sf_dir: str):
     """Standing query set evaluated per close cycle inside the streaming CM
     job (continuous queryLatest); the final cycle equals batch queryLatest,
@@ -655,6 +667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "query_latest_cm": _mk_synopsis_query("query_latest_cm"),
         "streaming_query_latest": _q_streaming_query_latest,
         "query_latest_stratified": _mk_synopsis_query("query_latest_stratified_cm"),
+        "streaming_query_latest_stratified": _q_streaming_query_latest_stratified,
         "exact_dedup": _q_exact_dedup,
         "dup_components": _q_dup_components,
         "token_stats": _q_token_stats,
@@ -818,6 +831,11 @@ GROUP BY 1, 2"""
     # continuous evaluation converges to batch queryLatest on bounded input
     out["streaming_query_latest"] = _sq.query_latest_sql(cte, _W_US)
     out["query_latest_stratified"] = _sq.query_latest_stratified_sql(cte, _W_US)
+    # continuous stratified evaluation converges to the batch result on
+    # bounded input (per-stratum latest == per-stratum max window)
+    out["streaming_query_latest_stratified"] = _sq.query_latest_stratified_sql(
+        cte, _W_US
+    )
     out["exact_dedup"] = """
 WITH docs2 AS (
   SELECT doc_id, text FROM documents

@@ -33,6 +33,106 @@ import pyarrow.parquet as pq
 from ..synopses.base import Synopsis
 
 
+class ContinuousQueryLatestStratified:
+    """Standing stratified queryLatest over a stratified streaming job.
+
+    Reference semantics (conn/.../evaluator/evaluation/
+    QueryLatestStratifiedFunction.java:28-88): broadcast state maps each
+    stratum to its latest synopsis — unconditional overwrite on arrival
+    (:86), no windowStart comparison.  A query answers against its OWN
+    stratum's latest; queries for strata with no synopsis yet buffer PER
+    STRATUM and flush when that stratum's first synopsis arrives (:55-63,
+    :74-84).  Query frames need ``query_key`` and ``stratum`` columns."""
+
+    def __init__(self, job, query_fn):
+        self.job = job
+        self.query_fn = query_fn
+        self.latest: dict[str, tuple[bytes, int, int]] = {}
+        self.buffered: dict[str, list[pd.DataFrame]] = {}
+        self.results: list[pd.DataFrame] = []
+        self._seen_emits: set[str] = set()
+
+    def _evaluate(
+        self, cycle: int, stratum: str, queries: pd.DataFrame
+    ) -> None:
+        payload, ws, we = self.latest[stratum]
+        synopsis = Synopsis.from_bytes(payload)
+        out = queries.copy()
+        out["result"] = self.query_fn(synopsis, queries["query_key"].to_numpy())
+        out["window_start"] = ws
+        out["window_end"] = we
+        out.insert(0, "cycle", cycle)
+        self.results.append(out)
+
+    def _refresh_latest(self, cycle: int) -> None:
+        out_dir = self.job.out_dir
+        new = sorted(
+            f
+            for f in os.listdir(out_dir)
+            if f.startswith("emit-") and f.endswith(".parquet")
+            and f not in self._seen_emits
+        )
+        rows: list[tuple[int, str, int, bytes]] = []
+        for f in new:
+            self._seen_emits.add(f)
+            t = pq.read_table(
+                os.path.join(out_dir, f),
+                columns=["stratum", "window_start", "window_end", "payload"],
+            )
+            for i in range(t.num_rows):
+                rows.append(
+                    (
+                        int(t["window_start"][i].as_py()),
+                        t["stratum"][i].as_py(),
+                        int(t["window_end"][i].as_py()),
+                        t["payload"][i].as_py(),
+                    )
+                )
+        # arrival order == close (window_start) order in this job
+        for ws, stratum, we, payload in sorted(rows, key=lambda r: r[0]):
+            first = stratum not in self.latest
+            self.latest[stratum] = (payload, ws, we)
+            if first and stratum in self.buffered:
+                for q in self.buffered.pop(stratum):
+                    self._evaluate(cycle, stratum, q)
+
+    def _arrive(self, cycle: int, queries: pd.DataFrame | None) -> None:
+        if queries is None or len(queries) == 0:
+            return
+        for stratum, g in queries.groupby("stratum", sort=False):
+            if stratum in self.latest:
+                self._evaluate(cycle, str(stratum), g)
+            else:
+                self.buffered.setdefault(str(stratum), []).append(g)
+
+    def run(self, fragment_paths: list[str], query_arrivals) -> pd.DataFrame:
+        """Same cycle contract as ``ContinuousQueryLatest.run``."""
+        get = (
+            query_arrivals
+            if callable(query_arrivals)
+            else lambda k: query_arrivals.get(k)
+        )
+        for k in range(len(fragment_paths)):
+            self.job.run(
+                fragment_paths[: k + 1], final_flush=False, pipelined=False
+            )
+            self._refresh_latest(k)
+            self._arrive(k, get(k))
+        self.job.run(fragment_paths, final_flush=True, pipelined=False)
+        self._refresh_latest(len(fragment_paths))
+        self._arrive(len(fragment_paths), get(len(fragment_paths)))
+        if not self.results:
+            return pd.DataFrame(
+                {"cycle": pd.Series(dtype=np.int64),
+                 "query_key": pd.Series(dtype=np.int64),
+                 "stratum": pd.Series(dtype=object),
+                 "result": pd.Series(dtype=np.float64),
+                 "window_start": pd.Series(dtype=np.int64),
+                 "window_end": pd.Series(dtype=np.int64)}
+            )
+        return pd.concat(self.results, ignore_index=True)
+
+
 class ContinuousQueryTimestamped:
     """Standing queryTimestamped over a streaming job's close cycles.
 

@@ -673,6 +673,57 @@ def streaming_cm_asof(sf_dir: str, window: TumblingWindow):
     ).reset_index(drop=True)
 
 
+def streaming_query_latest_stratified(sf_dir: str, window: TumblingWindow):
+    """CONTINUOUS stratified queryLatest over a STRATIFIED streaming job:
+    the (role x turn-probe) standing query set re-evaluates per close cycle
+    against each role-stratum's latest synopsis (per-stratum broadcast
+    state + per-stratum buffer flush, QueryLatestStratifiedFunction.java:
+    28-88).  On bounded input the final cycle's answers equal batch
+    queryLatestStratified, sharing its SQL oracle — this is also the
+    driver row that exercises the streaming engine's stratified path."""
+    import tempfile
+
+    from ..engine.streaming import StreamingSynopsisJob
+    from ..evaluate.continuous import ContinuousQueryLatestStratified
+    from ..evaluate.queries import query_count_min
+    from .core import cached_event_stream_fragments
+
+    frags = cached_event_stream_fragments(sf_dir)
+    cfg = BuildConfiguration(
+        synopsis="CountMinSketch",
+        params=(65536, 5, 7),
+        windows=[window],
+        key=KeySpec("turn_idx", "value"),
+        stratify_by="role",
+        parallelism=2,
+    )
+    out_dir = tempfile.mkdtemp(prefix="condor_contstrat_")
+    job = StreamingSynopsisJob(
+        cfg, out_dir, columns=["conv_id", "role", "turn_idx", "ts"]
+    )
+    roles = ["user", "assistant", "tool"]
+    standing = pd.DataFrame(
+        {
+            "query_key": np.array(
+                [p for _ in roles for p in STRAT_TURN_PROBES], dtype=np.int64
+            ),
+            "stratum": [r for r in roles for _ in STRAT_TURN_PROBES],
+        }
+    )
+    ev = ContinuousQueryLatestStratified(job, query_count_min)
+    res = ev.run(frags, lambda k: standing)
+    job.shutdown()
+    final = res[res["cycle"] == res["cycle"].max()]
+    return pd.DataFrame(
+        {
+            "stratum": final["stratum"].to_numpy(object),
+            "turn_probe": final["query_key"].astype(np.int64).to_numpy(),
+            "window_start": final["window_start"].astype(np.int64).to_numpy(),
+            "est": final["result"].astype(np.int64).to_numpy(),
+        }
+    ).reset_index(drop=True)
+
+
 def query_latest_sql(cte: str, w_us: int) -> str:
     return f"""{cte},
 counts AS (

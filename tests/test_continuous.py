@@ -163,3 +163,82 @@ def test_timestamped_archive_eviction(ray_session, stream, tmp_path):
     assert list(res["tag"]) == ["kept"]
     assert int(res["window_start"].iloc[0]) == W_US
     assert int(res["result"].iloc[0]) == 5
+
+
+def _strat_fragment(path, ts_lo_s, role_counts):
+    """role_counts: dict role -> rows (all rows in window ts_lo_s//10)."""
+    roles = np.concatenate(
+        [np.repeat(r, n) for r, n in role_counts.items()]
+    ) if role_counts else np.array([], dtype=object)
+    n = len(roles)
+    ts = (ts_lo_s * 1_000_000 + np.arange(n) * 1000).astype("datetime64[us]")
+    pq.write_table(
+        pa.table(
+            {
+                "conv_id": pa.array([f"c{i}" for i in range(n)]),
+                "role": pa.array(roles.tolist()),
+                "turn_idx": pa.array(np.zeros(n, dtype=np.int32)),
+                "ts": pa.array(ts),
+            }
+        ),
+        path,
+    )
+
+
+def test_stratified_latest_per_stratum_buffer_flush(ray_session, tmp_path):
+    """QueryLatestStratifiedFunction.java:55-63,74-84: buffering and flush
+    are PER STRATUM — stratum A's first synopsis answers only A's buffered
+    queries; B's stay buffered until B first emits.  Latest is overwritten
+    per stratum on arrival (:86)."""
+    from condor_ray.evaluate.continuous import ContinuousQueryLatestStratified
+
+    # window 0: only role A; window 1: A and B; window 2: only B
+    paths = []
+    for k, rc in enumerate(
+        [{"A": 3}, {"A": 5, "B": 2}, {"B": 7}]
+    ):
+        p = str(tmp_path / f"sfrag-{k:05d}.parquet")
+        _strat_fragment(p, ts_lo_s=10 * k, role_counts=rc)
+        paths.append(p)
+
+    cfg = BuildConfiguration(
+        synopsis="CountMinSketch",
+        params=(4096, 3, 7),
+        windows=[TumblingWindow(W_MS)],
+        key=KeySpec("turn_idx", "value"),
+        stratify_by="role",
+        parallelism=2,
+    )
+    job = StreamingSynopsisJob(
+        cfg, str(tmp_path / "out_strat"),
+        columns=["conv_id", "role", "turn_idx", "ts"],
+    )
+    standing = pd.DataFrame(
+        {"query_key": np.zeros(2, dtype=np.int64), "stratum": ["A", "B"]}
+    )
+    ev = ContinuousQueryLatestStratified(job, query_count_min)
+    res = ev.run(paths, lambda k: standing)
+    job.shutdown()
+
+    # cycle 0: nothing closed -> both strata buffered
+    assert (res["cycle"] == 0).sum() == 0
+    # cycle 1: window 0 closes with ONLY stratum A -> A's buffer flushes
+    # (cycle-0 + cycle-1 arrivals = 2 rows); B stays buffered
+    c1 = res[res["cycle"] == 1]
+    assert set(c1["stratum"]) == {"A"}
+    assert len(c1) == 2
+    assert (c1["result"] == 3).all() and (c1["window_start"] == 0).all()
+    # cycle 2: window 1 closes with A and B -> B's buffer (cycles 0..2
+    # minus none answered yet... cycle-0,1 buffered + cycle-2 arrival)
+    c2 = res[res["cycle"] == 2]
+    b2 = c2[c2["stratum"] == "B"]
+    assert len(b2) == 3  # two buffered frames flushed + this cycle's arrival
+    assert (b2["result"] == 2).all() and (b2["window_start"] == W_US).all()
+    a2 = c2[c2["stratum"] == "A"]
+    assert (a2["result"] == 5).all()
+    # final cycle: A's latest stays window 1 (no A rows in window 2),
+    # B's latest moves to window 2
+    cf = res[res["cycle"] == 3]
+    assert cf.set_index("stratum")["window_start"]["A"] == W_US
+    assert cf.set_index("stratum")["window_start"]["B"] == 2 * W_US
+    assert cf.set_index("stratum")["result"]["B"] == 7
