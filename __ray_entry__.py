@@ -317,6 +317,16 @@ def _q_cm_asof_stratified(sf_dir: str):
     )
 
 
+def _q_streaming_cm_asof_stratified(sf_dir: str):
+    """Continuous stratified queryTimestamped (per-stratum bounded archive,
+    QueryStratifiedTimestampedFunction.java:30-96) over the stratified
+    streaming job; equals batch on bounded input, sharing its oracle."""
+    from condor_ray.pipelines.synopsis_queries import streaming_cm_asof_stratified
+    from condor_ray.windows import TumblingWindow
+
+    return streaming_cm_asof_stratified(sf_dir, TumblingWindow(WINDOW_MS))
+
+
 def _q_streaming_windowed_counts(sf_dir: str):
     from condor_ray.pipelines.core import streaming_windowed_counts
     from condor_ray.windows import TumblingWindow
@@ -650,6 +660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cm_asof_queries": _q_cm_asof_queries,
         "streaming_cm_asof": _q_streaming_cm_asof,
         "cm_asof_stratified": _q_cm_asof_stratified,
+        "streaming_cm_asof_stratified": _q_streaming_cm_asof_stratified,
         "wavelet_window_sums": _q_wavelet_window_sums,
         "streaming_wavelet_sums": _q_streaming_wavelet_sums,
         "fifo_newest_ts": _q_fifo_newest_ts,
@@ -792,6 +803,8 @@ JOIN counts c
  AND c.window_start = (epoch_us(t.ts) // {_W_US}) * {_W_US}
  AND c.turn_probe = t.turn_idx
 WHERE t.turn_idx < 20"""
+    # continuous stratified timestamped evaluation converges to batch as-of
+    out["streaming_cm_asof_stratified"] = out["cm_asof_stratified"]
     out["fifo_newest_ts"] = f"""{cte},
 win_ts AS (
   SELECT DISTINCT (epoch_us(ts) // {_W_US}) * {_W_US} AS window_start,

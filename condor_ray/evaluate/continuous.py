@@ -272,6 +272,145 @@ class ContinuousQueryTimestamped:
         return pd.concat(self.results, ignore_index=True)
 
 
+class ContinuousQueryTimestampedStratified:
+    """Standing stratified queryTimestamped over a stratified streaming job.
+
+    Reference semantics (conn/.../evaluator/evaluation/
+    QueryStratifiedTimestampedFunction.java:30-96): one bounded
+    windowStart-ordered archive PER STRATUM (oldest evicted at
+    ``max_synopsis_count``, :76-79); a query floor-routes within its own
+    stratum's archive and answers only when the window covers its ts
+    (:45-55, silent drop otherwise); queries for strata with no synopsis
+    yet buffer per stratum, flushing against that stratum's FIRST synopsis
+    only for matching timestamps (:86-93) — the rest is lost."""
+
+    def __init__(self, job, query_fn, max_synopsis_count: int = 1 << 30):
+        self.job = job
+        self.query_fn = query_fn
+        self.max_synopsis_count = max_synopsis_count
+        # stratum -> ([starts], [ends], [payloads]) sorted by window_start
+        self.archive: dict[str, tuple[list[int], list[int], list[bytes]]] = {}
+        self.buffered: dict[str, list[pd.DataFrame]] = {}
+        self.results: list[pd.DataFrame] = []
+        self._seen_emits: set[str] = set()
+
+    def _insert(
+        self, cycle: int, stratum: str, ws: int, we: int, payload: bytes
+    ) -> None:
+        first = stratum not in self.archive
+        if first:
+            self.archive[stratum] = ([], [], [])
+        starts, ends, payloads = self.archive[stratum]
+        if not first and len(starts) >= self.max_synopsis_count:
+            starts.pop(0)
+            ends.pop(0)
+            payloads.pop(0)
+        i = int(np.searchsorted(np.asarray(starts, dtype=np.int64), ws))
+        starts.insert(i, ws)
+        ends.insert(i, we)
+        payloads.insert(i, payload)
+        if first and stratum in self.buffered:
+            synopsis = Synopsis.from_bytes(payload)
+            for q in self.buffered.pop(stratum):
+                ts = q["query_ts"].to_numpy()
+                hit = q[(ts >= ws) & (ts <= we)]
+                if len(hit):
+                    out = hit.copy()
+                    out["result"] = self.query_fn(
+                        synopsis, hit["query_key"].to_numpy()
+                    )
+                    out["window_start"] = ws
+                    out["window_end"] = we
+                    out.insert(0, "cycle", cycle)
+                    self.results.append(out)
+
+    def _refresh_archive(self, cycle: int) -> None:
+        out_dir = self.job.out_dir
+        new = sorted(
+            f
+            for f in os.listdir(out_dir)
+            if f.startswith("emit-") and f.endswith(".parquet")
+            and f not in self._seen_emits
+        )
+        rows: list[tuple[int, str, int, bytes]] = []
+        for f in new:
+            self._seen_emits.add(f)
+            t = pq.read_table(
+                os.path.join(out_dir, f),
+                columns=["stratum", "window_start", "window_end", "payload"],
+            )
+            for i in range(t.num_rows):
+                rows.append(
+                    (
+                        int(t["window_start"][i].as_py()),
+                        t["stratum"][i].as_py(),
+                        int(t["window_end"][i].as_py()),
+                        t["payload"][i].as_py(),
+                    )
+                )
+        for ws, stratum, we, payload in sorted(rows, key=lambda r: r[0]):
+            self._insert(cycle, stratum, ws, we, payload)
+
+    def _arrive(self, cycle: int, queries: pd.DataFrame | None) -> None:
+        if queries is None or len(queries) == 0:
+            return
+        for stratum, g in queries.groupby("stratum", sort=False):
+            stratum = str(stratum)
+            if stratum not in self.archive:
+                self.buffered.setdefault(stratum, []).append(g)
+                continue
+            starts_l, ends_l, payloads = self.archive[stratum]
+            starts = np.asarray(starts_l, dtype=np.int64)
+            ends = np.asarray(ends_l, dtype=np.int64)
+            ts = g["query_ts"].to_numpy().astype(np.int64)
+            idx = np.searchsorted(starts, ts, side="right") - 1
+            ok = (idx >= 0) & (ends[np.clip(idx, 0, len(ends) - 1)] >= ts)
+            if not ok.any():
+                continue
+            hit = g[ok]
+            widx = idx[ok]
+            out = hit.copy()
+            res = np.empty(len(hit), dtype=np.float64)
+            for w in np.unique(widx):
+                synopsis = Synopsis.from_bytes(payloads[int(w)])
+                m = widx == w
+                res[m] = self.query_fn(synopsis, hit["query_key"].to_numpy()[m])
+            out["result"] = res
+            out["window_start"] = starts[widx]
+            out["window_end"] = ends[widx]
+            out.insert(0, "cycle", cycle)
+            self.results.append(out)
+
+    def run(self, fragment_paths: list[str], query_arrivals) -> pd.DataFrame:
+        """Same cycle contract as ``ContinuousQueryLatest.run``; query
+        frames need ``query_key``, ``query_ts`` and ``stratum``."""
+        get = (
+            query_arrivals
+            if callable(query_arrivals)
+            else lambda k: query_arrivals.get(k)
+        )
+        for k in range(len(fragment_paths)):
+            self.job.run(
+                fragment_paths[: k + 1], final_flush=False, pipelined=False
+            )
+            self._refresh_archive(k)
+            self._arrive(k, get(k))
+        self.job.run(fragment_paths, final_flush=True, pipelined=False)
+        self._refresh_archive(len(fragment_paths))
+        self._arrive(len(fragment_paths), get(len(fragment_paths)))
+        if not self.results:
+            return pd.DataFrame(
+                {"cycle": pd.Series(dtype=np.int64),
+                 "query_key": pd.Series(dtype=np.int64),
+                 "query_ts": pd.Series(dtype=np.int64),
+                 "stratum": pd.Series(dtype=object),
+                 "result": pd.Series(dtype=np.float64),
+                 "window_start": pd.Series(dtype=np.int64),
+                 "window_end": pd.Series(dtype=np.int64)}
+            )
+        return pd.concat(self.results, ignore_index=True)
+
+
 class ContinuousQueryLatest:
     """Standing queryLatest over a ``StreamingSynopsisJob``'s close cycles.
 

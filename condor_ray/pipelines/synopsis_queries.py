@@ -724,6 +724,66 @@ def streaming_query_latest_stratified(sf_dir: str, window: TumblingWindow):
     ).reset_index(drop=True)
 
 
+def streaming_cm_asof_stratified(sf_dir: str, window: TumblingWindow):
+    """CONTINUOUS stratified queryTimestamped: every turn (turn_idx < 20)
+    queries its own (role, turn_idx) frequency at its own event time
+    against its role-stratum's bounded synopsis archive in the live
+    streaming job (QueryStratifiedTimestampedFunction.java:30-96).
+
+    All queries arrive at the end-of-stream cycle (every window closed,
+    archive unbounded), so the answers equal batch
+    queryTimestampedStratified and this row SHARES cm_asof_stratified's
+    SQL oracle; buffer/eviction quirks are pytest-covered on the
+    unstratified archive (same code shape)."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..engine.streaming import StreamingSynopsisJob
+    from ..evaluate.continuous import ContinuousQueryTimestampedStratified
+    from ..evaluate.queries import query_count_min
+    from .core import cached_event_stream_fragments
+
+    frags = cached_event_stream_fragments(sf_dir)
+    cfg = BuildConfiguration(
+        synopsis="CountMinSketch",
+        params=(65536, 5, 7),
+        windows=[window],
+        key=KeySpec("turn_idx", "value"),
+        stratify_by="role",
+        parallelism=2,
+    )
+    out_dir = tempfile.mkdtemp(prefix="condor_contstratts_")
+    job = StreamingSynopsisJob(
+        cfg, out_dir, columns=["conv_id", "role", "turn_idx", "ts"]
+    )
+
+    t = pa.concat_tables(
+        pq.read_table(f, columns=["role", "turn_idx", "ts"]) for f in frags
+    )
+    t = t.filter(pc.less(t["turn_idx"], 20))
+    q = pd.DataFrame(
+        {
+            "query_key": t["turn_idx"].to_numpy().astype(np.int64),
+            "query_ts": ts_to_us(t["ts"]).astype(np.int64),
+            "stratum": t["role"].to_pandas().to_numpy(object),
+        }
+    )
+    arrivals = {len(frags): q}
+    ev = ContinuousQueryTimestampedStratified(job, query_count_min)
+    res = ev.run(frags, arrivals)
+    job.shutdown()
+    return pd.DataFrame(
+        {
+            "stratum": res["stratum"].to_numpy(object),
+            "turn_probe": res["query_key"].astype(np.int64).to_numpy(),
+            "query_ts": res["query_ts"].astype(np.int64).to_numpy(),
+            "window_start": res["window_start"].astype(np.int64).to_numpy(),
+            "est": res["result"].astype(np.int64).to_numpy(),
+        }
+    ).reset_index(drop=True)
+
+
 def query_latest_sql(cte: str, w_us: int) -> str:
     return f"""{cte},
 counts AS (

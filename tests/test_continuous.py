@@ -242,3 +242,66 @@ def test_stratified_latest_per_stratum_buffer_flush(ray_session, tmp_path):
     assert cf.set_index("stratum")["window_start"]["A"] == W_US
     assert cf.set_index("stratum")["window_start"]["B"] == 2 * W_US
     assert cf.set_index("stratum")["result"]["B"] == 7
+
+
+def test_stratified_timestamped_per_stratum_archive(ray_session, tmp_path):
+    """QueryStratifiedTimestampedFunction.java:45-55,76-93: floor routing
+    and eviction are per stratum — evicting A's oldest window does not
+    affect B's archive; buffered queries flush only against their own
+    stratum's first synopsis and only for matching timestamps."""
+    from condor_ray.evaluate.continuous import (
+        ContinuousQueryTimestampedStratified,
+    )
+
+    paths = []
+    for k, rc in enumerate([{"A": 3}, {"A": 5, "B": 2}, {"A": 6, "B": 7}]):
+        p = str(tmp_path / f"tfrag-{k:05d}.parquet")
+        _strat_fragment(p, ts_lo_s=10 * k, role_counts=rc)
+        paths.append(p)
+
+    cfg = BuildConfiguration(
+        synopsis="CountMinSketch",
+        params=(4096, 3, 7),
+        windows=[TumblingWindow(W_MS)],
+        key=KeySpec("turn_idx", "value"),
+        stratify_by="role",
+        parallelism=2,
+    )
+    job = StreamingSynopsisJob(
+        cfg, str(tmp_path / "out_stratts"),
+        columns=["conv_id", "role", "turn_idx", "ts"],
+    )
+    arrivals = {
+        # cycle 0, pre-synopsis: A-query in window 0 (flushes), A-query in
+        # window 1 (lost), B-query in window 0 (B has no window 0: when B's
+        # FIRST synopsis (window 1) arrives, ts doesn't match -> lost)
+        0: pd.DataFrame(
+            {"query_key": np.zeros(3, dtype=np.int64),
+             "query_ts": [5_000_000, 15_000_000, 5_000_000],
+             "stratum": ["A", "A", "B"],
+             "tag": ["a-w0", "a-w1-lost", "b-w0-lost"]}
+        ),
+        # final cycle: with max_synopsis_count=2, A's archive holds windows
+        # 1,2 (0 evicted) while B's holds 1,2 untouched
+        3: pd.DataFrame(
+            {"query_key": np.zeros(3, dtype=np.int64),
+             "query_ts": [5_000_000, 15_000_000, 15_000_000],
+             "stratum": ["A", "A", "B"],
+             "tag": ["a-evicted", "a-w1", "b-w1"]}
+        ),
+    }
+    ev = ContinuousQueryTimestampedStratified(
+        job, query_count_min, max_synopsis_count=2
+    )
+    res = ev.run(paths, arrivals)
+    job.shutdown()
+
+    tags = set(res["tag"])
+    assert "a-w0" in tags and "a-w1-lost" not in tags and "b-w0-lost" not in tags
+    a0 = res[res["tag"] == "a-w0"]
+    assert int(a0["result"].iloc[0]) == 3 and int(a0["window_start"].iloc[0]) == 0
+    assert "a-evicted" not in tags  # A's window 0 evicted at cap 2
+    a1 = res[res["tag"] == "a-w1"]
+    assert int(a1["result"].iloc[0]) == 5 and int(a1["window_start"].iloc[0]) == W_US
+    b1 = res[res["tag"] == "b-w1"]
+    assert int(b1["result"].iloc[0]) == 2 and int(b1["window_start"].iloc[0]) == W_US
