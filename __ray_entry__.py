@@ -382,6 +382,17 @@ def _q_exact_dedup(sf_dir: str):
     return exact_dedup(with_planted_duplicates(docs))
 
 
+def _q_top_words(sf_dir: str):
+    """Exact corpus-wide top-100 word frequencies over documents (per-batch
+    partial counts -> hash-partitioned sum + per-part top-k -> tiny merge)."""
+    import ray.data as rd
+
+    from condor_ray.pipelines.textstats import top_k_words
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return top_k_words(docs, k=100)
+
+
 def _q_dup_components(sf_dir: str):
     """Dedup clustering: near-dup pair graph -> connected components ->
     per-doc keep decision (condor_ray.pipelines.graph).
@@ -682,6 +693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "dup_components": _q_dup_components,
         "token_stats": _q_token_stats,
+        "top_words": _q_top_words,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "minhash_neardup": _q_minhash_neardup,   # rows-only (LSH)
@@ -874,6 +886,13 @@ SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        CAST(length(text) AS BIGINT) AS n_chars
 FROM documents"""
+    out["top_words"] = """
+SELECT word, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 100"""
     out["ann_topk"] = """
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
 scored AS (

@@ -41,6 +41,69 @@ def token_stats(ds):
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
+def top_k_words(ds, k: int = 100, n_parts: int = 64):
+    """Exact corpus-wide top-k word frequencies (vocabulary / boilerplate
+    analysis).  Returns (word, n) — ties broken (n DESC, word ASC).
+
+    Scale design: per-batch partial counts (one polars tokenize + explode
+    + group_by per batch) collapse each batch to its distinct words before
+    the shuffle; the exchange then carries (word, partial_count) rows
+    hash-partitioned into O(cores) groups where one vectorized group_by
+    sums and takes a per-part top-k; the driver merges n_parts * k
+    candidate rows (tiny).  Per-part top-k is safe because a word lives in
+    exactly one hash partition — no cross-part count splitting."""
+
+    from ..runtime import worker_polars
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        pl = worker_polars()
+
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = (
+            pl.from_arrow(text)
+            .str.extract_all(r"\S+")
+            .explode()
+            .drop_nulls()
+        )
+        counts = words.value_counts(name="n")
+        word = counts.to_series(0)
+        part = (word.hash(seed=3) % n_parts).cast(pl.Int32)
+        return pa.table(
+            {
+                "word": word.to_arrow(),
+                "n": counts["n"].cast(pl.Int64).to_arrow(),
+                "part": part.to_arrow(),
+            }
+        )
+
+    def part_topk(g: pd.DataFrame) -> pd.DataFrame:
+        pl = worker_polars()
+
+        out = (
+            pl.from_pandas(g[["word", "n"]])
+            .group_by("word")
+            .agg(pl.col("n").sum())
+            .sort(["n", "word"], descending=[True, False])
+            .head(k)
+        )
+        return out.to_pandas()
+
+    cand = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_topk, batch_format="pandas")
+        .to_pandas()  # bounded: n_parts * k rows
+    )
+    cand = cand.sort_values(
+        ["n", "word"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    import ray.data as rd
+
+    return rd.from_pandas(cand.reset_index(drop=True))
+
+
 class QualityScorer:
     """Actor-pool stage: length / punctuation / stopword-ratio quality
     features (regex + stopword sets compiled once per actor)."""

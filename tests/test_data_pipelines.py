@@ -279,3 +279,38 @@ class TestIvfTopk:
             b = set(approx[approx["query_id"] == q]["vec_id"])
             recalls.append(len(a & b) / len(a))
         assert float(np.mean(recalls)) >= 0.6  # >= probed fraction (0.5)
+
+
+class TestTopKWords:
+    def test_matches_counter_oracle_with_ties_and_truncation(self, ray_session):
+        import collections
+
+        import ray.data as rd
+
+        from condor_ray.pipelines.textstats import top_k_words
+
+        rng = np.random.default_rng(11)
+        vocab = [f"w{i:03d}" for i in range(200)]
+        texts = [
+            " ".join(rng.choice(vocab, size=rng.integers(3, 40)))
+            for _ in range(500)
+        ]
+        ds = rd.from_pandas(pd.DataFrame({"text": texts})).repartition(8)
+        got = top_k_words(ds, k=50).to_pandas()
+
+        counts = collections.Counter(w for t in texts for w in t.split())
+        expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+        assert list(zip(got["word"], got["n"])) == [
+            (w, n) for w, n in expected
+        ]
+
+    def test_whitespace_and_empty_docs(self, ray_session):
+        import ray.data as rd
+
+        from condor_ray.pipelines.textstats import top_k_words
+
+        ds = rd.from_pandas(
+            pd.DataFrame({"text": ["a  b\ta\na", "", "   ", "b"]})
+        )
+        got = top_k_words(ds, k=10).to_pandas()
+        assert list(zip(got["word"], got["n"])) == [("a", 3), ("b", 2)]
