@@ -393,6 +393,17 @@ def _q_top_words(sf_dir: str):
     return top_k_words(docs, k=100)
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Count-Min-powered approximate top-100 words; with width (65536) >>
+    vocabulary the estimates are exact, so it shares top_words' oracle."""
+    import ray.data as rd
+
+    from condor_ray.pipelines.textstats import heavy_hitters_cm
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return heavy_hitters_cm(docs, k=100)
+
+
 def _q_dup_components(sf_dir: str):
     """Dedup clustering: near-dup pair graph -> connected components ->
     per-doc keep decision (condor_ray.pipelines.graph).
@@ -694,6 +705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_components": _q_dup_components,
         "token_stats": _q_token_stats,
         "top_words": _q_top_words,
+        "heavy_hitters_cm": _q_heavy_hitters,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "minhash_neardup": _q_minhash_neardup,   # rows-only (LSH)
@@ -893,6 +905,8 @@ WHERE word <> ''
 GROUP BY word
 ORDER BY n DESC, word
 LIMIT 100"""
+    # collision-free CM regime (width >> vocabulary) => exact == sketch
+    out["heavy_hitters_cm"] = out["top_words"]
     out["ann_topk"] = """
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
 scored AS (

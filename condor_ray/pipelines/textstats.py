@@ -104,6 +104,115 @@ def top_k_words(ds, k: int = 100, n_parts: int = 64):
     return rd.from_pandas(cand.reset_index(drop=True))
 
 
+def heavy_hitters_cm(
+    ds,
+    k: int = 100,
+    local_m: int = 1024,
+    width: int = 65536,
+    depth: int = 5,
+    seed: int = 7,
+    merge_groups: int = 8,
+):
+    """Approximate top-k word frequencies via a Count-Min sketch — the
+    synopsis-powered sibling of ``top_k_words`` for when the vocabulary is
+    too large for an exact (word, count) shuffle.
+
+    Per batch: one vectorized tokenize + local count, a PARTIAL CM over
+    every occurrence (grouped ingest: hash once per distinct word, scatter
+    with counts), and the batch's local top-``local_m`` words as candidate
+    heavy hitters.  Partials merge in a two-level tree (``merge_groups``
+    Ray groups, then one driver merge of ``merge_groups`` sparse sketches);
+    the candidate union (bounded by batches x local_m) is scored against
+    the merged sketch and the top-k by (estimate DESC, word ASC) returned.
+
+    Guarantee: a true heavy hitter is in some batch's local top-m with
+    overwhelming probability (its mass concentrates), and CM overestimates
+    only — so recall loss comes from candidate pruning, not the sketch.
+    With width >> vocabulary the estimates are exact and the result equals
+    ``top_k_words`` (the driver-gate oracle uses that regime)."""
+    import ray.data as rd
+
+    from ..hashing import java_string_hash_array
+    from ..runtime import worker_polars
+    from ..synopses import CountMinSketch
+    from ..synopses.base import Synopsis
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pl = worker_polars()
+
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = (
+            pl.from_arrow(text).str.extract_all(r"\S+").explode().drop_nulls()
+        )
+        counts = words.value_counts(name="n")
+        word = counts.to_series(0)
+        n = counts["n"].to_numpy().astype(np.int64)
+        wl = word.to_list()
+        cm = CountMinSketch(width, depth, seed)
+        keys = java_string_hash_array(wl)
+        cm.update_batch(np.repeat(keys, n))
+        top = np.argsort(-n, kind="stable")[:local_m]
+        # merge-group assignment only spreads the reduce; CM merge is
+        # commutative so any deterministic spread works
+        g = int(word.hash(seed=5).sum() % merge_groups) if len(wl) else 0
+        return pa.table(
+            {
+                "g": pa.array([g], type=pa.int32()),
+                "payload": pa.array([cm.to_bytes()]),
+                "candidates": pa.array(
+                    [[wl[i] for i in top]], type=pa.list_(pa.string())
+                ),
+            }
+        )
+
+    def merge_group(df: pd.DataFrame) -> pd.DataFrame:
+        merged = None
+        cands: set[str] = set()
+        for payload, cand in zip(df["payload"], df["candidates"]):
+            cm = Synopsis.from_bytes(payload)
+            merged = cm if merged is None else merged.merge(cm)
+            cands.update(cand)
+        return pd.DataFrame(
+            {
+                "payload": [merged.to_bytes()],
+                "candidates": [sorted(cands)],
+            }
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .groupby("g")
+        .map_groups(merge_group, batch_format="pandas")
+        .to_pandas()  # bounded: merge_groups rows
+    )
+    merged = None
+    cands: set[str] = set()
+    for payload, cand in zip(parts["payload"], parts["candidates"]):
+        cm = Synopsis.from_bytes(payload)
+        merged = cm if merged is None else merged.merge(cm)
+        cands.update(cand)
+    if merged is None or not cands:
+        return rd.from_pandas(
+            pd.DataFrame(
+                {"word": pd.Series(dtype=object), "n": pd.Series(dtype=np.int64)}
+            )
+        )
+    cand_list = sorted(cands)
+    keys = java_string_hash_array(cand_list)
+    est = np.array([merged.query(int(h)) for h in keys], dtype=np.int64)
+    order = np.lexsort((np.array(cand_list, dtype=object), -est))[:k]
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                "word": np.array(cand_list, dtype=object)[order],
+                "n": est[order],
+            }
+        )
+    )
+
+
 class QualityScorer:
     """Actor-pool stage: length / punctuation / stopword-ratio quality
     features (regex + stopword sets compiled once per actor)."""

@@ -314,3 +314,45 @@ class TestTopKWords:
         )
         got = top_k_words(ds, k=10).to_pandas()
         assert list(zip(got["word"], got["n"])) == [("a", 3), ("b", 2)]
+
+
+class TestHeavyHittersCM:
+    def test_collision_free_regime_equals_exact(self, ray_session):
+        import ray.data as rd
+
+        from condor_ray.pipelines.textstats import heavy_hitters_cm, top_k_words
+
+        rng = np.random.default_rng(23)
+        # zipf-ish frequencies: a few heavy words + a long tail
+        vocab = [f"v{i:03d}" for i in range(300)]
+        weights = 1.0 / np.arange(1, len(vocab) + 1)
+        weights /= weights.sum()
+        texts = [
+            " ".join(rng.choice(vocab, size=rng.integers(5, 60), p=weights))
+            for _ in range(400)
+        ]
+        ds = rd.from_pandas(pd.DataFrame({"text": texts})).repartition(8)
+        exact = top_k_words(ds, k=40).to_pandas()
+        approx = heavy_hitters_cm(ds, k=40).to_pandas()
+        assert list(zip(exact["word"], exact["n"])) == list(
+            zip(approx["word"], approx["n"])
+        )
+
+    def test_cm_estimates_never_underestimate(self, ray_session):
+        import collections
+
+        import ray.data as rd
+
+        from condor_ray.pipelines.textstats import heavy_hitters_cm
+
+        rng = np.random.default_rng(5)
+        vocab = [f"u{i:04d}" for i in range(2000)]
+        texts = [
+            " ".join(rng.choice(vocab, size=30)) for _ in range(300)
+        ]
+        ds = rd.from_pandas(pd.DataFrame({"text": texts})).repartition(4)
+        # tiny sketch: collisions guaranteed; CM only ever OVER-estimates
+        got = heavy_hitters_cm(ds, k=50, width=64, depth=3).to_pandas()
+        counts = collections.Counter(w for t in texts for w in t.split())
+        for w, n in zip(got["word"], got["n"]):
+            assert n >= counts[w]
