@@ -15,9 +15,16 @@ one machine, so components run as distributed min-label propagation:
   list (messages ``dst <- label(src)``) + a partitioned min-reduce —
   NEVER one Ray group per vertex (the per-group-dispatch rule);
 - rounds repeat until no label changes (checked with a scalar ``sum``
-  aggregate, not a driver materialization); convergence needs at most the
-  graph diameter in rounds — near-dup clusters are shallow (dup families
-  form stars / short chains) — capped by ``max_iters``.
+  aggregate, not a driver materialization); pointer jumping (label-of-
+  label messages) keeps the round count logarithmic in component
+  diameter, capped by ``max_iters``.
+
+Known trade-off: the static edge list re-enters the groupby exchange
+every round (Ray Data's only key-colocation primitive is the sort-based
+groupby).  Measured: 5M edges / giant component = 24 rounds, 226 s at 32
+CPUs.  The upgrade path for trillion-edge pair graphs is edge-resident
+state actors (edges partitioned once, only label deltas move per round)
+— the same actor pattern the streaming engine uses for synopsis state.
 
 The reference has no graph surface (its operator algebra is the synopsis
 set, SURVEY §2.8); this operator belongs to the training-data additions.
