@@ -400,18 +400,21 @@ def scaling_job(name: str, ncpu: int) -> dict:
         ids = base["vec_id"].to_numpy()
         vecs = base["embedding"].combine_chunks().flatten().to_numpy().reshape(len(ids), -1)
         n, d = vecs.shape
-        # deterministic 1000x inflation: per-rep seeded axis permutation +
-        # sign flips keep vectors unit-comparable but distinct
+        # deterministic inflation to ~2M vectors: per-rep seeded axis
+        # permutation + sign flips keep vectors unit-comparable but
+        # distinct; id_step keeps rep ids collision-free for any base size
+        # and reps >= 1 covers tables already larger than the target
         rng = np.random.default_rng(123)
         tables = []
-        for r in range(2_000_000 // n):
+        id_step = int(ids.max()) + 1
+        for r in range(max(1, 2_000_000 // n)):
             perm = rng.permutation(d)
             signs = rng.choice([-1.0, 1.0], size=d)
             v = (vecs[:, perm] * signs).astype(np.float32)
             tables.append(
                 pa.table(
                     {
-                        "vec_id": pa.array(ids + r * 1_000_000),
+                        "vec_id": pa.array(ids + r * id_step),
                         "embedding": pa.FixedSizeListArray.from_arrays(
                             pa.array(v.ravel(), type=pa.float32()), d
                         ).cast(pa.list_(pa.float32())),

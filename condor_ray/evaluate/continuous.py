@@ -33,6 +33,21 @@ import pyarrow.parquet as pq
 from ..synopses.base import Synopsis
 
 
+def _new_emit_tables(out_dir: str, seen: set, columns: list[str]):
+    """Read this cycle's not-yet-seen emit files (shared by every
+    continuous evaluator); marks them seen and returns pyarrow tables."""
+    new = sorted(
+        f
+        for f in os.listdir(out_dir)
+        if f.startswith("emit-") and f.endswith(".parquet") and f not in seen
+    )
+    out = []
+    for f in new:
+        seen.add(f)
+        out.append(pq.read_table(os.path.join(out_dir, f), columns=columns))
+    return out
+
+
 class ContinuousQueryLatestStratified:
     """Standing stratified queryLatest over a stratified streaming job.
 
@@ -65,20 +80,11 @@ class ContinuousQueryLatestStratified:
         self.results.append(out)
 
     def _refresh_latest(self, cycle: int) -> None:
-        out_dir = self.job.out_dir
-        new = sorted(
-            f
-            for f in os.listdir(out_dir)
-            if f.startswith("emit-") and f.endswith(".parquet")
-            and f not in self._seen_emits
-        )
         rows: list[tuple[int, str, int, bytes]] = []
-        for f in new:
-            self._seen_emits.add(f)
-            t = pq.read_table(
-                os.path.join(out_dir, f),
-                columns=["stratum", "window_start", "window_end", "payload"],
-            )
+        for t in _new_emit_tables(
+            self.job.out_dir, self._seen_emits,
+            ["stratum", "window_start", "window_end", "payload"],
+        ):
             for i in range(t.num_rows):
                 rows.append(
                     (
@@ -189,20 +195,11 @@ class ContinuousQueryTimestamped:
             self.buffered = []  # unmatched buffered queries are lost (:64-66)
 
     def _refresh_archive(self, cycle: int) -> None:
-        out_dir = self.job.out_dir
-        new = sorted(
-            f
-            for f in os.listdir(out_dir)
-            if f.startswith("emit-") and f.endswith(".parquet")
-            and f not in self._seen_emits
-        )
         rows: list[tuple[int, int, bytes]] = []
-        for f in new:
-            self._seen_emits.add(f)
-            t = pq.read_table(
-                os.path.join(out_dir, f),
-                columns=["window_start", "window_end", "payload"],
-            )
+        for t in _new_emit_tables(
+            self.job.out_dir, self._seen_emits,
+            ["window_start", "window_end", "payload"],
+        ):
             for i in range(t.num_rows):
                 rows.append(
                     (
@@ -238,8 +235,8 @@ class ContinuousQueryTimestamped:
             m = widx == w
             res[m] = self.query_fn(synopsis, hit["query_key"].to_numpy()[m])
         out["result"] = res
-        out["window_start"] = np.asarray(self.starts, dtype=np.int64)[widx]
-        out["window_end"] = np.asarray(self.ends, dtype=np.int64)[widx]
+        out["window_start"] = starts[widx]
+        out["window_end"] = ends[widx]
         out.insert(0, "cycle", cycle)
         self.results.append(out)
 
@@ -325,20 +322,11 @@ class ContinuousQueryTimestampedStratified:
                     self.results.append(out)
 
     def _refresh_archive(self, cycle: int) -> None:
-        out_dir = self.job.out_dir
-        new = sorted(
-            f
-            for f in os.listdir(out_dir)
-            if f.startswith("emit-") and f.endswith(".parquet")
-            and f not in self._seen_emits
-        )
         rows: list[tuple[int, str, int, bytes]] = []
-        for f in new:
-            self._seen_emits.add(f)
-            t = pq.read_table(
-                os.path.join(out_dir, f),
-                columns=["stratum", "window_start", "window_end", "payload"],
-            )
+        for t in _new_emit_tables(
+            self.job.out_dir, self._seen_emits,
+            ["stratum", "window_start", "window_end", "payload"],
+        ):
             for i in range(t.num_rows):
                 rows.append(
                     (
@@ -428,19 +416,10 @@ class ContinuousQueryLatest:
         self._seen_emits: set[str] = set()
 
     def _refresh_latest(self) -> None:
-        out_dir = self.job.out_dir
-        new = sorted(
-            f
-            for f in os.listdir(out_dir)
-            if f.startswith("emit-") and f.endswith(".parquet")
-            and f not in self._seen_emits
-        )
-        for f in new:
-            self._seen_emits.add(f)
-            t = pq.read_table(
-                os.path.join(out_dir, f),
-                columns=["window_start", "window_end", "payload"],
-            )
+        for t in _new_emit_tables(
+            self.job.out_dir, self._seen_emits,
+            ["window_start", "window_end", "payload"],
+        ):
             if t.num_rows == 0:
                 continue
             starts = t["window_start"].to_numpy()

@@ -600,7 +600,10 @@ def streaming_query_latest_cm(sf_dir: str, window: TumblingWindow):
     ev = ContinuousQueryLatest(job, query_count_min)
     res = ev.run(tool_frags, lambda k: standing)
     job.shutdown()
-    final = res[res["cycle"] == res["cycle"].max()]
+    # when the first synopsis only appears at the end-of-stream flush, the
+    # final cycle carries buffered-query flushes PLUS the final arrival —
+    # identical answers (first == latest), so dedup to one row per query
+    final = res[res["cycle"] == res["cycle"].max()].drop_duplicates()
     return pd.DataFrame(
         {
             "tool": final["tool"].to_numpy(object),
@@ -713,7 +716,10 @@ def streaming_query_latest_stratified(sf_dir: str, window: TumblingWindow):
     ev = ContinuousQueryLatestStratified(job, query_count_min)
     res = ev.run(frags, lambda k: standing)
     job.shutdown()
-    final = res[res["cycle"] == res["cycle"].max()]
+    # a stratum whose first synopsis arrives only at the final flush gets
+    # its buffered frames AND the final arrival in the same cycle — the
+    # answers are identical (first == latest for that stratum), dedup
+    final = res[res["cycle"] == res["cycle"].max()].drop_duplicates()
     return pd.DataFrame(
         {
             "stratum": final["stratum"].to_numpy(object),

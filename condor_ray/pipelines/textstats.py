@@ -41,6 +41,12 @@ def token_stats(ds):
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
+# ASCII-whitespace word boundary, matching the SQL oracle exactly: DuckDB's
+# RE2 \s is [\t\n\f\r ] while Rust-regex \S excludes ALL Unicode whitespace
+# (U+00A0 etc.), which would silently diverge on non-ASCII corpora
+_WORD_RE = r"[^\t\n\f\r ]+"
+
+
 def top_k_words(ds, k: int = 100, n_parts: int = 64):
     """Exact corpus-wide top-k word frequencies (vocabulary / boilerplate
     analysis).  Returns (word, n) — ties broken (n DESC, word ASC).
@@ -63,7 +69,7 @@ def top_k_words(ds, k: int = 100, n_parts: int = 64):
             text = text.combine_chunks()
         words = (
             pl.from_arrow(text)
-            .str.extract_all(r"\S+")
+            .str.extract_all(_WORD_RE)
             .explode()
             .drop_nulls()
         )
@@ -144,7 +150,7 @@ def heavy_hitters_cm(
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
         words = (
-            pl.from_arrow(text).str.extract_all(r"\S+").explode().drop_nulls()
+            pl.from_arrow(text).str.extract_all(_WORD_RE).explode().drop_nulls()
         )
         counts = words.value_counts(name="n")
         word = counts.to_series(0)
@@ -152,7 +158,7 @@ def heavy_hitters_cm(
         wl = word.to_list()
         cm = CountMinSketch(width, depth, seed)
         keys = java_string_hash_array(wl)
-        cm.update_batch(np.repeat(keys, n))
+        cm.update_weighted(keys, n)
         top = np.argsort(-n, kind="stable")[:local_m]
         # merge-group assignment only spreads the reduce; CM merge is
         # commutative so any deterministic spread works

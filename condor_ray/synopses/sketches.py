@@ -117,6 +117,27 @@ class CountMinSketch(Synopsis):
         self._apply(values, 1)
         self.elements_processed += len(values)
 
+    def update_weighted(self, values: np.ndarray, counts: np.ndarray) -> None:
+        """Grouped ingest: ``update_batch(np.repeat(values, counts))`` at
+        O(distinct keys) hashing cost — one H3 hash per distinct key, then
+        a weighted scatter (same per-element semantics as
+        CountMinSketch.java:57-71)."""
+        if len(values) == 0:
+            return
+        flat = self._flat_indices(values)
+        w = np.repeat(counts.astype(np.int64), self.height)
+        with np.errstate(over="ignore"):
+            if self._dense is not None:
+                d = self._dense.ravel()
+                d += np.bincount(
+                    flat, weights=w, minlength=self.height * self.width
+                ).astype(np.int32)
+            else:
+                uniq, inverse = np.unique(flat, return_inverse=True)
+                sums = np.bincount(inverse, weights=w).astype(np.int64)
+                self._sparse_accumulate(uniq, sums)
+        self.elements_processed += int(counts.sum())
+
     def decrement_batch(self, values: np.ndarray) -> None:
         self._apply(values, -1)
         self.elements_processed -= len(values)
