@@ -779,3 +779,26 @@ class TestGroupedIngestFastPath:
         assert ReservoirSampler(10, 7).precompute_batch(
             np.arange(5, dtype=np.int32)
         ) is None
+
+
+class TestCountMinWeighted:
+    def test_update_weighted_equals_repeated_updates(self):
+        rng = np.random.default_rng(3)
+        keys = rng.integers(-(2**31), 2**31 - 1, 200).astype(np.int32)
+        counts = rng.integers(1, 50, 200).astype(np.int64)
+        from condor_ray.synopses import CountMinSketch
+
+        # sparse regime
+        a = CountMinSketch(65536, 5, 7)
+        a.update_weighted(keys, counts)
+        b = CountMinSketch(65536, 5, 7)
+        b.update_batch(np.repeat(keys, counts))
+        assert a.elements_processed == b.elements_processed
+        assert np.array_equal(a.array, b.array)
+        # dense regime (tiny width forces densify + collisions)
+        c = CountMinSketch(64, 3, 7)
+        c.update_batch(np.repeat(keys, counts))  # densifies
+        c2 = CountMinSketch(64, 3, 7)
+        _ = c2.array  # force dense representation up front
+        c2.update_weighted(keys, counts)
+        assert np.array_equal(c.array, c2.array)
