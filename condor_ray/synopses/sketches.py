@@ -78,6 +78,8 @@ class CountMinSketch(Synopsis):
         """Merge (idx, val) pairs into the sparse store; densify when full."""
         cat_idx = np.concatenate([self._sp_idx, idx])
         cat_val = np.concatenate([self._sp_val, val.astype(np.int32)])
+        if len(cat_idx) == 0:  # both sides empty (e.g. zero-row partials)
+            return
         order = np.argsort(cat_idx, kind="stable")
         ci, cv = cat_idx[order], cat_val[order]
         bounds = np.concatenate([[True], ci[1:] != ci[:-1]])
