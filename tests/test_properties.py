@@ -140,3 +140,55 @@ def test_bloom_and_merge_is_intersection_any_tree(keys, k, seeds):
         parts_b.append(s)
     merged_b = _tree_merge(parts_b, np.random.default_rng(seed_b))
     assert np.array_equal(merged_b.bits, expected)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_KEYS, _KEYS, _SEED)
+def test_invertible_merge_then_invert_recovers(keys_a, keys_b, seed):
+    """Invertible contract the sliding-window slide-out eviction relies on
+    (InvertibleSynopsisFunction.java:63-71): merge(A, B).invert(B) == A."""
+    from condor_ray.synopses import CountMinSketch, FastAGMS
+
+    a_vals = np.asarray(keys_a, dtype=np.int32)
+    b_vals = np.asarray(keys_b, dtype=np.int32)
+    for make in (lambda: CountMinSketch(256, 3, 7), lambda: FastAGMS(64, 5, 7)):
+        a = make()
+        a.update_batch(a_vals)
+        expected = a.array.copy()
+        b = make()
+        b.update_batch(b_vals)
+        a.merge(b)
+        b2 = make()
+        b2.update_batch(b_vals)
+        a.invert(b2)
+        assert np.array_equal(a.array, expected)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.floats(0.5, 1000.0, allow_nan=False), min_size=1, max_size=200
+    ),
+    _SPLITS,
+    _SEED,
+)
+def test_ddsketch_merge_tree_order_free_without_collapse(vals, k, seed):
+    """Below the bin cap, DDSketch bin counts add — a random merge tree
+    equals the sequential build (DDSketch.java:324-346)."""
+    from condor_ray.synopses import DDSketch
+
+    values = np.asarray(vals, dtype=np.float64)
+
+    def state(s):
+        return (s.global_count, sorted(s.counts.items()))
+
+    rng = np.random.default_rng(seed)
+    partials = []
+    for chunk in _split(values, k, rng):
+        s = DDSketch(0.01, 4096)
+        s.update_batch(chunk)
+        partials.append(s)
+    merged = _tree_merge(partials, rng)
+    sequential = DDSketch(0.01, 4096)
+    sequential.update_batch(values)
+    assert state(merged) == state(sequential)
