@@ -200,3 +200,55 @@ class TestExactlyOnceResume:
         assert wm == sorted(wm)  # watermark monotone
         summary = [l for l in lines if l.get("summary")]
         assert summary and summary[-1]["windows_emitted"] > 0
+
+
+class TestFragmentationInvariance:
+    """With ts-ordered input (no late data), the emitted synopsis stream
+    must not depend on micro-batch boundaries: watermarks advance at
+    different points but every window still closes over the same rows.
+    (With late data the reference's max-ts watermark makes drops depend on
+    batching granularity — covered by the late-drop oracle test above.)"""
+
+    def _emitted_state(self, frag_paths, tmp_path, tag):
+        cfg = BuildConfiguration(
+            synopsis="CountMinSketch",
+            params=(512, 3, 7),
+            windows=[TumblingWindow(W_MS)],
+            key=KeySpec("conv_id", "java_hash"),
+            parallelism=2,
+        )
+        job = StreamingSynopsisJob(cfg, str(tmp_path / tag))
+        job.run(frag_paths)
+        out = job.result_dataset().to_pandas()
+        job.shutdown()
+        return {
+            int(r["window_start"]): Synopsis.from_bytes(r["payload"]).array.tobytes()
+            for _, r in out.iterrows()
+        }
+
+    def test_emissions_identical_across_fragmentations(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rng = np.random.default_rng(9)
+        n = 4000
+        convs = [f"c{i}" for i in rng.integers(0, 150, n)]
+        ts = np.sort(rng.integers(0, 90_000, n)).astype("datetime64[ms]").astype("datetime64[us]")
+        table = pa.table({"conv_id": pa.array(convs), "ts": pa.array(ts)})
+
+        states = []
+        for tag, n_frag in (("one", 1), ("seven", 7), ("thirteen", 13)):
+            cuts = np.sort(rng.choice(np.arange(1, n), n_frag - 1, replace=False)) if n_frag > 1 else np.array([], dtype=int)
+            bounds = np.concatenate([[0], cuts, [n]])
+            d = tmp_path / f"frags_{tag}"
+            d.mkdir()
+            paths = []
+            for i in range(len(bounds) - 1):
+                p = str(d / f"frag-{i:05d}.parquet")
+                pq.write_table(table.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i])), p)
+                paths.append(p)
+            states.append(self._emitted_state(paths, tmp_path, f"out_{tag}"))
+
+        assert states[0].keys() == states[1].keys() == states[2].keys()
+        for w in states[0]:
+            assert states[0][w] == states[1][w] == states[2][w], w
