@@ -568,8 +568,11 @@ def _q_embedding_neardup(sf_dir: str):
     from condor_ray.pipelines.similarity import embedding_neardup_pairs
 
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    # collision-free at any scale factor (a fixed +1e6 would collide with
+    # real vec_ids once the table reaches 1M rows)
+    id_step = int(emb["vec_id"].max()) + 1
     dup = emb[emb["vec_id"] % 100 == 0].copy()
-    dup["vec_id"] = dup["vec_id"] + 1_000_000
+    dup["vec_id"] = dup["vec_id"] + id_step
     ds = rd.from_pandas(pd.concat([emb, dup], ignore_index=True))
     pairs = embedding_neardup_pairs(ds, threshold=0.999)
     planted = np.sort(emb[emb["vec_id"] % 100 == 0]["vec_id"].to_numpy())
@@ -579,7 +582,7 @@ def _q_embedding_neardup(sf_dir: str):
 
         a = batch["vec_a"].to_numpy()
         found = np.isin(a, planted) & (
-            batch["vec_b"].to_numpy() == a + 1_000_000
+            batch["vec_b"].to_numpy() == a + id_step
         )
         return batch.append_column("is_planted", pa.array(found))
 

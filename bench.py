@@ -252,17 +252,18 @@ def run_bench() -> dict:
     base = pl.from_arrow(docs)
     reps = []
     n_reps = 40
+    doc_step = int(base["doc_id"].max()) + 1  # rep ids collision-free at any sf
     for r in range(n_reps):
         if r == 0:
             reps.append(base)
             continue
         mutated = base.with_columns(
-            (pl.col("doc_id") + r * 1_000_000).alias("doc_id"),
+            (pl.col("doc_id") + r * doc_step).alias("doc_id"),
             pl.col("text").str.replace_all(r"(\S+)", "${1}_" + str(r)).alias("text"),
         )
         if r == 1:
             near = base.filter(pl.col("doc_id") % 50 == 0).with_columns(
-                (pl.col("doc_id") + 1_000_000).alias("doc_id"),
+                (pl.col("doc_id") + doc_step).alias("doc_id"),
                 (pl.col("text") + " planted tail").alias("text"),
             )
             mutated = pl.concat(

@@ -10,7 +10,7 @@ import pyarrow as pa
 from ..config import BuildConfiguration, KeySpec
 from ..engine.batch import build_windowed_synopses
 from ..hashing import java_string_hash_array
-from ..runtime import worker_polars
+from ..runtime import default_n_parts, worker_polars
 from ..stages.extract import ts_to_us
 from ..synopses.base import Synopsis
 from ..windows import TumblingWindow
@@ -47,7 +47,7 @@ def windowed_distinct_convs(ds, window: TumblingWindow):
     # (window, conv) pair (~50 us/group dispatch, fatal at windows x convs)
     from ray.data.aggregate import Sum
 
-    n_parts = 64
+    n_parts = default_n_parts()
 
     def add_part(batch: pa.Table) -> pa.Table:
         pl = worker_polars()

@@ -23,7 +23,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..runtime import worker_polars
+from ..runtime import default_n_parts, worker_polars
 
 
 def with_planted_duplicates(ds, every: int = 7, offset: int = 10_000):
@@ -44,7 +44,7 @@ def with_planted_duplicates(ds, every: int = 7, offset: int = 10_000):
     return ds.map_batches(dup, batch_format="pyarrow")
 
 
-def exact_dedup(ds, n_parts: int = 64):
+def exact_dedup(ds, n_parts: int | None = None):
     """Keep the smallest doc_id per distinct text.  Returns doc_id, n_copies.
 
     Content hashing is vectorized (polars xxhash64 with two independent seeds
@@ -53,6 +53,7 @@ def exact_dedup(ds, n_parts: int = 64):
     BOUNDED number of groups and runs one vectorized polars group_by per
     partition — Ray's native sort-based aggregate costs ~50 us per distinct
     group, which dominates once distinct texts reach the millions."""
+    n_parts = n_parts or default_n_parts()
 
     def hash_stage(batch: pa.Table) -> pa.Table:
         pl = worker_polars()
@@ -139,7 +140,7 @@ def _pairs_within_groups(
     return a_idx, b_idx
 
 
-def _dedup_pairs(pairs_ds, n_parts: int = 64, min_col: str | None = None):
+def _dedup_pairs(pairs_ds, n_parts: int | None = None, min_col: str | None = None):
     """Distinct (doc_a, doc_b) rows (optionally keeping min of ``min_col``)
     without a per-group Ray aggregate.
 
@@ -147,6 +148,7 @@ def _dedup_pairs(pairs_ds, n_parts: int = 64, min_col: str | None = None):
     sort-based path — fatal when candidate pairs number in the millions.
     Instead: hash-partition pairs into a bounded number of groups and run
     one vectorized polars dedup per partition."""
+    n_parts = n_parts or default_n_parts()
 
     def add_part(batch: pa.Table) -> pa.Table:
         a = batch["doc_a"].to_numpy().astype(np.uint64)
@@ -420,7 +422,7 @@ def minhash_lsh_pairs(
     # already a mixed 64-bit hash that folds the band id in) and emit all
     # within-bucket pairs vectorized — one map_groups call per partition,
     # never one per LSH bucket
-    n_parts = 64
+    n_parts = default_n_parts()
 
     def add_part(batch: pa.Table) -> pa.Table:
         part = (batch["bucket"].to_numpy() % n_parts).astype(np.int32)
@@ -580,7 +582,7 @@ def simhash_pairs(
 
     banded = fps.map_batches(explode, batch_format="pyarrow")
 
-    n_parts = 64
+    n_parts = default_n_parts()
     pair_stage = _bucket_pair_stage(("band", "bucket"), bucket_cap,
                                     carry=("simhash",))
 

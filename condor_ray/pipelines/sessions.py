@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from ..runtime import worker_polars
+from ..runtime import default_n_parts, worker_polars
 from ..windows import sessionize
 
 
@@ -46,7 +46,7 @@ def _conv_partition(n_parts: int):
     return add_part
 
 
-def session_stats(ds, gap_ms: int, n_parts: int = 64):
+def session_stats(ds, gap_ms: int, n_parts: int | None = None):
     """Per-conversation sessions: conv_id, session_idx, session_start,
     session_end (int64 us), n_turns.
 
@@ -54,6 +54,7 @@ def session_stats(ds, gap_ms: int, n_parts: int = 64):
     partition the whole gaps-and-islands computation is vectorized (sort by
     (conv, ts, turn), boundary = new conv or gap >= threshold, reduceat
     per-session aggregation) — no per-conversation Python."""
+    n_parts = n_parts or default_n_parts()
     gap_us = gap_ms * 1000
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
@@ -201,7 +202,7 @@ def count_window_distinct(sf_dir: str, size: int):
             }
         )
 
-    n_parts = 64
+    n_parts = default_n_parts()
 
     def add_part(batch):
         import pyarrow as pa

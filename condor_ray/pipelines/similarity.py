@@ -16,6 +16,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..runtime import default_n_parts
+
 
 def _vec_matrix(batch: pa.Table) -> np.ndarray:
     col = batch["embedding"]
@@ -45,7 +47,7 @@ def brute_force_topk(ds, query_vecs: np.ndarray, query_ids: np.ndarray, k: int =
     qn = _normalize(np.asarray(query_vecs, dtype=np.float64))
     q_ref = ray.put(qn)
     qids = np.asarray(query_ids, dtype=np.int64)
-    n_parts = 64
+    n_parts = default_n_parts()
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         q = ray.get(q_ref)
@@ -298,7 +300,7 @@ def embedding_neardup_pairs(
         concurrency=concurrency,
     )
 
-    n_parts = 64
+    n_parts = default_n_parts()
 
     def add_part(batch: pa.Table) -> pa.Table:
         bucket = batch["bucket"].to_numpy().astype(np.uint64)

@@ -560,7 +560,12 @@ def _tool_stream_fragments(sf_dir: str) -> list[str]:
         for f in frags:
             t = pq.read_table(f, columns=["conv_id", "tool", "ts"])
             t = t.filter(pc.is_valid(t["tool"]))
-            pq.write_table(t, os.path.join(cache, os.path.basename(f)))
+            # tmp + rename: two concurrent gate runs may both miss _DONE;
+            # atomic replace keeps a reader from seeing a half-written file
+            dst = os.path.join(cache, os.path.basename(f))
+            tmp = f"{dst}.tmp-{os.getpid()}"
+            pq.write_table(t, tmp)
+            os.replace(tmp, dst)
         open(done, "w").write("ok")
     return sorted(
         os.path.join(cache, f) for f in os.listdir(cache) if f.endswith(".parquet")

@@ -47,7 +47,7 @@ def token_stats(ds):
 _WORD_RE = r"[^\t\n\f\r ]+"
 
 
-def top_k_words(ds, k: int = 100, n_parts: int = 64):
+def top_k_words(ds, k: int = 100, n_parts: int | None = None):
     """Exact corpus-wide top-k word frequencies (vocabulary / boilerplate
     analysis).  Returns (word, n) — ties broken (n DESC, word ASC).
 
@@ -59,7 +59,9 @@ def top_k_words(ds, k: int = 100, n_parts: int = 64):
     candidate rows (tiny).  Per-part top-k is safe because a word lives in
     exactly one hash partition — no cross-part count splitting."""
 
-    from ..runtime import worker_polars
+    from ..runtime import default_n_parts, worker_polars
+
+    n_parts = n_parts or default_n_parts()
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         pl = worker_polars()

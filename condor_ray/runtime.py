@@ -16,6 +16,22 @@ import os
 import sys
 
 
+def default_n_parts(minimum: int = 64) -> int:
+    """Hash-partition count for bounded-group conquer stages (the
+    per-group-dispatch rule): ~2 groups per cluster core so the conquer
+    step keeps scaling past ``minimum`` cores, and each group's in-memory
+    frame shrinks as the cluster grows instead of staying 1/64 of the
+    shuffle."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return max(minimum, 2 * int(ray.cluster_resources().get("CPU", 0)))
+    except Exception:
+        pass
+    return minimum
+
+
 def worker_polars():
     """Import polars with its thread pool capped to this worker's CPU share.
 

@@ -79,8 +79,11 @@ def _events_part_to_transcripts(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def transcripts_from_events(sf_dir: str, n_parts: int = 64):
+def transcripts_from_events(sf_dir: str, n_parts: int | None = None):
     """Ray Dataset of transcripts derived from ``{sf_dir}/events.parquet``."""
+    from ..runtime import default_n_parts
+
+    n_parts = n_parts or default_n_parts()
     import pyarrow as pa
     import ray.data as rd
 

@@ -99,20 +99,33 @@ def generate_stream_fixture(
         + rng.integers(0, turn_gap_ms * 1000, total)
     )
 
-    tool_idx = rng.integers(0, len(_TOOLS), total).astype(np.int8)
+    # thin fixtures build only the requested columns END TO END — at 600M
+    # rows each skipped int32 index array (and its order-permuted copy) is
+    # ~2.4 GB of allocation + RNG work.  Gating is safe for determinism:
+    # conv/turn/ts draws all happen above, so the kept columns are
+    # byte-identical whether or not tool/text are generated.
+    def _need(name: str) -> bool:
+        return columns is None or name in columns
+
+    if _need("tool"):
+        tool_idx = rng.integers(0, len(_TOOLS), total).astype(np.int8)
     is_tool = (turn_idx % 3) == 2  # _ROLES[2] == "tool"
 
-    # token-soup text drawn from a pool of 8192 pre-joined sentences
-    # (per-row join of word lists is O(rows * words) Python work — a pooled
-    # draw keeps generation fast at millions of rows while staying
-    # deterministic; lengths still span ~15-350 chars)
-    pool_words = rng.integers(3, 40, 8192)
-    pool_flat = vocab[rng.integers(0, _VOCAB_SIZE, int(pool_words.sum()))]
-    pool_off = np.concatenate([[0], np.cumsum(pool_words)])
-    pool = pa.array(
-        [" ".join(pool_flat[pool_off[i] : pool_off[i + 1]]) for i in range(8192)]
-    )
-    text_idx = rng.integers(0, 8192, total).astype(np.int32)
+    if _need("text"):
+        # token-soup text drawn from a pool of 8192 pre-joined sentences
+        # (per-row join of word lists is O(rows * words) Python work — a
+        # pooled draw keeps generation fast at millions of rows while
+        # staying deterministic; lengths still span ~15-350 chars)
+        pool_words = rng.integers(3, 40, 8192)
+        pool_flat = vocab[rng.integers(0, _VOCAB_SIZE, int(pool_words.sum()))]
+        pool_off = np.concatenate([[0], np.cumsum(pool_words)])
+        pool = pa.array(
+            [
+                " ".join(pool_flat[pool_off[i] : pool_off[i + 1]])
+                for i in range(8192)
+            ]
+        )
+        text_idx = rng.integers(0, 8192, total).astype(np.int32)
 
     # arrival order = nominal event order; every 10th arrival is 20 s late
     order = np.argsort(nominal_ts, kind="stable")
@@ -125,15 +138,22 @@ def generate_stream_fixture(
     conv_dict = pa.array(conv_ids_u.tolist())
     role_dict = pa.array(_ROLES)
     tool_dict = pa.array(_TOOLS)
-    conv_idx_sorted = conv_col[order].astype(np.int32)
-    turn_sorted = turn_idx[order]
-    role_idx_sorted = (turn_sorted % 3).astype(np.int8)
-    tool_idx_sorted = np.where(is_tool[order], tool_idx[order], -1).astype(np.int8)
-    text_idx_sorted = text_idx[order]
+    if _need("conv_id"):
+        conv_idx_sorted = conv_col[order].astype(np.int32)
+    if _need("turn_idx") or _need("role"):
+        turn_sorted = turn_idx[order]
+    if _need("role"):
+        role_idx_sorted = (turn_sorted % 3).astype(np.int8)
+    if _need("tool"):
+        tool_idx_sorted = np.where(
+            is_tool[order], tool_idx[order], -1
+        ).astype(np.int8)
+    if _need("text"):
+        text_idx_sorted = text_idx[order]
 
     def _fragment_table(lo: int, hi: int) -> pa.Table:
         sl = slice(lo, hi)
-        tool_i = tool_idx_sorted[sl]
+        tool_i = tool_idx_sorted[sl] if _need("tool") else None
         # per-column thunks: thin fixtures build ONLY the requested columns
         # (the dictionary->string casts dominate fragment-write time)
         makers = {
