@@ -641,6 +641,41 @@ def _q_doc_fingerprints(sf_dir: str):
     )
 
 
+PATTERN_WITHIN_MS = 24 * 3600 * 1000  # 24 h span bound rejects ~1/3 of raw hits
+
+
+def _pattern_steps():
+    from condor_ray.pipelines.cep import Step
+
+    return [
+        Step("role", "eq", "user"),
+        Step("tool", "notnull"),
+        Step("role", "eq", "assistant"),
+    ]
+
+
+def _q_pattern_matches(sf_dir: str):
+    """CEP: strict-contiguity 3-step pattern (user turn -> tool call ->
+    assistant turn on consecutive turns of one conversation, first-to-last
+    span <= 24 h) — the lead()-window SQL twin checks it exactly."""
+    from condor_ray.pipelines.cep import match_pattern
+    from condor_ray.sources.events_adapter import transcripts_from_events
+
+    return match_pattern(
+        transcripts_from_events(sf_dir),
+        _pattern_steps(),
+        within_ms=PATTERN_WITHIN_MS,
+    )
+
+
+def _q_streaming_pattern_matches(sf_dir: str):
+    from condor_ray.pipelines.core import streaming_pattern_matches
+
+    return streaming_pattern_matches(
+        sf_dir, _pattern_steps(), within_ms=PATTERN_WITHIN_MS
+    )
+
+
 def _mk_synopsis_query(fn_name: str):
     """Factory: synopsis_queries.<fn_name>(transcripts, 6h tumbling)."""
 
@@ -678,6 +713,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_synopses": _q_session_synopses,
         "streaming_sessions": _q_streaming_sessions,
         "count_window_distinct": _q_count_window_distinct,
+        "pattern_matches": _q_pattern_matches,
+        "streaming_pattern_matches": _q_streaming_pattern_matches,
         "turns_join_tool_calls": _q_turns_join_tool_calls,
         "streaming_turns_join": _q_streaming_turns_join,
         "streaming_multi_window": _q_streaming_multi_window,
@@ -790,6 +827,14 @@ JOIN tool_calls c
  AND epoch_us(c.ts) BETWEEN epoch_us(t.ts) AND epoch_us(t.ts) + 5000000
 WHERE t.tool IS NOT NULL"""
     out["streaming_turns_join"] = out["turns_join_tool_calls"]
+    from condor_ray.pipelines.cep import pattern_sql
+
+    out["pattern_matches"] = pattern_sql(
+        cte, _pattern_steps(), PATTERN_WITHIN_MS
+    )
+    # ts-ordered fragments => no late rows; incremental matching over the
+    # watermark frontier emits exactly the batch match set
+    out["streaming_pattern_matches"] = out["pattern_matches"]
     from condor_ray.pipelines.core import multi_window_sql as _mwsql
 
     out["streaming_multi_window"] = _mwsql(cte, _W_US)

@@ -365,6 +365,40 @@ def streaming_sessions(sf_dir: str, gap_ms: int, parallelism: int = 4):
     )
 
 
+def streaming_pattern_matches(sf_dir: str, steps, within_ms: int | None = None,
+                              parallelism: int = 4):
+    """CEP through the STREAMING engine: the strict-contiguity pattern matcher
+    runs incrementally in partitioned state actors under watermarks (k-1 row
+    tail per conversation, exactly-once emission).  The fragment stream is
+    ts-ordered, so no row is late and the match set equals the batch
+    operator's — the query shares ``pattern_matches``' lead()-window SQL
+    oracle."""
+    import tempfile
+
+    from ..engine.streaming_cep import StreamingPatternJob
+
+    frags = cached_event_stream_fragments(sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="condor_cep_q_")
+    job = StreamingPatternJob(
+        steps, out_dir, within_ms=within_ms, parallelism=parallelism
+    )
+    job.run(frags)
+    out = job.result_dataset().to_pandas()
+    job.shutdown()
+    return (
+        out.astype(
+            {
+                "start_turn_idx": np.int64,
+                "end_turn_idx": np.int64,
+                "start_ts": np.int64,
+                "end_ts": np.int64,
+            }
+        )
+        .sort_values(["conv_id", "start_ts", "start_turn_idx"])
+        .reset_index(drop=True)
+    )
+
+
 def streaming_windowed_counts(sf_dir: str, window: TumblingWindow, parallelism: int = 4):
     """Run the STREAMING engine (state-store actors, watermarks, exactly-once
     sink) over the events-derived transcript stream and return per-window
