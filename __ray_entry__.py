@@ -621,6 +621,59 @@ def _q_quality_scores(sf_dir: str):
     )
 
 
+def _q_jaccard_verify(sf_dir: str):
+    """Distributed exact n-gram Jaccard over candidate pairs (the verify
+    stage of near-dup dedup), on a corpus with planted near-duplicates:
+    every 10th doc reappears with a ' planted tail' suffix (high Jaccard),
+    and (d, d+1) pairs for d % 7 == 0 are unrelated docs (low Jaccard).
+    The SQL twin computes string-trigram set Jaccard with list lambdas."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from condor_ray.pipelines.dedup import jaccard_verify_pairs
+
+    ids = np.sort(
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])[
+            "doc_id"
+        ].to_numpy()
+    )
+    step = int(ids.max()) + 1
+    dups = ids[ids % 10 == 0]
+    near = ids[(ids % 7 == 0) & np.isin(ids + 1, ids)]
+    pairs = pd.DataFrame(
+        {
+            "doc_a": np.concatenate([dups, near]).astype(np.int64),
+            "doc_b": np.concatenate([dups + step, near + 1]).astype(np.int64),
+        }
+    )
+
+    def plant(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy()
+        dup = batch.filter(pa.array(d % 10 == 0))
+        dup = dup.set_column(
+            dup.schema.get_field_index("doc_id"),
+            "doc_id",
+            pc.add(dup["doc_id"], step),
+        )
+        dup = dup.set_column(
+            dup.schema.get_field_index("text"),
+            "text",
+            pc.binary_join_element_wise(
+                dup["text"].cast(pa.string()), " planted tail", ""
+            ),
+        )
+        return pa.concat_tables([batch, dup])
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(plant, batch_format="pyarrow")
+    return jaccard_verify_pairs(docs, pairs)
+
+
 def _q_language_id(sf_dir: str):
     import ray.data as rd
 
@@ -752,7 +805,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_keep": _q_minhash_dedup_keep,  # rows-only (LSH->components->keep)
         "simhash_neardup": _q_simhash_neardup,   # rows-only
         "embedding_neardup": _q_embedding_neardup,  # rows-only (LSH)
-        "quality_scores": _q_quality_scores,     # rows-only (float features)
+        "quality_scores": _q_quality_scores,
+        "jaccard_verify": _q_jaccard_verify,
         "language_id": _q_language_id,           # rows-only (heuristic)
         "doc_fingerprints": _q_doc_fingerprints, # rows-only (rolling hash)
         "image_features": _q_image_features,     # rows-only (decode stub)
@@ -971,5 +1025,41 @@ ranked AS (
 SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id
 FROM ranked WHERE rank <= 10"""
     out["ivf_topk"] = out["ann_topk"]
+    from condor_ray.pipelines.textstats import quality_sql
+
+    out["quality_scores"] = quality_sql("documents")
+    # string-trigram set Jaccard == the Ray side's hashed-shingle set Jaccard
+    # (distinct 64-bit shingle hashes <-> distinct trigrams; both sides do one
+    # exact int/int double division)
+    out["jaccard_verify"] = r"""
+WITH step AS (SELECT max(doc_id) + 1 AS s FROM documents),
+aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + (SELECT s FROM step), text || ' planted tail'
+  FROM documents WHERE doc_id % 10 = 0
+),
+pairs AS (
+  SELECT doc_id AS doc_a, doc_id + (SELECT s FROM step) AS doc_b
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT d.doc_id AS doc_a, d.doc_id + 1 AS doc_b FROM documents d
+  WHERE d.doc_id % 7 = 0
+    AND EXISTS (SELECT 1 FROM documents e WHERE e.doc_id = d.doc_id + 1)
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE list_transform(range(1, len(w) - 1),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+              END) AS g
+  FROM (SELECT doc_id, regexp_extract_all(text, '[^\t\n\f\r ]+') AS w FROM aug)
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+         / (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))) AS jaccard
+FROM pairs p
+JOIN grams ga ON ga.doc_id = p.doc_a
+JOIN grams gb ON gb.doc_id = p.doc_b"""
     return out
 

@@ -227,6 +227,70 @@ def _bucket_pair_stage(key_cols: tuple[str, str], bucket_cap: int,
 
 _FOLD_INIT = np.uint64(0xCBF29CE484222325)  # fnv offset basis, any constant works
 
+# ASCII-whitespace word boundary: identical token sets under polars (Rust
+# regex) and DuckDB (RE2), so hashed-shingle SET comparisons (Jaccard) are
+# SQL-twinnable — Rust \S would also exclude U+00A0 etc. and silently
+# diverge on non-ASCII corpora
+_SHINGLE_WORD_RE = r"[^\t\n\f\r ]+"
+
+
+def shingle_hash_csr(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """texts (polars Series[str]) -> (flat shingle hashes u64, CSR offsets).
+
+    offsets has len(texts)+1 entries; doc d's word-k-gram hashes are
+    flat[offsets[d]:offsets[d+1]] and every doc has >= 1 entry (short docs
+    collapse to one gram of all their words, empty docs to the empty gram).
+    Fully vectorized: one regex extract, one xxhash over the exploded word
+    column, a k-pass splitmix fold over shifted views (doc boundaries masked
+    out).  Distinct hashes correspond to distinct word k-grams up to 64-bit
+    collisions (~n²/2⁶⁵ per doc pair — negligible)."""
+    pl = worker_polars()
+
+    words = texts.str.extract_all(_SHINGLE_WORD_RE)
+    lens = words.list.len().fill_null(0).to_numpy().astype(np.int64)
+    flat = words.explode(empty_as_null=False).drop_nulls()
+    wh = flat.hash(seed=12345).to_numpy().astype(np.uint64, copy=False)
+    total = len(wh)
+    word_off = np.concatenate(([0], np.cumsum(lens)))
+
+    # long docs (L >= k): rolling k-fold over the flat array, then keep
+    # only starts that do not cross a doc boundary
+    n_roll = max(total - k + 1, 0)
+    with np.errstate(over="ignore"):
+        g = np.full(n_roll, _FOLD_INIT, dtype=np.uint64)
+        for j in range(k):
+            g = (g ^ wh[j : j + n_roll]) * _GOLDEN
+        g ^= g >> np.uint64(29)
+    counts = np.where(lens >= k, lens - k + 1, 0)
+    csum = np.concatenate(([0], np.cumsum(counts)))
+    intra = np.arange(csum[-1], dtype=np.int64) - np.repeat(csum[:-1], counts)
+    valid_starts = np.repeat(word_off[:-1], counts) + intra
+    long_sh = g[valid_starts] if n_roll else np.empty(0, np.uint64)
+
+    # short docs (0 < L < k): one gram folding all L words — vectorized
+    # per length class (at most k-1 classes, each a gather + fold)
+    n_sh = np.where(lens >= k, lens - k + 1, 1).astype(np.int64)
+    out_off = np.concatenate(([0], np.cumsum(n_sh)))
+    sh_flat = np.empty(out_off[-1], dtype=np.uint64)
+    sh_flat[np.repeat(out_off[:-1], counts) + intra] = long_sh
+    with np.errstate(over="ignore"):
+        empty_hash = (_FOLD_INIT ^ np.uint64(0)) * _GOLDEN
+    for L in range(0, k):
+        docs_L = np.flatnonzero(lens == L)
+        if len(docs_L) == 0:
+            continue
+        if L == 0:
+            sh_flat[out_off[docs_L]] = empty_hash
+            continue
+        idx = word_off[docs_L][:, None] + np.arange(L)[None, :]
+        with np.errstate(over="ignore"):
+            gL = np.full(len(docs_L), _FOLD_INIT, dtype=np.uint64)
+            for j in range(L):
+                gL = (gL ^ wh[idx[:, j]]) * _GOLDEN
+            gL ^= gL >> np.uint64(29)
+        sh_flat[out_off[docs_L]] = gL
+    return sh_flat, out_off
+
 
 class MinHasher:
     """Actor-pool stage: word-shingle MinHash signatures, fully vectorized.
@@ -256,59 +320,7 @@ class MinHasher:
         self.perm_chunk = perm_chunk
 
     def _shingle_hashes(self, texts) -> tuple[np.ndarray, np.ndarray]:
-        """texts (polars Series[str]) -> (flat shingle hashes u64, CSR offsets).
-
-        offsets has len(texts)+1 entries; doc d's shingle hashes are
-        flat[offsets[d]:offsets[d+1]] and every doc has >= 1 entry (short
-        docs collapse to one gram of all their words, empty docs to the
-        empty gram), matching the scalar reference semantics."""
-        pl = worker_polars()
-
-        k = self.shingle
-        words = texts.str.extract_all(r"\S+")
-        lens = words.list.len().fill_null(0).to_numpy().astype(np.int64)
-        flat = words.explode(empty_as_null=False).drop_nulls()
-        wh = flat.hash(seed=12345).to_numpy().astype(np.uint64, copy=False)
-        total = len(wh)
-        word_off = np.concatenate(([0], np.cumsum(lens)))
-
-        # long docs (L >= k): rolling k-fold over the flat array, then keep
-        # only starts that do not cross a doc boundary
-        n_roll = max(total - k + 1, 0)
-        with np.errstate(over="ignore"):
-            g = np.full(n_roll, _FOLD_INIT, dtype=np.uint64)
-            for j in range(k):
-                g = (g ^ wh[j : j + n_roll]) * _GOLDEN
-            g ^= g >> np.uint64(29)
-        counts = np.where(lens >= k, lens - k + 1, 0)
-        csum = np.concatenate(([0], np.cumsum(counts)))
-        intra = np.arange(csum[-1], dtype=np.int64) - np.repeat(csum[:-1], counts)
-        valid_starts = np.repeat(word_off[:-1], counts) + intra
-        long_sh = g[valid_starts] if n_roll else np.empty(0, np.uint64)
-
-        # short docs (0 < L < k): one gram folding all L words — vectorized
-        # per length class (at most k-1 classes, each a gather + fold)
-        n_sh = np.where(lens >= k, lens - k + 1, 1).astype(np.int64)
-        out_off = np.concatenate(([0], np.cumsum(n_sh)))
-        sh_flat = np.empty(out_off[-1], dtype=np.uint64)
-        sh_flat[np.repeat(out_off[:-1], counts) + intra] = long_sh
-        with np.errstate(over="ignore"):
-            empty_hash = (_FOLD_INIT ^ np.uint64(0)) * _GOLDEN
-        for L in range(0, k):
-            docs_L = np.flatnonzero(lens == L)
-            if len(docs_L) == 0:
-                continue
-            if L == 0:
-                sh_flat[out_off[docs_L]] = empty_hash
-                continue
-            idx = word_off[docs_L][:, None] + np.arange(L)[None, :]
-            with np.errstate(over="ignore"):
-                gL = np.full(len(docs_L), _FOLD_INIT, dtype=np.uint64)
-                for j in range(L):
-                    gL = (gL ^ wh[idx[:, j]]) * _GOLDEN
-                gL ^= gL >> np.uint64(29)
-            sh_flat[out_off[docs_L]] = gL
-        return sh_flat, out_off
+        return shingle_hash_csr(texts, self.shingle)
 
     def signatures(self, texts) -> np.ndarray:
         """texts (polars Series[str]) -> (n_docs, num_perm) int64 matrix."""
@@ -618,6 +630,164 @@ def simhash_pairs(
         )
     )
     return _dedup_pairs(pairs, min_col="hamming")
+
+
+def jaccard_verify_pairs(docs_ds, pairs: pd.DataFrame, shingle: int = 3,
+                         n_parts: int | None = None):
+    """Exact word n-gram Jaccard for a set of candidate pairs — the
+    distributed verify step after any LSH/banding stage.
+
+    ``pairs`` is a bounded (doc_a, doc_b) frame (candidate pairs are the
+    OUTPUT size of near-dup detection, not the corpus size).  Returns
+    doc_a, doc_b, jaccard (float64); pairs whose docs are absent from the
+    corpus are dropped (inner-join semantics, like the SQL twin).
+
+    Scale design: one pruned corpus pass emits (pair, side, shingle-hash)
+    rows only for candidate docs (broadcast sorted membership lookup, one
+    vectorized shingle pass per batch, per-doc dedup via lexsort); pairs
+    then hash-partition into O(cores) groups where intersections for ALL
+    pairs of a partition are counted at once (adjacent-duplicate scan over
+    the (pair, hash) sort — hashes are unique within a side, so an adjacent
+    equal hash means both sides contain it).  Distinct 64-bit shingle hashes
+    stand in for distinct word n-grams (collision odds ~n²/2⁶⁵ per pair),
+    which is what makes the result equal to the string-trigram SQL twin."""
+    import ray
+
+    n_parts = n_parts or default_n_parts()
+    if len(pairs) == 0:
+        import ray.data as rd
+
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_a": pd.Series(dtype=np.int64),
+                    "doc_b": pd.Series(dtype=np.int64),
+                    "jaccard": pd.Series(dtype=np.float64),
+                }
+            )
+        )
+    pa_arr = pairs["doc_a"].to_numpy().astype(np.int64)
+    pb_arr = pairs["doc_b"].to_numpy().astype(np.int64)
+    # membership table: doc -> (doc_a, doc_b, side) rows, sorted by doc
+    mdoc = np.concatenate([pa_arr, pb_arr])
+    m_a = np.concatenate([pa_arr, pa_arr])
+    m_b = np.concatenate([pb_arr, pb_arr])
+    m_side = np.concatenate(
+        [np.zeros(len(pa_arr), np.int8), np.ones(len(pb_arr), np.int8)]
+    )
+    order = np.argsort(mdoc, kind="stable")
+    membership_ref = ray.put(
+        (mdoc[order], m_a[order], m_b[order], m_side[order])
+    )
+
+    def explode_stage(batch: pa.Table) -> pa.Table:
+        pl = worker_polars()
+
+        mdoc_s, ma_s, mb_s, ms_s = ray.get(membership_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = np.searchsorted(mdoc_s, ids, side="left")
+        hi = np.searchsorted(mdoc_s, ids, side="right")
+        keep = hi > lo
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "side": pa.array([], type=pa.int8()),
+                "h": pa.array([], type=pa.uint64()),
+            }
+        )
+        if not keep.any():
+            return empty
+        kept = batch.filter(pa.array(keep))
+        lo, hi, ids = lo[keep], hi[keep], ids[keep]
+        text = kept["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        sh, off = shingle_hash_csr(pl.from_arrow(text), shingle)
+        # per-doc distinct shingles (lexsort + boundary dedup, no per-doc
+        # Python)
+        doc_rep = np.repeat(
+            np.arange(len(ids), dtype=np.int64), np.diff(off)
+        )
+        o = np.lexsort((sh, doc_rep))
+        dr, hs = doc_rep[o], sh[o]
+        first = np.concatenate(
+            ([True], (dr[1:] != dr[:-1]) | (hs[1:] != hs[:-1]))
+        )
+        dr, hs = dr[first], hs[first]
+        # fan each distinct-shingle row out to its doc's pair memberships
+        mcount = (hi - lo).astype(np.int64)
+        reps = mcount[dr]
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        intra = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.concatenate(([0], np.cumsum(reps)))[:-1], reps)
+        )
+        midx = np.repeat(lo[dr], reps) + intra
+        return pa.table(
+            {
+                "doc_a": pa.array(ma_s[midx]),
+                "doc_b": pa.array(mb_s[midx]),
+                "side": pa.array(ms_s[midx]),
+                "h": pa.array(np.repeat(hs, reps)),
+            }
+        )
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy().astype(np.uint64)
+        b = batch["doc_b"].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            mixed = ((a * _GOLDEN) ^ b) * _GOLDEN
+        part = ((mixed >> np.uint64(33)) % np.uint64(n_parts)).astype(np.int32)
+        return batch.append_column("part", pa.array(part))
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        a = g["doc_a"].to_numpy()
+        b = g["doc_b"].to_numpy()
+        side = g["side"].to_numpy()
+        h = g["h"].to_numpy()
+        if len(a) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series(dtype=np.int64),
+                    "doc_b": pd.Series(dtype=np.int64),
+                    "jaccard": pd.Series(dtype=np.float64),
+                }
+            )
+        o = np.lexsort((side, h, b, a))
+        a, b, side, h = a[o], b[o], side[o], h[o]
+        new_pair = np.concatenate(
+            ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1]))
+        )
+        pid = np.cumsum(new_pair) - 1
+        n_pairs = int(pid[-1]) + 1
+        adj = (pid[1:] == pid[:-1]) & (h[1:] == h[:-1])
+        inter = np.bincount(pid[1:][adj], minlength=n_pairs)
+        na = np.bincount(pid[side == 0], minlength=n_pairs)
+        nb = np.bincount(pid[side == 1], minlength=n_pairs)
+        present = (na > 0) & (nb > 0)
+        union = na + nb - inter
+        firsts = np.flatnonzero(new_pair)
+        return pd.DataFrame(
+            {
+                "doc_a": a[firsts][present].astype(np.int64),
+                "doc_b": b[firsts][present].astype(np.int64),
+                "jaccard": (inter[present] / union[present]).astype(
+                    np.float64
+                ),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(explode_stage, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: verify(g.drop(columns=["part"])), batch_format="pandas"
+        )
+    )
 
 
 def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:

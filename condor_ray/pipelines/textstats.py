@@ -221,52 +221,105 @@ def heavy_hitters_cm(
     )
 
 
-class QualityScorer:
-    """Actor-pool stage: length / punctuation / stopword-ratio quality
-    features (regex + stopword sets compiled once per actor)."""
+# ASCII punctuation class, spelled out so polars (Rust regex) and DuckDB
+# (RE2) agree: \w is unicode-aware in Rust but ASCII in RE2
+_PUNCT_RE = r"[^0-9A-Za-z_\t\n\f\r ]"
 
-    def __init__(self):
-        import re
 
-        self.word = re.compile(r"[A-Za-z]+")
-        self.punct = re.compile(r"[^\w\s]")
-        self.stop_en = _STOPWORDS["en"]
+def quality_scores(ds):
+    """Per-doc quality features, fully vectorized and SQL-twinnable.
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    n_words / mean_word_len / punct_ratio / stopword_ratio come from one
+    polars regex pass per batch; ``quality`` combines them with exact
+    IEEE-reproducible arithmetic (integer counts, single divisions,
+    min/max clips — the SQL twin computes bit-identical doubles)."""
+    stop_en = sorted(_STOPWORDS["en"])
+
+    def stage(batch: pa.Table) -> pa.Table:
+        from ..runtime import worker_polars
+
+        pl = worker_polars()
+
         text = batch["text"]
-        n_chars = text.str.len()
-        words = text.str.split()
-        n_words = words.str.len().astype(np.int64)
-        mean_len = words.map(
-            lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        s = pl.from_arrow(text)
+        words = s.str.extract_all(_WORD_RE)
+        nw = words.list.len().fill_null(0).to_numpy().astype(np.int64)
+        wc = (
+            words.list.eval(pl.element().str.len_chars())
+            .list.sum()
+            .fill_null(0)
+            .to_numpy()
+            .astype(np.int64)
         )
-        punct_ratio = text.map(
-            lambda t: len(self.punct.findall(t)) / max(len(t), 1)
+        stop = (
+            words.list.eval(
+                pl.element().str.to_lowercase().is_in(stop_en)
+            )
+            .list.sum()
+            .fill_null(0)
+            .to_numpy()
+            .astype(np.int64)
         )
-        stop_ratio = words.map(
-            lambda ws: sum(w.lower() in self.stop_en for w in ws) / max(len(ws), 1)
-        )
+        n_chars = s.str.len_chars().to_numpy().astype(np.int64)
+        n_punct = s.str.count_matches(_PUNCT_RE).to_numpy().astype(np.int64)
+
+        mean_len = np.where(nw > 0, wc / np.maximum(nw, 1), 0.0)
+        punct_ratio = n_punct / np.maximum(n_chars, 1)
+        stop_ratio = stop / np.maximum(nw, 1)
         quality = (
-            np.clip(n_words / 50, 0, 1) * 0.4
-            + np.clip(1 - punct_ratio * 5, 0, 1) * 0.3
-            + np.clip(mean_len / 8, 0, 1) * 0.3
+            np.minimum(nw / 50.0, 1.0) * 0.4
+            + np.maximum(np.minimum(1.0 - punct_ratio * 5.0, 1.0), 0.0) * 0.3
+            + np.minimum(mean_len / 8.0, 1.0) * 0.3
         )
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_id": batch["doc_id"].astype(np.int64),
-                "n_words": n_words,
-                "mean_word_len": mean_len.astype(np.float64),
-                "punct_ratio": punct_ratio.astype(np.float64),
-                "stopword_ratio": stop_ratio.astype(np.float64),
-                "quality": quality.astype(np.float64),
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(nw),
+                "mean_word_len": pa.array(mean_len.astype(np.float64)),
+                "punct_ratio": pa.array(punct_ratio.astype(np.float64)),
+                "stopword_ratio": pa.array(stop_ratio.astype(np.float64)),
+                "quality": pa.array(quality.astype(np.float64)),
             }
         )
 
+    return ds.map_batches(stage, batch_format="pyarrow")
 
-def quality_scores(ds, concurrency: int = 2):
-    return ds.map_batches(
-        QualityScorer, batch_format="pandas", concurrency=concurrency
-    )
+
+def quality_sql(docs_table: str = "documents") -> str:
+    """DuckDB twin of :func:`quality_scores` (bit-identical doubles: same
+    integer counts, same single divisions, same min/max clips, same
+    left-associated combination)."""
+    stop = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS["en"]))
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '[^\t\n\f\r ]+') AS w,
+         length(text) AS n_chars,
+         length(regexp_extract_all(text, '[^0-9A-Za-z_\t\n\f\r ]')) AS n_punct
+  FROM {docs_table}
+), counts AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         COALESCE(list_sum(list_transform(w, x -> length(x))), 0) AS word_chars,
+         COALESCE(list_sum(list_transform(w,
+             x -> CASE WHEN lower(x) IN ({stop}) THEN 1 ELSE 0 END)), 0) AS stop_hits,
+         n_chars, n_punct
+  FROM toks
+), ratios AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words > 0
+              THEN CAST(word_chars AS DOUBLE) / n_words ELSE 0.0 END AS mean_word_len,
+         CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
+         CAST(stop_hits AS DOUBLE) / greatest(n_words, 1) AS stopword_ratio
+  FROM counts
+)
+SELECT doc_id, n_words, mean_word_len, punct_ratio, stopword_ratio,
+       least(CAST(n_words AS DOUBLE) / 50.0, 1.0) * 0.4
+       + greatest(least(1.0 - punct_ratio * 5.0, 1.0), 0.0) * 0.3
+       + least(mean_word_len / 8.0, 1.0) * 0.3 AS quality
+FROM ratios"""
 
 
 class LangId:

@@ -356,3 +356,79 @@ class TestHeavyHittersCM:
         counts = collections.Counter(w for t in texts for w in t.split())
         for w, n in zip(got["word"], got["n"]):
             assert n >= counts[w]
+
+
+class TestJaccardVerify:
+    def test_pairs_match_python_reference(self, ray_session, docs_pd):
+        """Distributed hashed-shingle Jaccard == per-pair string-trigram
+        Jaccard (ngram_jaccard) on planted near-dups and unrelated pairs."""
+        from condor_ray.pipelines.dedup import jaccard_verify_pairs, ngram_jaccard
+
+        base = docs_pd[["doc_id", "text"]]
+        step = int(base["doc_id"].max()) + 1
+        dups = base[base["doc_id"] % 9 == 0].copy()
+        dups["doc_id"] = dups["doc_id"] + step
+        dups["text"] = dups["text"] + " tail words appended here"
+        aug = pd.concat([base, dups], ignore_index=True)
+        pairs = pd.DataFrame(
+            {
+                "doc_a": np.concatenate(
+                    [dups["doc_id"].to_numpy() - step, base["doc_id"].to_numpy()[:40]]
+                ),
+                "doc_b": np.concatenate(
+                    [dups["doc_id"].to_numpy(), base["doc_id"].to_numpy()[40:80]]
+                ),
+            }
+        )
+        out = (
+            jaccard_verify_pairs(rd.from_pandas(aug), pairs)
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        assert len(out) == len(pairs)
+        text_by_id = dict(zip(aug["doc_id"], aug["text"]))
+        for _, r in out.iterrows():
+            want = ngram_jaccard(text_by_id[r.doc_a], text_by_id[r.doc_b])
+            assert r.jaccard == pytest.approx(want, abs=1e-12), (r.doc_a, r.doc_b)
+        # planted near-dups score high, unrelated pairs low
+        planted = out[out["doc_b"] >= step]
+        assert (planted["jaccard"] > 0.7).all()
+        unrelated = out[out["doc_b"] < step]
+        assert (unrelated["jaccard"] < 0.3).all()
+
+    def test_absent_docs_dropped(self, ray_session, docs_pd):
+        from condor_ray.pipelines.dedup import jaccard_verify_pairs
+
+        pairs = pd.DataFrame({"doc_a": [0, 10_000_000], "doc_b": [1, 2]})
+        out = jaccard_verify_pairs(
+            rd.from_pandas(docs_pd[["doc_id", "text"]]), pairs
+        ).to_pandas()
+        assert out["doc_a"].tolist() == [0]
+
+    def test_empty_pairs(self, ray_session, docs_pd):
+        from condor_ray.pipelines.dedup import jaccard_verify_pairs
+
+        out = jaccard_verify_pairs(
+            rd.from_pandas(docs_pd[["doc_id", "text"]]), pd.DataFrame({"doc_a": [], "doc_b": []})
+        ).to_pandas()
+        assert len(out) == 0
+
+
+class TestQualitySql:
+    def test_quality_matches_duckdb_bit_exact(self, ray_session, docs_ds):
+        """The vectorized quality features hash-match the SQL twin: identical
+        integer counts and identical IEEE double arithmetic."""
+        import duckdb
+
+        from condor_ray.pipelines.textstats import quality_scores, quality_sql
+
+        got = quality_scores(docs_ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+        )
+        want = con.execute(quality_sql()).fetchdf().sort_values("doc_id").reset_index(drop=True)
+        assert list(got.columns) == list(want.columns)
+        for c in got.columns:
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
