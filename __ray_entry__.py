@@ -807,7 +807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _q_embedding_neardup,  # rows-only (LSH)
         "quality_scores": _q_quality_scores,
         "jaccard_verify": _q_jaccard_verify,
-        "language_id": _q_language_id,           # rows-only (heuristic)
+        "language_id": _q_language_id,
         "doc_fingerprints": _q_doc_fingerprints, # rows-only (rolling hash)
         "image_features": _q_image_features,     # rows-only (decode stub)
     }
@@ -1025,9 +1025,10 @@ ranked AS (
 SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id
 FROM ranked WHERE rank <= 10"""
     out["ivf_topk"] = out["ann_topk"]
-    from condor_ray.pipelines.textstats import quality_sql
+    from condor_ray.pipelines.textstats import lang_id_sql, quality_sql
 
     out["quality_scores"] = quality_sql("documents")
+    out["language_id"] = lang_id_sql("documents")
     # string-trigram set Jaccard == the Ray side's hashed-shingle set Jaccard
     # (distinct 64-bit shingle hashes <-> distinct trigrams; both sides do one
     # exact int/int double division)

@@ -1,9 +1,10 @@
 """Text analysis over ``documents``: token counting, quality scoring,
 language ID, document fingerprinting (SURVEY training-data mandate).
 
-Token/char stats are defined to be SQL-replicable (single-space split);
-language-ID and fingerprints are deterministic but not SQL-expressible
-(rows-only driver check + accuracy/pytest oracles).
+Token/char stats, quality features and language-ID are SQL-replicable
+(their DuckDB twins live beside them: ``quality_sql``, ``lang_id_sql``);
+fingerprints are deterministic but not SQL-expressible (rows-only driver
+check + accuracy/pytest oracles).
 """
 
 from __future__ import annotations
@@ -351,8 +352,85 @@ class LangId:
         )
 
 
-def language_id(ds, concurrency: int = 2):
-    return ds.map_batches(LangId, batch_format="pandas", concurrency=concurrency)
+_LANGS = ("en", "de", "fr", "es")  # argmax tie-break order (first max wins)
+
+
+def language_id(ds):
+    """Vectorized language ID: one polars pass per batch (CJK regex probe on
+    the first 200 chars, stopword hits per language over the first 80
+    lowercased words, first-max argmax) — scalar-equivalent to
+    ``LangId.classify`` and SQL-twinnable (``lang_id_sql``)."""
+    stops = {lang: sorted(_STOPWORDS[lang]) for lang in _LANGS}
+
+    def stage(batch: pa.Table) -> pa.Table:
+        from ..runtime import worker_polars
+
+        pl = worker_polars()
+
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        s = pl.from_arrow(text)
+        ws = (
+            s.str.extract_all(_WORD_RE)
+            .list.slice(0, 80)
+            .list.eval(pl.element().str.to_lowercase())
+        )
+        hits = np.stack(
+            [
+                ws.list.eval(pl.element().is_in(stops[lang]))
+                .list.sum()
+                .fill_null(0)
+                .to_numpy()
+                .astype(np.int64)
+                for lang in _LANGS
+            ]
+        )
+        pred = np.array(_LANGS, dtype=object)[np.argmax(hits, axis=0)]
+        is_zh = (
+            s.str.slice(0, 200).str.contains(r"[一-鿿]").to_numpy()
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_pred": pa.array(np.where(is_zh, "zh", pred)),
+            }
+        )
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def lang_id_sql(docs_table: str = "documents") -> str:
+    """DuckDB twin of :func:`language_id` (same tokenizer, same stopword
+    hits, same sequential first-max argmax)."""
+    stop = {
+        lang: ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang]))
+        for lang in _LANGS
+    }
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_matches(substring(text, 1, 200), '[一-鿿]') AS is_zh,
+         list_transform(list_slice(regexp_extract_all(text, '[^\t\n\f\r ]+'), 1, 80),
+                        w -> lower(w)) AS ws
+  FROM {docs_table}
+), hits AS (
+  SELECT doc_id, is_zh,
+         COALESCE(list_sum(list_transform(ws, w -> CASE WHEN w IN ({stop['en']}) THEN 1 ELSE 0 END)), 0) AS h_en,
+         COALESCE(list_sum(list_transform(ws, w -> CASE WHEN w IN ({stop['de']}) THEN 1 ELSE 0 END)), 0) AS h_de,
+         COALESCE(list_sum(list_transform(ws, w -> CASE WHEN w IN ({stop['fr']}) THEN 1 ELSE 0 END)), 0) AS h_fr,
+         COALESCE(list_sum(list_transform(ws, w -> CASE WHEN w IN ({stop['es']}) THEN 1 ELSE 0 END)), 0) AS h_es
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN is_zh THEN 'zh'
+            WHEN h_de > h_en THEN (
+              CASE WHEN h_fr > h_de THEN (CASE WHEN h_es > h_fr THEN 'es' ELSE 'fr' END)
+                   WHEN h_es > h_de THEN 'es' ELSE 'de' END)
+            WHEN h_fr > h_en THEN (CASE WHEN h_es > h_fr THEN 'es' ELSE 'fr' END)
+            WHEN h_es > h_en THEN 'es'
+            ELSE 'en' END AS lang_pred
+FROM hits"""
 
 
 class Fingerprinter:

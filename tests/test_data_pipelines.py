@@ -432,3 +432,18 @@ class TestQualitySql:
         assert list(got.columns) == list(want.columns)
         for c in got.columns:
             assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+    def test_lang_id_matches_duckdb_and_scalar(self, ray_session, docs_ds, docs_pd):
+        import duckdb
+
+        from condor_ray.pipelines.textstats import LangId, language_id, lang_id_sql
+
+        got = language_id(docs_ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+        )
+        want = con.execute(lang_id_sql()).fetchdf().sort_values("doc_id").reset_index(drop=True)
+        assert (got["lang_pred"].to_numpy() == want["lang_pred"].to_numpy()).all()
+        scalar = docs_pd.sort_values("doc_id")["text"].map(LangId().classify).to_numpy()
+        assert (got["lang_pred"].to_numpy() == scalar).all()
