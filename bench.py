@@ -174,6 +174,29 @@ def run_bench() -> dict:
         queries[f"windows_n{n_win}"] = time.perf_counter() - t0
         job.shutdown()
 
+    # q2c: streaming CEP — 3-step strict-contiguity pattern (role sequence +
+    # tool predicate + 60 s span bound) through the watermarked pattern
+    # matcher; measures per-row state-actor matching cost on the same 6M-row
+    # stress stream
+    from condor_ray.engine.streaming_cep import StreamingPatternJob
+    from condor_ray.pipelines.cep import Step
+
+    out = tempfile.mkdtemp(prefix="bench_cep_")
+    cep_job = StreamingPatternJob(
+        [
+            Step("role", "eq", "user"),
+            Step("role", "eq", "assistant"),
+            Step("tool", "notnull"),
+        ],
+        out,
+        within_ms=60_000,
+        parallelism=p_fine,
+    )
+    t0 = time.perf_counter()
+    cep_job.run(stress_frags)
+    queries["stream_cep_3step"] = time.perf_counter() - t0
+    cep_job.shutdown()
+
     # q3: batch-path DDSketch quantiles over text length, tumbling 60 s
     ds = read_transcripts(stress_fix, columns=["text", "ts"])
     cfg = BuildConfiguration(

@@ -24,13 +24,13 @@ import json
 import os
 
 import numpy as np
-import pandas as pd
+
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 
 from ..hashing import java_string_hash_arrow
-from ..pipelines.cep import Step, find_match_starts, matches_frame
+from ..pipelines.cep import Step, find_match_starts
 from ..stages.extract import ts_to_us
 from .streaming import _NEG_INF, _murmur_mix_array
 
@@ -48,20 +48,16 @@ _EMIT_SCHEMA = {
 def _partition_cep_fragment(
     path: str,
     parallelism: int,
-    watermark_us: int,
     columns: list[str] | None,
 ):
-    """Split one fragment into P shards by conv hash; drop late rows
-    (``ts < carry-in watermark`` — positions before the watermark are already
-    finalized and matched)."""
+    """Split one fragment into P shards by conv hash.  Watermark-free on
+    purpose so split tasks PREFETCH ahead of the sequential watermark chain;
+    the late-row rule (``ts < carry-in watermark``) is applied inside the
+    state actors at ingest, where the processing-turn watermark is known."""
     table = pq.read_table(path, columns=columns)
     n = table.num_rows
     ts = ts_to_us(table["ts"])
     frag_max = int(ts.max()) if n else _NEG_INF
-    late = ts < watermark_us
-    n_late = int(late.sum())
-    if n_late:
-        table = table.filter(pa.array(~late))
     conv = table["conv_id"]
     if isinstance(conv, pa.ChunkedArray):
         conv = conv.combine_chunks()
@@ -75,13 +71,44 @@ def _partition_cep_fragment(
     counts = np.bincount(part, minlength=parallelism)
     offsets = np.concatenate([[0], np.cumsum(counts)])
     shards = [sorted_tbl.slice(offsets[p], counts[p]) for p in range(parallelism)]
-    meta = {"n_rows": n, "n_late": n_late, "frag_max_ts": frag_max}
+    meta = {"n_rows": n, "frag_max_ts": frag_max}
     return (meta, *shards)
+
+
+@ray.remote
+def _emit_matches(out_dir: str, fragment_idx: int, *tables) -> int:
+    """Async exactly-once sink: concat + canonical sort + atomic rename.
+    Runs as a Ray task so the driver loop never blocks on emission I/O."""
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return 0
+    out = pa.concat_tables(tables).sort_by(
+        [
+            ("conv_id", "ascending"),
+            ("start_ts", "ascending"),
+            ("start_turn_idx", "ascending"),
+        ]
+    )
+    emit_path = os.path.join(out_dir, f"emit-f{fragment_idx:05d}.parquet")
+    tmp = emit_path + f".tmp-{os.getpid()}"
+    pq.write_table(out, tmp)
+    os.replace(tmp, emit_path)
+    return out.num_rows
 
 
 @ray.remote(num_cpus=0.5)
 class PatternStateStore:
-    """Per-partition CEP state: conv -> (k-1 stable tail, pending rows)."""
+    """Per-partition CEP state, vectorized ACROSS conversations.
+
+    No per-conversation Python anywhere (the per-group-dispatch rule):
+    ingest appends one chunk per micro-batch shard; close concatenates,
+    lexsorts by (conv, ts, turn) and runs the multi-conversation matcher
+    ONCE over (active tails + newly-stable rows) — ``find_match_starts``
+    already enforces conv equality across each k-row window.  Tails (the
+    last k-1 stable rows of every conversation) live in one sorted
+    struct-of-arrays table; only tails of conversations with newly-stable
+    rows join the match input, so an idle conversation costs nothing per
+    cycle."""
 
     def __init__(self, partition_id: int, steps: list[Step],
                  within_us: int | None):
@@ -90,123 +117,175 @@ class PatternStateStore:
         self.k = len(steps)
         self.within_us = within_us
         self.cols = sorted({s.col for s in steps})
-        # conv -> list of (ts_arr, turn_arr, {col: arr}) chunks, arrival order
-        self.pending: dict[str, list] = {}
-        # conv -> (ts_arr, turn_arr, {col: arr}) of the last k-1 stable rows
-        self.tails: dict[str, tuple] = {}
+        # arrival-order chunks of (conv_code, ts, turn, {col: arr})
+        self.pending: list[tuple] = []
+        # one sorted-by-(conv_code, ts, turn) table of per-conv k-1 row tails
+        self.tails: tuple | None = None
+        # conversations are dictionary-encoded ONCE at ingest (string lexsort
+        # compares cost ~1 us each in object arrays — int codes sort ~50x
+        # faster); codes are stable across the actor's lifetime
+        self.conv_ids: dict[str, int] = {}
+        self.conv_names: list[str] = []
         self.rows_ingested = 0
         self.peak_pending_rows = 0
 
-    def ingest(self, batch: pa.Table) -> int:
+    def _codes(self, conv_col) -> np.ndarray:
+        if isinstance(conv_col, pa.ChunkedArray):
+            conv_col = conv_col.combine_chunks()
+        dic = conv_col.dictionary_encode()
+        names = dic.dictionary.to_pylist()
+        lut = np.empty(len(names), dtype=np.int64)
+        get = self.conv_ids.get
+        for i, nm in enumerate(names):  # bounded by batch-distinct convs
+            code = get(nm)
+            if code is None:
+                code = len(self.conv_names)
+                self.conv_ids[nm] = code
+                self.conv_names.append(nm)
+            lut[i] = code
+        idx = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        return lut[idx]
+
+    def ingest(self, batch: pa.Table, watermark_us: int) -> int:
+        """Buffer one shard; drop + count late rows (``ts < carry-in
+        watermark`` — positions before the watermark are already finalized
+        and matched).  Returns the number of late-dropped rows."""
         n = batch.num_rows
         if n == 0:
             return 0
         ts = ts_to_us(batch["ts"])
+        late = ts < watermark_us
+        n_late = int(late.sum())
+        if n_late:
+            keep = pa.array(~late)
+            batch = batch.filter(keep)
+            ts = ts[~late]
+            if batch.num_rows == 0:
+                self.rows_ingested += n
+                return n_late
+        conv = self._codes(batch["conv_id"])
         turn = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
-        col_arrs = {
-            c: batch[c].to_numpy(zero_copy_only=False) for c in self.cols
-        }
-        conv = batch["conv_id"]
-        if isinstance(conv, pa.ChunkedArray):
-            conv = conv.combine_chunks()
-        dic = conv.dictionary_encode()
-        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        convs = dic.dictionary.to_pylist()
-        order = np.argsort(codes, kind="stable")
-        codes_s = codes[order]
-        bounds = np.concatenate(
-            [[0], np.nonzero(np.diff(codes_s))[0] + 1, [n]]
-        )
-        for b in range(len(bounds) - 1):
-            lo, hi = int(bounds[b]), int(bounds[b + 1])
-            sel = order[lo:hi]
-            cid = convs[int(codes_s[lo])]
-            self.pending.setdefault(cid, []).append(
-                (ts[sel], turn[sel], {c: a[sel] for c, a in col_arrs.items()})
-            )
+        cols = {c: batch[c].to_numpy(zero_copy_only=False) for c in self.cols}
+        self.pending.append((conv, ts, turn, cols))
         self.rows_ingested += n
-        return n
+        return n_late
 
-    def _concat(self, chunks: list) -> tuple:
-        if len(chunks) == 1:
-            return chunks[0]
+    def _concat_pending(self) -> tuple:
+        if len(self.pending) == 1:
+            return self.pending[0]
         return (
-            np.concatenate([c[0] for c in chunks]),
-            np.concatenate([c[1] for c in chunks]),
+            np.concatenate([c[0] for c in self.pending]),
+            np.concatenate([c[1] for c in self.pending]),
+            np.concatenate([c[2] for c in self.pending]),
             {
-                c: np.concatenate([ch[2][c] for ch in chunks])
+                c: np.concatenate([ch[3][c] for ch in self.pending])
                 for c in self.cols
             },
         )
 
+    @staticmethod
+    def _take(t: tuple, idx) -> tuple:
+        return (
+            t[0][idx],
+            t[1][idx],
+            t[2][idx],
+            {c: a[idx] for c, a in t[3].items()},
+        )
+
+    @staticmethod
+    def _concat2(a: tuple, b: tuple) -> tuple:
+        return (
+            np.concatenate([a[0], b[0]]),
+            np.concatenate([a[1], b[1]]),
+            np.concatenate([a[2], b[2]]),
+            {c: np.concatenate([a[3][c], b[3][c]]) for c in a[3]},
+        )
+
     def close(self, watermark_us: int) -> pa.Table:
         """Match + emit over rows that became stable (ts < watermark)."""
-        out: list[pd.DataFrame] = []
-        n_pending = 0
-        for cid in list(self.pending):
-            ts, turn, cols = self._concat(self.pending[cid])
-            order = np.lexsort((turn, ts))
-            ts, turn = ts[order], turn[order]
-            cols = {c: a[order] for c, a in cols.items()}
-            n_stable = int(np.searchsorted(ts, watermark_us, side="left"))
-            if n_stable == 0:
-                self.pending[cid] = [(ts, turn, cols)]
-                n_pending += len(ts)
-                continue
-            tail = self.tails.get(cid)
-            if tail is not None:
-                c_ts = np.concatenate([tail[0], ts[:n_stable]])
-                c_turn = np.concatenate([tail[1], turn[:n_stable]])
-                c_cols = {
-                    c: np.concatenate([tail[2][c], cols[c][:n_stable]])
-                    for c in self.cols
-                }
-            else:
-                c_ts, c_turn = ts[:n_stable], turn[:n_stable]
-                c_cols = {c: a[:n_stable] for c, a in cols.items()}
-            starts = find_match_starts(
-                np.zeros(len(c_ts), dtype=np.int8),
-                c_ts,
-                c_cols,
-                self.steps,
-                self.within_us,
+        empty = pa.table(
+            {k: pa.array([], type=t) for k, t in _EMIT_SCHEMA.items()}
+        )
+        if not self.pending:
+            return empty
+        conv, ts, turn, cols = self._concat_pending()
+        stable_mask = ts < watermark_us
+        n_stable = int(stable_mask.sum())
+        if n_stable == 0:
+            self.pending = [(conv, ts, turn, cols)]
+            self.peak_pending_rows = max(self.peak_pending_rows, len(ts))
+            return empty
+        rest_mask = ~stable_mask
+        if rest_mask.any():
+            self.pending = [self._take((conv, ts, turn, cols), rest_mask)]
+            self.peak_pending_rows = max(
+                self.peak_pending_rows, int(rest_mask.sum())
             )
-            if len(starts):
-                conv_arr = np.full(len(c_ts), cid, dtype=object)
-                out.append(
-                    matches_frame(conv_arr, c_ts, c_turn, starts, self.k)
-                )
-            keep = self.k - 1
-            if keep > 0:
-                self.tails[cid] = (
-                    c_ts[-keep:],
-                    c_turn[-keep:],
-                    {c: a[-keep:] for c, a in c_cols.items()},
-                )
-            if n_stable < len(ts):
-                self.pending[cid] = [
-                    (
-                        ts[n_stable:],
-                        turn[n_stable:],
-                        {c: a[n_stable:] for c, a in cols.items()},
-                    )
-                ]
-                n_pending += len(ts) - n_stable
-            else:
-                del self.pending[cid]
-        self.peak_pending_rows = max(self.peak_pending_rows, n_pending)
-        if not out:
-            return pa.table(
-                {k: pa.array([], type=t) for k, t in _EMIT_SCHEMA.items()}
+        else:
+            self.pending = []
+        stable = self._take((conv, ts, turn, cols), stable_mask)
+
+        # pull in the tails of the conversations touched this cycle
+        touched = np.unique(stable[0])
+        keep_tails = None
+        if self.tails is not None:
+            t_conv = self.tails[0]
+            pos = np.searchsorted(touched, t_conv)
+            sel = (pos < len(touched)) & (
+                touched[np.clip(pos, 0, len(touched) - 1)] == t_conv
             )
-        df = pd.concat(out, ignore_index=True)
+            active = self._take(self.tails, sel)
+            if not sel.all():
+                keep_tails = self._take(self.tails, ~sel)
+            combined = self._concat2(active, stable)
+        else:
+            combined = stable
+        c_conv, c_ts, c_turn, c_cols = combined
+        order = np.lexsort((c_turn, c_ts, c_conv))
+        c_conv, c_ts, c_turn = c_conv[order], c_ts[order], c_turn[order]
+        c_cols = {c: a[order] for c, a in c_cols.items()}
+
+        starts = find_match_starts(
+            c_conv, c_ts, c_cols, self.steps, self.within_us
+        )
+
+        # new tails: last k-1 rows of every touched conversation (vectorized
+        # segment-tail gather over the conv boundaries)
+        keep = self.k - 1
+        new_tails = None
+        if keep > 0 and len(c_conv):
+            n = len(c_conv)
+            new_conv = np.empty(n, dtype=bool)
+            new_conv[0] = True
+            new_conv[1:] = c_conv[1:] != c_conv[:-1]
+            seg_start = np.flatnonzero(new_conv)
+            seg_end = np.concatenate((seg_start[1:], [n]))
+            cnt = np.minimum(seg_end - seg_start, keep)
+            total = int(cnt.sum())
+            intra = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(np.concatenate(([0], np.cumsum(cnt)))[:-1], cnt)
+            )
+            idx = np.repeat(seg_end - cnt, cnt) + intra
+            new_tails = self._take((c_conv, c_ts, c_turn, c_cols), idx)
+        if keep_tails is not None and new_tails is not None:
+            merged = self._concat2(keep_tails, new_tails)
+            o = np.lexsort((merged[2], merged[1], merged[0]))
+            self.tails = self._take(merged, o)
+        else:
+            self.tails = new_tails if new_tails is not None else keep_tails
+
+        if len(starts) == 0:
+            return empty
+        ends = starts + self.k - 1
+        names = np.asarray(self.conv_names, dtype=object)
         return pa.table(
             {
-                "conv_id": pa.array(df["conv_id"], type=pa.string()),
-                "start_turn_idx": pa.array(df["start_turn_idx"], type=pa.int64()),
-                "end_turn_idx": pa.array(df["end_turn_idx"], type=pa.int64()),
-                "start_ts": pa.array(df["start_ts"], type=pa.int64()),
-                "end_ts": pa.array(df["end_ts"], type=pa.int64()),
+                "conv_id": pa.array(names[c_conv[starts]], type=pa.string()),
+                "start_turn_idx": pa.array(c_turn[starts].astype(np.int64)),
+                "end_turn_idx": pa.array(c_turn[ends].astype(np.int64)),
+                "start_ts": pa.array(c_ts[starts].astype(np.int64)),
+                "end_ts": pa.array(c_ts[ends].astype(np.int64)),
             }
         )
 
@@ -214,7 +293,7 @@ class PatternStateStore:
         return {
             "rows_ingested": self.rows_ingested,
             "peak_pending_rows": self.peak_pending_rows,
-            "open_tails": len(self.tails),
+            "open_tails": 0 if self.tails is None else len(self.tails[0]),
         }
 
     # -- checkpoint ---------------------------------------------------------
@@ -223,11 +302,9 @@ class PatternStateStore:
 
         return pickle.dumps(
             {
-                "pending": {
-                    cid: self._concat(chunks)
-                    for cid, chunks in self.pending.items()
-                },
+                "pending": self._concat_pending() if self.pending else None,
                 "tails": self.tails,
+                "conv_names": list(self.conv_names),
                 "rows_ingested": self.rows_ingested,
                 "peak_pending_rows": self.peak_pending_rows,
             },
@@ -238,8 +315,10 @@ class PatternStateStore:
         import pickle
 
         st = pickle.loads(blob)
-        self.pending = {cid: [chunk] for cid, chunk in st["pending"].items()}
-        self.tails = dict(st["tails"])
+        self.pending = [st["pending"]] if st["pending"] is not None else []
+        self.tails = st["tails"]
+        self.conv_names = list(st["conv_names"])
+        self.conv_ids = {nm: i for i, nm in enumerate(self.conv_names)}
         self.rows_ingested = st["rows_ingested"]
         self.peak_pending_rows = st["peak_pending_rows"]
 
@@ -332,59 +411,60 @@ class StreamingPatternJob:
         self.total_rows = meta["total_rows"]
         return True
 
-    def _close(self, fragment_idx: int, watermark_us: int) -> int:
-        tables = ray.get(
-            [s.close.remote(watermark_us) for s in self.stores]
-        )
-        tables = [t for t in tables if t.num_rows]
-        if not tables:
-            return 0
-        out = pa.concat_tables(tables).sort_by(
-            [
-                ("conv_id", "ascending"),
-                ("start_ts", "ascending"),
-                ("start_turn_idx", "ascending"),
-            ]
-        )
-        emit_path = os.path.join(self.out_dir, f"emit-f{fragment_idx:05d}.parquet")
-        tmp = emit_path + f".tmp-{os.getpid()}"
-        pq.write_table(out, tmp)
-        os.replace(tmp, emit_path)
-        return out.num_rows
-
     def run(self, fragment_paths: list[str], resume: bool = False,
-            final_flush: bool = True) -> dict:
+            final_flush: bool = True, prefetch: int = 4) -> dict:
         if resume:
             self.resume()
         manifest_path = os.path.join(self.out_dir, "manifest.jsonl")
         split = ray.remote(num_returns=1 + self.parallelism)(
             _partition_cep_fragment
         )
+        n_frag = len(fragment_paths)
+        # split tasks prefetch `prefetch` fragments ahead of the sequential
+        # watermark chain (they are watermark-free); emission runs as async
+        # Ray tasks — the driver loop only sequences ingest -> close
+        split_refs: dict[int, list] = {}
+        emit_futs: list = []
+
+        def _drain_emits() -> int:
+            nonlocal emit_futs
+            done = sum(ray.get(emit_futs))
+            emit_futs = []
+            return done
+
         emitted = 0
-        for k in range(self.next_fragment, len(fragment_paths)):
-            path = fragment_paths[k]
-            refs = split.remote(
-                path, self.parallelism, self.watermark, self.columns
-            )
+        for k in range(self.next_fragment, n_frag):
+            for j in range(k, min(k + prefetch, n_frag)):
+                if j not in split_refs:
+                    split_refs[j] = split.remote(
+                        fragment_paths[j], self.parallelism, self.columns
+                    )
+            refs = split_refs.pop(k)
             meta_ref, shard_refs = refs[0], refs[1:]
             futs = [
-                store.ingest.remote(shard)
+                store.ingest.remote(shard, self.watermark)
                 for store, shard in zip(self.stores, shard_refs)
             ]
             meta = ray.get(meta_ref)
-            ray.get(futs)
+            n_late = sum(ray.get(futs))
             self.total_rows += meta["n_rows"]
-            self.total_late += meta["n_late"]
+            self.total_late += n_late
             self.watermark = max(self.watermark, meta["frag_max_ts"])
-            emitted += self._close(k, self.watermark)
+            emit_futs.append(
+                _emit_matches.remote(
+                    self.out_dir,
+                    k,
+                    *[s.close.remote(self.watermark) for s in self.stores],
+                )
+            )
             with open(manifest_path, "a") as f:
                 f.write(
                     json.dumps(
                         {
                             "fragment": k,
-                            "path": os.path.basename(path),
+                            "path": os.path.basename(fragment_paths[k]),
                             "rows": meta["n_rows"],
-                            "late_dropped": meta["n_late"],
+                            "late_dropped": n_late,
                             "watermark": self.watermark,
                         }
                     )
@@ -392,9 +472,21 @@ class StreamingPatternJob:
                 )
             self.next_fragment = k + 1
             if self.checkpoint_dir and self.next_fragment % self.checkpoint_every == 0:
+                # emissions for finished fragments must be durable before a
+                # checkpoint records them as done (resume skips them)
+                emitted += _drain_emits()
                 self._checkpoint()
+            elif len(emit_futs) >= 32:
+                emitted += _drain_emits()
         if final_flush and self.watermark > _NEG_INF:
-            emitted += self._close(len(fragment_paths), _FAR_FUTURE)
+            emit_futs.append(
+                _emit_matches.remote(
+                    self.out_dir,
+                    n_frag,
+                    *[s.close.remote(_FAR_FUTURE) for s in self.stores],
+                )
+            )
+        emitted += _drain_emits()
         stats = ray.get([s.stats.remote() for s in self.stores])
         with open(manifest_path, "a") as f:
             f.write(
