@@ -62,22 +62,18 @@ _EMPTY_SCHEMA = {
 def _partition_session_fragment(
     path: str,
     parallelism: int,
-    gap_us: int,
-    watermark_us: int,
     columns: list[str] | None,
 ):
-    """Split one fragment into P shards by conv hash; drop rows whose
-    potential session is already closed (ts + gap <= carry-in watermark)."""
+    """Split one fragment into P shards by conv hash.  Watermark-free on
+    purpose so split tasks PREFETCH ahead of the sequential watermark chain;
+    the late rule (ts + gap <= carry-in watermark: the session the row could
+    have joined is already closed) is applied in the state actors at ingest,
+    where the processing-turn watermark is known."""
     table = pq.read_table(path, columns=columns)
     n = table.num_rows
     ts = ts_to_us(table["ts"])
     frag_max = int(ts.max()) if n else _NEG_INF
     frag_min = int(ts.min()) if n else 2**62
-
-    late = ts + gap_us <= watermark_us
-    n_late = int(late.sum())
-    if n_late:
-        table = table.filter(pa.array(~late))
 
     conv = table["conv_id"]
     if isinstance(conv, pa.ChunkedArray):
@@ -94,11 +90,26 @@ def _partition_session_fragment(
     shards = [sorted_tbl.slice(offsets[p], counts[p]) for p in range(parallelism)]
     meta = {
         "n_rows": n,
-        "n_late": n_late,
         "frag_max_ts": frag_max,
         "frag_min_ts": frag_min,
     }
     return (meta, *shards)
+
+
+@ray.remote
+def _emit_sessions(out_dir: str, fragment_idx: int, *tables) -> int:
+    """Async exactly-once sink: concat + canonical sort + atomic rename."""
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return 0
+    out = pa.concat_tables(tables).sort_by(
+        [("conv_id", "ascending"), ("session_start", "ascending")]
+    )
+    emit_path = os.path.join(out_dir, f"emit-f{fragment_idx:05d}.parquet")
+    tmp = emit_path + f".tmp-{os.getpid()}"
+    pq.write_table(out, tmp)
+    os.replace(tmp, emit_path)
+    return out.num_rows
 
 
 @ray.remote(num_cpus=0.5)
@@ -130,11 +141,21 @@ class SessionStateStore:
         syn.set_partition_value(conv)
         return syn
 
-    def ingest(self, batch: pa.Table) -> int:
+    def ingest(self, batch: pa.Table, watermark_us: int = _NEG_INF) -> int:
+        """Merge one shard into session state; drop + count late rows
+        (``ts + gap <= carry-in watermark``).  Returns late-dropped count."""
         n = batch.num_rows
         if n == 0:
             return 0
         ts = ts_to_us(batch["ts"])
+        late = ts + self.gap_us <= watermark_us
+        n_late = int(late.sum())
+        if n_late:
+            batch = batch.filter(pa.array(~late))
+            ts = ts[~late]
+            if batch.num_rows == 0:
+                self.rows_ingested += n
+                return n_late
         values = self.extractor(batch)
         conv = batch["conv_id"]
         if isinstance(conv, pa.ChunkedArray):
@@ -142,18 +163,17 @@ class SessionStateStore:
         dic = conv.dictionary_encode()
         codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         convs = dic.dictionary.to_pylist()
-        gap = self.gap_us
         order = np.lexsort((ts, codes))
         codes_s, ts_s, values_s = codes[order], ts[order], values[order]
         bounds = np.concatenate(
-            [[0], np.nonzero(np.diff(codes_s))[0] + 1, [n]]
+            [[0], np.nonzero(np.diff(codes_s))[0] + 1, [batch.num_rows]]
         )
         for b in range(len(bounds) - 1):
             lo, hi = int(bounds[b]), int(bounds[b + 1])
             cid = convs[int(codes_s[lo])]
             self._ingest_conv(cid, ts_s[lo:hi], values_s[lo:hi])
         self.rows_ingested += n
-        return n
+        return n_late
 
     def _ingest_conv(self, cid: str, ts: np.ndarray, values: np.ndarray) -> None:
         """Merge ts-sorted rows of one conv into its open sessions.
@@ -378,54 +398,63 @@ class StreamingSessionJob:
         self.total_rows = meta["total_rows"]
         return True
 
-    def _close(self, fragment_idx: int) -> int:
-        tables = ray.get(
-            [s.close_sessions.remote(self.watermark) for s in self.stores]
-        )
-        tables = [t for t in tables if t.num_rows]
-        if not tables:
-            return 0
-        out = pa.concat_tables(tables).sort_by(
-            [("conv_id", "ascending"), ("session_start", "ascending")]
-        )
-        emit_path = os.path.join(self.out_dir, f"emit-f{fragment_idx:05d}.parquet")
-        tmp = emit_path + f".tmp-{os.getpid()}"
-        pq.write_table(out, tmp)
-        os.replace(tmp, emit_path)
-        return out.num_rows
-
-    def run(self, fragment_paths: list[str], resume: bool = False, final_flush: bool = True) -> dict:
+    def run(self, fragment_paths: list[str], resume: bool = False,
+            final_flush: bool = True, prefetch: int = 4) -> dict:
         if resume:
             self.resume()
         manifest_path = os.path.join(self.out_dir, "manifest.jsonl")
         split = ray.remote(num_returns=1 + self.parallelism)(
             _partition_session_fragment
         )
+        n_frag = len(fragment_paths)
+        # split tasks prefetch ahead of the sequential watermark chain (they
+        # are watermark-free); emission runs as async Ray tasks — the driver
+        # loop only sequences ingest -> close
+        split_refs: dict[int, list] = {}
+        emit_futs: list = []
+
+        def _drain_emits() -> int:
+            nonlocal emit_futs
+            done = sum(ray.get(emit_futs))
+            emit_futs = []
+            return done
+
         emitted = 0
-        for k in range(self.next_fragment, len(fragment_paths)):
-            path = fragment_paths[k]
-            refs = split.remote(
-                path, self.parallelism, self.gap_us, self.watermark, self.columns
-            )
+        for k in range(self.next_fragment, n_frag):
+            for j in range(k, min(k + prefetch, n_frag)):
+                if j not in split_refs:
+                    split_refs[j] = split.remote(
+                        fragment_paths[j], self.parallelism, self.columns
+                    )
+            refs = split_refs.pop(k)
             meta_ref, shard_refs = refs[0], refs[1:]
             futs = [
-                store.ingest.remote(shard)
+                store.ingest.remote(shard, self.watermark)
                 for store, shard in zip(self.stores, shard_refs)
             ]
             meta = ray.get(meta_ref)
-            ray.get(futs)
+            n_late = sum(ray.get(futs))
             self.total_rows += meta["n_rows"]
-            self.total_late += meta["n_late"]
+            self.total_late += n_late
             self.watermark = max(self.watermark, meta["frag_max_ts"])
-            emitted += self._close(k)
+            emit_futs.append(
+                _emit_sessions.remote(
+                    self.out_dir,
+                    k,
+                    *[
+                        s.close_sessions.remote(self.watermark)
+                        for s in self.stores
+                    ],
+                )
+            )
             with open(manifest_path, "a") as f:
                 f.write(
                     json.dumps(
                         {
                             "fragment": k,
-                            "path": os.path.basename(path),
+                            "path": os.path.basename(fragment_paths[k]),
                             "rows": meta["n_rows"],
-                            "late_dropped": meta["n_late"],
+                            "late_dropped": n_late,
                             "watermark": self.watermark,
                         }
                     )
@@ -433,10 +462,25 @@ class StreamingSessionJob:
                 )
             self.next_fragment = k + 1
             if self.checkpoint_dir and self.next_fragment % self.checkpoint_every == 0:
+                # emissions for finished fragments must be durable before a
+                # checkpoint records them as done (resume skips them)
+                emitted += _drain_emits()
                 self._checkpoint()
+            elif len(emit_futs) >= 32:
+                emitted += _drain_emits()
         if final_flush and self.watermark > _NEG_INF:
             self.watermark += self.gap_us + 1
-            emitted += self._close(len(fragment_paths))
+            emit_futs.append(
+                _emit_sessions.remote(
+                    self.out_dir,
+                    n_frag,
+                    *[
+                        s.close_sessions.remote(self.watermark)
+                        for s in self.stores
+                    ],
+                )
+            )
+        emitted += _drain_emits()
         with open(manifest_path, "a") as f:
             f.write(
                 json.dumps(

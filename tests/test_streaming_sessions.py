@@ -190,7 +190,8 @@ class TestCloseCycleScaling:
                 "text": pa.array(["hello world"] * n),
             }
         )
-        assert ray.get(store.ingest.remote(batch)) == n
+        # ingest returns the late-dropped count (none here)
+        assert ray.get(store.ingest.remote(batch)) == 0
 
         # 200 close cycles at a watermark that closes nothing
         t0 = time.perf_counter()
