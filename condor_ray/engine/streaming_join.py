@@ -22,8 +22,10 @@ from ..state.join_store import JoinStateStore
 from .streaming import _NEG_INF, _murmur_mix_array
 
 
-@ray.remote
 def _split_by_conv(path: str, parallelism: int, columns: list[str] | None):
+    """Split one fragment into P shards by conv hash.  Called with
+    ``num_returns=1 + P`` so shards stay in the object store — actors pull
+    their shard directly, nothing round-trips through the driver."""
     table = pq.read_table(path, columns=columns)
     conv = table["conv_id"]
     if isinstance(conv, pa.ChunkedArray):
@@ -39,8 +41,22 @@ def _split_by_conv(path: str, parallelism: int, columns: list[str] | None):
     frag_max = int(pa.compute.max(ts).as_py()) if table.num_rows else _NEG_INF
     return (
         frag_max,
-        [sorted_tbl.slice(offsets[p], counts[p]) for p in range(parallelism)],
+        *[sorted_tbl.slice(offsets[p], counts[p]) for p in range(parallelism)],
     )
+
+
+@ray.remote
+def _emit_join(out_dir: str, k: int, *tables) -> int:
+    """Async exactly-once sink: concat + atomic rename off the driver."""
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return 0
+    out = pa.concat_tables(tables)
+    path = os.path.join(out_dir, f"join-f{k:05d}.parquet")
+    tmp = path + f".tmp-{os.getpid()}"
+    pq.write_table(out, tmp)
+    os.replace(tmp, path)
+    return out.num_rows
 
 
 class StreamingJoinJob:
@@ -73,47 +89,58 @@ class StreamingJoinJob:
             if i < len(call_fragments):
                 schedule.append(("call", call_fragments[i]))
         wm = {"turn": _NEG_INF, "call": _NEG_INF}
+        split = ray.remote(num_returns=1 + self.parallelism)(_split_by_conv)
+        # split tasks are watermark-free: prefetch ahead of the sequential
+        # two-input watermark chain; emission runs as async Ray tasks
+        split_refs: dict[int, list] = {}
+        emit_futs: list = []
         emitted = 0
+        prefetch = 4
+        n_sched = len(schedule)
         for k, (side, path) in enumerate(schedule):
-            cols = turn_columns if side == "turn" else call_columns
-            frag_max, shards = ray.get(
-                _split_by_conv.remote(path, self.parallelism, cols)
-            )
+            for j in range(k, min(k + prefetch, n_sched)):
+                if j not in split_refs:
+                    jc = turn_columns if schedule[j][0] == "turn" else call_columns
+                    split_refs[j] = split.remote(
+                        schedule[j][1], self.parallelism, jc
+                    )
+            refs = split_refs.pop(k)
+            fmax_ref, shard_refs = refs[0], refs[1:]
             method = "ingest_turns" if side == "turn" else "ingest_calls"
             combined_before = min(wm.values())
-            late = sum(
-                ray.get(
-                    [
-                        getattr(s, method).remote(sh, combined_before)
-                        for s, sh in zip(self.stores, shards)
-                    ]
-                )
-            )
-            self.total_late += late
+            late_futs = [
+                getattr(s, method).remote(sh, combined_before)
+                for s, sh in zip(self.stores, shard_refs)
+            ]
+            frag_max = ray.get(fmax_ref)
+            self.total_late += sum(ray.get(late_futs))
             wm[side] = max(wm[side], frag_max)
             combined = min(wm.values())  # two-input watermark
             if combined > _NEG_INF:
-                emitted += self._emit(k, combined)
-        emitted += self._emit(len(schedule), 2**62)  # end-of-stream flush
+                emit_futs.append(
+                    _emit_join.remote(
+                        self.out_dir,
+                        k,
+                        *[s.emit_matches.remote(combined) for s in self.stores],
+                    )
+                )
+            if len(emit_futs) >= 32:
+                emitted += sum(ray.get(emit_futs))
+                emit_futs = []
+        emit_futs.append(
+            _emit_join.remote(
+                self.out_dir,
+                n_sched,
+                *[s.emit_matches.remote(2**62) for s in self.stores],
+            )
+        )  # end-of-stream flush
+        emitted += sum(ray.get(emit_futs))
         hwm = [b["max_buffered"] for b in ray.get([s.buffered.remote() for s in self.stores])]
         return {
             "matches": emitted,
             "late_dropped": self.total_late,
             "max_buffered_rows": max(hwm) if hwm else 0,
         }
-
-    def _emit(self, k: int, horizon_us: int) -> int:
-        tables = ray.get([s.emit_matches.remote(horizon_us) for s in self.stores])
-        out = pa.concat_tables([t for t in tables if t.num_rows > 0]) if any(
-            t.num_rows for t in tables
-        ) else None
-        if out is None:
-            return 0
-        path = os.path.join(self.out_dir, f"join-f{k:05d}.parquet")
-        tmp = path + ".tmp"
-        pq.write_table(out, tmp)
-        os.replace(tmp, path)
-        return out.num_rows
 
     def result_dataset(self):
         import ray.data as rd

@@ -447,3 +447,27 @@ class TestQualitySql:
         assert (got["lang_pred"].to_numpy() == want["lang_pred"].to_numpy()).all()
         scalar = docs_pd.sort_values("doc_id")["text"].map(LangId().classify).to_numpy()
         assert (got["lang_pred"].to_numpy() == scalar).all()
+
+    def test_fingerprints_match_duckdb_horner(self, ray_session, docs_pd):
+        """The winnowing oracle (HUGEINT Horner over codepoints, window-4
+        least, list_distinct) equals the byte-wise Rabin-Karp reference on
+        the ASCII corpus."""
+        import duckdb
+
+        import __ray_entry__ as e
+
+        sql = e.oracle_sql()["doc_fingerprints"]
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+        )
+        want = con.execute(sql).fetchdf().sort_values("doc_id").reset_index(drop=True)
+
+        from condor_ray.pipelines.textstats import Fingerprinter
+
+        fp = Fingerprinter()
+        ref = docs_pd.sort_values("doc_id")
+        n_ref = ref["text"].map(lambda t: len(fp.fingerprints(t))).to_numpy()
+        m_ref = ref["text"].map(lambda t: int(fp.fingerprints(t).min())).to_numpy()
+        assert (want["n_fingerprints"].to_numpy() == n_ref).all()
+        assert (want["fingerprint_min"].to_numpy() == m_ref).all()

@@ -51,7 +51,7 @@ def main() -> None:
         n_convs=max(n_rows // 1000, 600),
         seed=42,
         n_fragments=512,
-        columns=("conv_id", "role", "ts"),
+        columns=("conv_id", "turn_idx", "role", "ts"),
     )
     frags = transcript_fragments(fixture)
     gen_sec = time.perf_counter() - t0
@@ -124,7 +124,46 @@ def main() -> None:
     }
     print("hll:", results["jobs"]["stream_hll_sliding_60s_30s"], flush=True)
 
-    # 3) exact stratified windowed counts (pure Ray Data groupby path)
+    # 3) streaming CEP: 3-step role pattern at full scale — bounded-state
+    # evidence for the newest stateful operator (peak pending rows must stay
+    # at the watermark-lag bound, not grow with the 600M-row stream)
+    from condor_ray.engine.streaming_cep import StreamingPatternJob
+    from condor_ray.pipelines.cep import Step
+
+    out = tempfile.mkdtemp(prefix="soak_cep_")
+    cep = StreamingPatternJob(
+        [
+            Step("role", "eq", "user"),
+            Step("role", "eq", "assistant"),
+            Step("role", "eq", "tool"),
+        ],
+        out,
+        within_ms=60_000,
+        parallelism=p,
+    )
+    t0 = time.perf_counter()
+    st = cep.run(frags)
+    wall = time.perf_counter() - t0
+    cep.shutdown()
+
+    def summary_field(out_dir: str, field: str) -> int:
+        last = -1
+        with open(os.path.join(out_dir, "manifest.jsonl")) as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec.get("summary") and field in rec:
+                    last = rec[field]
+        return last
+
+    results["jobs"]["stream_cep_3step"] = {
+        "wall_s": round(wall, 2),
+        "rows_per_s": round(total_rows / wall),
+        "matches": st["matches_emitted"],
+        "peak_pending_rows": summary_field(out, "peak_pending_rows"),
+    }
+    print("cep:", results["jobs"]["stream_cep_3step"], flush=True)
+
+    # 4) exact stratified windowed counts (pure Ray Data groupby path)
     ds = read_transcripts(fixture, columns=["role", "ts"])
     t0 = time.perf_counter()
     windowed_counts(ds, TumblingWindow(60_000), stratify_by="role").materialize()
