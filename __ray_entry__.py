@@ -752,6 +752,19 @@ def _q_image_features(sf_dir: str):
     return decode_images(synthesize_image_table(docs))
 
 
+def _q_frame_samples(sf_dir: str):
+    """Video-style frame sampling over the synthetic binary payloads: every
+    4th 256-byte frame's checksum through the actor-pool sampler.  The
+    payloads are deterministic functions of (doc_id, text), so the whole
+    binary pipeline — synthesize -> shard -> sample — is SQL-checkable."""
+    import ray.data as rd
+
+    from condor_ray.pipelines.multimodal import sample_frames, synthesize_image_table
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return sample_frames(synthesize_image_table(docs))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "transcripts_derivation": _q_transcripts,
@@ -809,7 +822,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_verify": _q_jaccard_verify,
         "language_id": _q_language_id,
         "doc_fingerprints": _q_doc_fingerprints,
-        "image_features": _q_image_features,     # rows-only (decode stub)
+        "image_features": _q_image_features,
+        "frame_samples": _q_frame_samples,
     }
 
 
@@ -1058,6 +1072,37 @@ SELECT doc_id,
        CAST(len(list_distinct(m)) AS BIGINT) AS n_fingerprints,
        list_min(m) AS fingerprint_min
 FROM mins"""
+    # the synthetic image payloads are deterministic functions of
+    # (doc_id, text), so the whole binary pipeline — synthesize, decode
+    # (the marked fake-codec branch), frame-sample — is SQL-checkable;
+    # mean_intensity is an exact int-sum / int-len double on both sides
+    _IMG_BODY_CTE = """
+WITH geom AS (
+  SELECT doc_id, text,
+         CAST(16 + (doc_id % 16) * 8 AS BIGINT) AS w,
+         CAST(16 + (length(text) % 16) * 8 AS BIGINT) AS h
+  FROM documents
+), body AS (
+  SELECT doc_id, w, h,
+         substring(repeat(text, CAST(w*h*3 // length(text) AS INT) + 1), 1,
+                   CAST(least(w*h*3, 4096) AS INT)) AS b
+  FROM geom
+)"""
+    out["image_features"] = f"""{_IMG_BODY_CTE}
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(list_sum(list_transform(range(1, length(b)+1), i -> unicode(b[i]))) AS DOUBLE)
+         / length(b) AS mean_intensity,
+       CAST(w AS DOUBLE) / h AS aspect
+FROM body"""
+    out["frame_samples"] = f"""{_IMG_BODY_CTE}
+SELECT doc_id, CAST(f AS INT) AS frame,
+       CAST(COALESCE(list_sum(list_transform(range(1, length(chunk)+1),
+                                             i -> unicode(chunk[i]))), 0)
+            AS BIGINT) AS checksum
+FROM (
+  SELECT doc_id, f, substring(b, CAST(f*256+1 AS INT), 256) AS chunk
+  FROM body, UNNEST(range(0, greatest(length(b)//256, 1), 4)) AS t(f)
+)"""
     # string-trigram set Jaccard == the Ray side's hashed-shingle set Jaccard
     # (distinct 64-bit shingle hashes <-> distinct trigrams; both sides do one
     # exact int/int double division)
