@@ -721,6 +721,21 @@ def _q_pattern_matches(sf_dir: str):
     )
 
 
+def _q_pattern_matches_relaxed(sf_dir: str):
+    """CEP followedBy (skip-till-next-match): from each user turn, the
+    nearest later tool call, then the nearest assistant turn after that —
+    within 24 h.  The SQL twin chains windowed next-match indices through
+    self-joins."""
+    from condor_ray.pipelines.cep import match_pattern_relaxed
+    from condor_ray.sources.events_adapter import transcripts_from_events
+
+    return match_pattern_relaxed(
+        transcripts_from_events(sf_dir),
+        _pattern_steps(),
+        within_ms=PATTERN_WITHIN_MS,
+    )
+
+
 def _q_streaming_pattern_matches(sf_dir: str):
     from condor_ray.pipelines.core import streaming_pattern_matches
 
@@ -780,6 +795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_sessions": _q_streaming_sessions,
         "count_window_distinct": _q_count_window_distinct,
         "pattern_matches": _q_pattern_matches,
+        "pattern_matches_relaxed": _q_pattern_matches_relaxed,
         "streaming_pattern_matches": _q_streaming_pattern_matches,
         "turns_join_tool_calls": _q_turns_join_tool_calls,
         "streaming_turns_join": _q_streaming_turns_join,
@@ -898,6 +914,11 @@ WHERE t.tool IS NOT NULL"""
     from condor_ray.pipelines.cep import pattern_sql
 
     out["pattern_matches"] = pattern_sql(
+        cte, _pattern_steps(), PATTERN_WITHIN_MS
+    )
+    from condor_ray.pipelines.cep import pattern_relaxed_sql
+
+    out["pattern_matches_relaxed"] = pattern_relaxed_sql(
         cte, _pattern_steps(), PATTERN_WITHIN_MS
     )
     # ts-ordered fragments => no late rows; incremental matching over the

@@ -181,6 +181,135 @@ def match_pattern(ds, steps: list[Step], within_ms: int | None = None,
     )
 
 
+def find_relaxed_matches(
+    conv: np.ndarray,
+    ts: np.ndarray,
+    cols: dict[str, np.ndarray],
+    steps: list[Step],
+    within_us: int | None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(start, end) indices under RELAXED contiguity (Flink CEP
+    ``followedBy`` with skip-till-next-match): from each row satisfying
+    step 0, greedily take the NEAREST strictly-later row satisfying step 1,
+    then the nearest after that for step 2, ... — one deterministic chain
+    per start row, reported iff it resolves inside the conversation and the
+    span bound.
+
+    Arrays must be sorted by (conv, ts, turn_idx).  Vectorized across all
+    starts at once: per step, one flatnonzero over the predicate mask and
+    one searchsorted hop.  Rows of a conversation are contiguous, so the
+    single ``conv[end] == conv[start]`` check covers every intermediate
+    hop (indices only move forward)."""
+    n = len(ts)
+    k = len(steps)
+    empty = np.empty(0, dtype=np.int64)
+    if n == 0 or k == 0:
+        return empty, empty
+    start = np.flatnonzero(steps[0].mask(cols[steps[0].col]))
+    if len(start) == 0:
+        return empty, empty
+    cur = start
+    ok = np.ones(len(start), dtype=bool)
+    for j in range(1, k):
+        pos = np.flatnonzero(steps[j].mask(cols[steps[j].col]))
+        if len(pos) == 0:
+            return empty, empty
+        idx = np.searchsorted(pos, cur, side="right")
+        valid = idx < len(pos)
+        cand = pos[np.minimum(idx, len(pos) - 1)]
+        ok &= valid
+        cur = np.where(valid, cand, cur)
+    ok &= conv[cur] == conv[start]
+    if within_us is not None and k > 1:
+        ok &= (ts[cur] - ts[start]) <= within_us
+    return start[ok], cur[ok]
+
+
+def match_pattern_relaxed(ds, steps: list[Step], within_ms: int | None = None,
+                          n_parts: int | None = None):
+    """Relaxed-contiguity matches (``followedBy`` semantics); same output
+    schema as :func:`match_pattern`."""
+    from .sessions import _conv_partition
+
+    steps = list(steps)
+    if not steps:
+        raise ValueError("pattern needs at least one step")
+    n_parts = n_parts or default_n_parts()
+    within_us = within_ms * 1000 if within_ms is not None else None
+    need_cols = sorted({s.col for s in steps})
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        conv = g["conv_id"].to_numpy()
+        ts = g["ts"].astype("int64").to_numpy()
+        turn = g["turn_idx"].to_numpy()
+        order = np.lexsort((turn, ts, conv))
+        conv, ts, turn = conv[order], ts[order], turn[order]
+        cols = {c: g[c].to_numpy()[order] for c in need_cols}
+        start, end = find_relaxed_matches(conv, ts, cols, steps, within_us)
+        if len(start) == 0:
+            return _empty_matches()
+        return pd.DataFrame(
+            {
+                "conv_id": conv[start],
+                "start_turn_idx": turn[start].astype(np.int64),
+                "end_turn_idx": turn[end].astype(np.int64),
+                "start_ts": ts[start].astype(np.int64),
+                "end_ts": ts[end].astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(_conv_partition(n_parts), batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: per_part(g.drop(columns=["part"])), batch_format="pandas"
+        )
+    )
+
+
+def pattern_relaxed_sql(transcripts_cte: str, steps: list[Step],
+                        within_ms: int | None = None) -> str:
+    """DuckDB twin of :func:`match_pattern_relaxed`: per-row next-match
+    indices (windowed MIN over following rows) chained by k-1 self-joins."""
+    k = len(steps)
+    base_cols = sorted({s.col for s in steps})
+    nxt_exprs = []
+    for j in range(1, k):
+        pred = steps[j].sql(steps[j].col)
+        nxt_exprs.append(
+            f"min(CASE WHEN {pred} THEN rn END)\n"
+            f"             OVER (PARTITION BY conv_id ORDER BY rn\n"
+            f"                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED"
+            f" FOLLOWING) AS nxt{j}"
+        )
+    nxts = (",\n         " + ",\n         ".join(nxt_exprs)) if nxt_exprs else ""
+    joins = "".join(
+        f"\nJOIN o o{j} ON o{j}.conv_id = o{j-1}.conv_id"
+        f" AND o{j}.rn = o{j-1}.nxt{j}"
+        for j in range(1, k)
+    )
+    last = f"o{k - 1}"
+    preds = [steps[0].sql(f"o0.{steps[0].col}")]
+    if within_ms is not None and k > 1:
+        preds.append(f"{last}.ts_us - o0.ts_us <= {within_ms * 1000}")
+    return f"""{transcripts_cte},
+base AS (
+  SELECT conv_id, turn_idx, epoch_us(ts) AS ts_us, {", ".join(base_cols)},
+         row_number() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS rn
+  FROM transcripts
+), o AS (
+  SELECT *{nxts}
+  FROM base
+)
+SELECT o0.conv_id,
+       CAST(o0.turn_idx AS BIGINT) AS start_turn_idx,
+       CAST({last}.turn_idx AS BIGINT) AS end_turn_idx,
+       o0.ts_us AS start_ts,
+       {last}.ts_us AS end_ts
+FROM o o0{joins}
+WHERE {" AND ".join(preds)}"""
+
+
 def pattern_sql(transcripts_cte: str, steps: list[Step],
                 within_ms: int | None = None) -> str:
     """DuckDB twin of :func:`match_pattern` over the ``transcripts`` CTE."""

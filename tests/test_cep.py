@@ -287,3 +287,109 @@ def test_step_validation():
         Step("role", "in", [])
     with pytest.raises(ValueError):
         match_pattern(None, [])
+
+
+# ------------------------------------------------------------- followedBy
+
+
+def brute_relaxed(df: pd.DataFrame, steps, within_us=None):
+    """Scalar skip-till-next-match reference."""
+    out = []
+    k = len(steps)
+    df = df.sort_values(["conv_id", "ts", "turn_idx"], kind="mergesort")
+    for cid, g in df.groupby("conv_id", sort=False):
+        rows = g.to_dict("records")
+        for i in range(len(rows)):
+            if not _pred(steps[0], rows[i][steps[0].col]):
+                continue
+            cur, ok = i, True
+            for j in range(1, k):
+                nxt = cur + 1
+                while nxt < len(rows) and not _pred(steps[j], rows[nxt][steps[j].col]):
+                    nxt += 1
+                if nxt >= len(rows):
+                    ok = False
+                    break
+                cur = nxt
+            if not ok:
+                continue
+            if within_us is not None and rows[cur]["ts"] - rows[i]["ts"] > within_us:
+                continue
+            out.append(
+                (cid, int(rows[i]["turn_idx"]), int(rows[cur]["turn_idx"]),
+                 int(rows[i]["ts"]), int(rows[cur]["ts"]))
+            )
+    return sorted(out)
+
+
+@pytest.mark.parametrize("steps,within_us", PATTERNS)
+def test_relaxed_matcher_vs_bruteforce(steps, within_us):
+    from condor_ray.pipelines.cep import find_relaxed_matches
+
+    for seed in range(4):
+        df = _rand_stream(seed=seed)
+        s = df.sort_values(["conv_id", "ts", "turn_idx"], kind="mergesort")
+        conv = s["conv_id"].to_numpy()
+        ts = s["ts"].to_numpy()
+        turn = s["turn_idx"].to_numpy()
+        cols = {c: s[c].to_numpy() for c in {st.col for st in steps}}
+        start, end = find_relaxed_matches(conv, ts, cols, steps, within_us)
+        got = sorted(
+            (conv[i], int(turn[i]), int(turn[e]), int(ts[i]), int(ts[e]))
+            for i, e in zip(start, end)
+        )
+        assert got == brute_relaxed(df, steps, within_us)
+
+
+def test_relaxed_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from condor_ray.pipelines.cep import match_pattern_relaxed, pattern_relaxed_sql
+
+    df = _rand_stream(n=800, seed=13)
+    steps, within_us = PATTERNS[0]
+    got = (
+        match_pattern_relaxed(rd.from_pandas(df), steps, within_ms=within_us // 1000)
+        .to_pandas()
+        .sort_values(["conv_id", "start_ts", "start_turn_idx"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("stream_df", df.assign(ts=pd.to_datetime(df["ts"], unit="us")))
+    want = (
+        con.execute(
+            pattern_relaxed_sql(
+                "WITH transcripts AS (SELECT * FROM stream_df)",
+                steps,
+                within_ms=within_us // 1000,
+            )
+        )
+        .fetchdf()
+        .sort_values(["conv_id", "start_ts", "start_turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for c in got.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_relaxed_superset_of_strict():
+    """Every strict-contiguity match start also starts a relaxed chain (the
+    relaxed end may differ only when an earlier predicate row intervenes —
+    with the chain construction the relaxed end is <= the strict end)."""
+    from condor_ray.pipelines.cep import find_relaxed_matches
+
+    df = _rand_stream(n=700, seed=2)
+    steps, _ = PATTERNS[0]
+    s = df.sort_values(["conv_id", "ts", "turn_idx"], kind="mergesort")
+    conv = s["conv_id"].to_numpy()
+    ts = s["ts"].to_numpy()
+    cols = {c: s[c].to_numpy() for c in {st.col for st in steps}}
+    strict = set(find_match_starts(conv, ts, cols, steps, None).tolist())
+    rel_start, rel_end = find_relaxed_matches(conv, ts, cols, steps, None)
+    rel = dict(zip(rel_start.tolist(), rel_end.tolist()))
+    k = len(steps)
+    for i in strict:
+        assert i in rel
+        assert rel[i] <= i + k - 1
