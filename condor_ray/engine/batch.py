@@ -189,18 +189,25 @@ def build_windowed_synopses(
     batch_size: int = 65536,
 ):
     """ds (transcripts schema) -> Dataset of windowed synopses (see module
-    docstring for the physical plan and output schema)."""
+    docstring for the physical plan and output schema).
+
+    ``concurrency`` is retained for API compatibility but unused: the
+    partial stage runs as plain tasks (see the comment at the call)."""
     windows = list(config.windows)
     if not windows:
         raise ValueError("config.windows must contain at least one window")
     slice_us = _common_slice_us(windows)
 
+    # plain tasks, not an actor pool: the builder's only real state (H3 hash
+    # tables) is PROCESS-cached by (n, seed), so reused task workers keep it
+    # warm, while a dedicated actor pool pays `concurrency` cold heaps
+    # (import + first-touch page faults) per job — measured 5-8x the actual
+    # UDF compute on short jobs
+    builder = PartialSynopsisBuilder(config, slice_us)
     partials = ds.map_batches(
-        PartialSynopsisBuilder,
+        lambda b: builder(b),
         batch_format="pyarrow",
         batch_size=batch_size,
-        fn_constructor_args=(config, slice_us),
-        concurrency=concurrency,
     )
 
     # conquer step 1: one merged synopsis per (slice, stratum)
