@@ -744,6 +744,15 @@ def _q_streaming_pattern_matches(sf_dir: str):
     )
 
 
+def _q_streaming_pattern_matches_relaxed(sf_dir: str):
+    from condor_ray.pipelines.core import streaming_pattern_matches
+
+    return streaming_pattern_matches(
+        sf_dir, _pattern_steps(), within_ms=PATTERN_WITHIN_MS,
+        contiguity="relaxed",
+    )
+
+
 def _mk_synopsis_query(fn_name: str):
     """Factory: synopsis_queries.<fn_name>(transcripts, 6h tumbling)."""
 
@@ -797,6 +806,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pattern_matches": _q_pattern_matches,
         "pattern_matches_relaxed": _q_pattern_matches_relaxed,
         "streaming_pattern_matches": _q_streaming_pattern_matches,
+        "streaming_pattern_matches_relaxed": _q_streaming_pattern_matches_relaxed,
         "turns_join_tool_calls": _q_turns_join_tool_calls,
         "streaming_turns_join": _q_streaming_turns_join,
         "streaming_multi_window": _q_streaming_multi_window,
@@ -921,6 +931,9 @@ WHERE t.tool IS NOT NULL"""
     out["pattern_matches_relaxed"] = pattern_relaxed_sql(
         cte, _pattern_steps(), PATTERN_WITHIN_MS
     )
+    # ts-ordered fragments => incremental relaxed matching over the
+    # watermark frontier emits exactly the batch followedBy match set
+    out["streaming_pattern_matches_relaxed"] = out["pattern_matches_relaxed"]
     # ts-ordered fragments => no late rows; incremental matching over the
     # watermark frontier emits exactly the batch match set
     out["streaming_pattern_matches"] = out["pattern_matches"]

@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 import ray
 
 from ..hashing import java_string_hash_arrow
-from ..pipelines.cep import Step, find_match_starts
+from ..pipelines.cep import Step, find_match_starts, find_relaxed_matches
 from ..stages.extract import ts_to_us
 from .streaming import _NEG_INF, _murmur_mix_array
 
@@ -111,16 +111,26 @@ class PatternStateStore:
     cycle."""
 
     def __init__(self, partition_id: int, steps: list[Step],
-                 within_us: int | None):
+                 within_us: int | None, contiguity: str = "strict"):
         self.partition_id = partition_id
         self.steps = list(steps)
         self.k = len(steps)
         self.within_us = within_us
+        self.contiguity = contiguity
+        if contiguity == "relaxed" and within_us is None:
+            raise ValueError(
+                "relaxed contiguity requires within_ms (an unbounded "
+                "followedBy would need unbounded lookback state)"
+            )
         self.cols = sorted({s.col for s in steps})
         # arrival-order chunks of (conv_code, ts, turn, {col: arr})
         self.pending: list[tuple] = []
-        # one sorted-by-(conv_code, ts, turn) table of per-conv k-1 row tails
+        # strict mode: one sorted-by-(conv_code, ts, turn) table of per-conv
+        # k-1 row tails.  relaxed mode: the same tuple layout holds the
+        # retained stable rows with ts >= prev_wm - within (time-bounded
+        # lookback buffer), and prev_wm tracks the last close watermark.
         self.tails: tuple | None = None
+        self.prev_wm = _NEG_INF
         # conversations are dictionary-encoded ONCE at ingest (string lexsort
         # compares cost ~1 us each in object arrays — int codes sort ~50x
         # faster); codes are stable across the actor's lifetime
@@ -201,8 +211,80 @@ class PatternStateStore:
             {c: np.concatenate([a[3][c], b[3][c]]) for c in a[3]},
         )
 
+    def _emit_table(self, c_conv, c_ts, c_turn, starts, ends) -> pa.Table:
+        names = np.asarray(self.conv_names, dtype=object)
+        return pa.table(
+            {
+                "conv_id": pa.array(names[c_conv[starts]], type=pa.string()),
+                "start_turn_idx": pa.array(c_turn[starts].astype(np.int64)),
+                "end_turn_idx": pa.array(c_turn[ends].astype(np.int64)),
+                "start_ts": pa.array(c_ts[starts].astype(np.int64)),
+                "end_ts": pa.array(c_ts[ends].astype(np.int64)),
+            }
+        )
+
+    def _close_relaxed(self, watermark_us: int) -> pa.Table:
+        """Relaxed (followedBy) close cycle.
+
+        A chain resolved entirely among stable rows is FINAL: future rows
+        have ts >= watermark and sort after every stable row, so they can
+        never preempt a chosen next-match.  Emit exactly the matches whose
+        end stabilized THIS cycle (prev_wm <= end_ts < wm; an end older
+        than prev_wm had its whole chain stable then and was emitted then).
+        Retention: rows with ts >= wm - within can still pair with a future
+        end (span bound) — the lookback buffer is time-bounded, the classic
+        CEP within() state bound."""
+        empty = pa.table(
+            {k: pa.array([], type=t) for k, t in _EMIT_SCHEMA.items()}
+        )
+        prev_wm = self.prev_wm
+        self.prev_wm = watermark_us
+        if self.pending:
+            conv, ts, turn, cols = self._concat_pending()
+            stable_mask = ts < watermark_us
+            rest_mask = ~stable_mask
+            if rest_mask.any():
+                self.pending = [self._take((conv, ts, turn, cols), rest_mask)]
+                self.peak_pending_rows = max(
+                    self.peak_pending_rows, int(rest_mask.sum())
+                )
+            else:
+                self.pending = []
+            stable = self._take((conv, ts, turn, cols), stable_mask)
+            combined = (
+                self._concat2(self.tails, stable)
+                if self.tails is not None
+                else stable
+            )
+        else:
+            if self.tails is None:
+                return empty
+            combined = self.tails
+        c_conv, c_ts, c_turn, c_cols = combined
+        order = np.lexsort((c_turn, c_ts, c_conv))
+        c_conv, c_ts, c_turn = c_conv[order], c_ts[order], c_turn[order]
+        c_cols = {c: a[order] for c, a in c_cols.items()}
+        keep = c_ts >= watermark_us - self.within_us
+        self.tails = (
+            self._take((c_conv, c_ts, c_turn, c_cols), keep)
+            if keep.any()
+            else None
+        )
+        starts, ends = find_relaxed_matches(
+            c_conv, c_ts, c_cols, self.steps, self.within_us
+        )
+        if len(starts) == 0:
+            return empty
+        fresh = c_ts[ends] >= prev_wm
+        starts, ends = starts[fresh], ends[fresh]
+        if len(starts) == 0:
+            return empty
+        return self._emit_table(c_conv, c_ts, c_turn, starts, ends)
+
     def close(self, watermark_us: int) -> pa.Table:
         """Match + emit over rows that became stable (ts < watermark)."""
+        if self.contiguity == "relaxed":
+            return self._close_relaxed(watermark_us)
         empty = pa.table(
             {k: pa.array([], type=t) for k, t in _EMIT_SCHEMA.items()}
         )
@@ -277,17 +359,7 @@ class PatternStateStore:
 
         if len(starts) == 0:
             return empty
-        ends = starts + self.k - 1
-        names = np.asarray(self.conv_names, dtype=object)
-        return pa.table(
-            {
-                "conv_id": pa.array(names[c_conv[starts]], type=pa.string()),
-                "start_turn_idx": pa.array(c_turn[starts].astype(np.int64)),
-                "end_turn_idx": pa.array(c_turn[ends].astype(np.int64)),
-                "start_ts": pa.array(c_ts[starts].astype(np.int64)),
-                "end_ts": pa.array(c_ts[ends].astype(np.int64)),
-            }
-        )
+        return self._emit_table(c_conv, c_ts, c_turn, starts, starts + self.k - 1)
 
     def stats(self) -> dict:
         return {
@@ -304,6 +376,7 @@ class PatternStateStore:
             {
                 "pending": self._concat_pending() if self.pending else None,
                 "tails": self.tails,
+                "prev_wm": self.prev_wm,
                 "conv_names": list(self.conv_names),
                 "rows_ingested": self.rows_ingested,
                 "peak_pending_rows": self.peak_pending_rows,
@@ -317,6 +390,7 @@ class PatternStateStore:
         st = pickle.loads(blob)
         self.pending = [st["pending"]] if st["pending"] is not None else []
         self.tails = st["tails"]
+        self.prev_wm = st["prev_wm"]
         self.conv_names = list(st["conv_names"])
         self.conv_ids = {nm: i for i, nm in enumerate(self.conv_names)}
         self.rows_ingested = st["rows_ingested"]
@@ -337,11 +411,20 @@ class StreamingPatternJob:
         checkpoint_dir: str | None = None,
         checkpoint_every: int = 4,
         columns: list[str] | None = None,
+        contiguity: str = "strict",
     ):
         if not steps:
             raise ValueError("pattern needs at least one step")
+        if contiguity not in ("strict", "relaxed"):
+            raise ValueError(f"unknown contiguity {contiguity!r}")
+        if contiguity == "relaxed" and within_ms is None:
+            raise ValueError(
+                "relaxed contiguity requires within_ms (an unbounded "
+                "followedBy would need unbounded lookback state)"
+            )
         self.steps = list(steps)
         self.within_us = within_ms * 1000 if within_ms is not None else None
+        self.contiguity = contiguity
         self.parallelism = parallelism
         self.out_dir = out_dir
         self.checkpoint_dir = checkpoint_dir
@@ -352,7 +435,7 @@ class StreamingPatternJob:
         if checkpoint_dir:
             os.makedirs(checkpoint_dir, exist_ok=True)
         self.stores = [
-            PatternStateStore.remote(p, self.steps, self.within_us)
+            PatternStateStore.remote(p, self.steps, self.within_us, contiguity)
             for p in range(parallelism)
         ]
         self.watermark = _NEG_INF

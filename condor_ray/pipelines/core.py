@@ -366,13 +366,13 @@ def streaming_sessions(sf_dir: str, gap_ms: int, parallelism: int = 4):
 
 
 def streaming_pattern_matches(sf_dir: str, steps, within_ms: int | None = None,
-                              parallelism: int = 4):
-    """CEP through the STREAMING engine: the strict-contiguity pattern matcher
-    runs incrementally in partitioned state actors under watermarks (k-1 row
-    tail per conversation, exactly-once emission).  The fragment stream is
-    ts-ordered, so no row is late and the match set equals the batch
-    operator's — the query shares ``pattern_matches``' lead()-window SQL
-    oracle."""
+                              parallelism: int = 4, contiguity: str = "strict"):
+    """CEP through the STREAMING engine: the pattern matcher runs
+    incrementally in partitioned state actors under watermarks (strict: k-1
+    row tail per conversation; relaxed: within()-bounded lookback buffer),
+    exactly-once emission.  The fragment stream is ts-ordered, so no row is
+    late and the match set equals the batch operator's — the query shares
+    the batch pattern's SQL oracle."""
     import tempfile
 
     from ..engine.streaming_cep import StreamingPatternJob
@@ -380,7 +380,8 @@ def streaming_pattern_matches(sf_dir: str, steps, within_ms: int | None = None,
     frags = cached_event_stream_fragments(sf_dir)
     out_dir = tempfile.mkdtemp(prefix="condor_cep_q_")
     job = StreamingPatternJob(
-        steps, out_dir, within_ms=within_ms, parallelism=parallelism
+        steps, out_dir, within_ms=within_ms, parallelism=parallelism,
+        contiguity=contiguity,
     )
     job.run(frags)
     out = job.result_dataset().to_pandas()

@@ -393,3 +393,77 @@ def test_relaxed_superset_of_strict():
     for i in strict:
         assert i in rel
         assert rel[i] <= i + k - 1
+
+
+def test_streaming_relaxed_parity_and_invariance(ray_session, tmp_path):
+    """Relaxed streaming: emissions equal the batch followedBy matcher for
+    any fragmentation; the lookback buffer stays within()-bounded."""
+    df = _rand_stream(n=900, seed=21).sort_values(
+        ["ts", "conv_id", "turn_idx"], kind="mergesort"
+    ).reset_index(drop=True)
+    steps, within_us = PATTERNS[0]
+    want = brute_relaxed(df, steps, within_us)
+    assert len(want) > 0
+    outs = []
+    for n_frag in (1, 4, 9):
+        frags = _write_fragments(df, str(tmp_path / f"rf{n_frag}"), n_frag)
+        out, stats = _run_streaming(
+            frags, steps, within_us, str(tmp_path), f"rinv{n_frag}",
+            contiguity="relaxed",
+        )
+        got = sorted(
+            tuple(r)
+            for r in out[
+                ["conv_id", "start_turn_idx", "end_turn_idx", "start_ts", "end_ts"]
+            ].itertuples(index=False)
+        )
+        assert got == want
+        outs.append(got)
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_streaming_relaxed_late_drops(ray_session, tmp_path):
+    """Out-of-order stream under relaxed contiguity == sequential replay
+    oracle with the same late rule."""
+    rng = np.random.default_rng(31)
+    df = _rand_stream(n=900, seed=17).sort_values(
+        ["ts", "conv_id", "turn_idx"], kind="mergesort"
+    ).reset_index(drop=True)
+    idx = np.arange(len(df))
+    movers = rng.choice(idx[:-60], 90, replace=False)
+    arrival = np.concatenate([np.delete(idx, movers), movers])
+    df = df.iloc[arrival].reset_index(drop=True)
+    steps, within_us = PATTERNS[0]
+    frags = _write_fragments(df, str(tmp_path / "rlate"), 6)
+    # sequential oracle: late rule, then batch relaxed matcher over survivors
+    wm = -(2**62)
+    kept, n_late = [], 0
+    for f in frags:
+        g = pq.read_table(f).to_pandas()
+        late = g["ts"].to_numpy() < wm
+        n_late += int(late.sum())
+        kept.append(g[~late])
+        if len(g):
+            wm = max(wm, int(g["ts"].max()))
+    want = brute_relaxed(pd.concat(kept, ignore_index=True), steps, within_us)
+    out, stats = _run_streaming(
+        frags, steps, within_us, str(tmp_path), "rlate", contiguity="relaxed"
+    )
+    assert stats["late_dropped"] == n_late > 0
+    got = sorted(
+        tuple(r)
+        for r in out[
+            ["conv_id", "start_turn_idx", "end_turn_idx", "start_ts", "end_ts"]
+        ].itertuples(index=False)
+    )
+    assert got == want
+
+
+def test_streaming_relaxed_requires_within(ray_session, tmp_path):
+    from condor_ray.engine.streaming_cep import StreamingPatternJob
+
+    with pytest.raises(ValueError):
+        StreamingPatternJob(
+            PATTERNS[0][0], str(tmp_path / "x"), within_ms=None,
+            contiguity="relaxed",
+        )
