@@ -115,6 +115,18 @@ def _q_cm_tool_frequencies(sf_dir: str):
     return cm_tool_frequencies(ds, TumblingWindow(WINDOW_MS))
 
 
+def _q_windowed_topk_tools(sf_dir: str):
+    """Exact per-window top-5 tool frequencies (windowed heavy hitters) —
+    ties (n DESC, tool ASC); QUALIFY row_number twin."""
+    from condor_ray.pipelines.core import windowed_topk_tools
+    from condor_ray.sources.events_adapter import transcripts_from_events
+    from condor_ray.windows import TumblingWindow
+
+    return windowed_topk_tools(
+        transcripts_from_events(sf_dir), TumblingWindow(WINDOW_MS), k=5
+    )
+
+
 def _q_flagship_hll(sf_dir: str):
     from condor_ray.pipelines.core import flagship_hll_pipeline
     from condor_ray.sources.events_adapter import transcripts_from_events
@@ -797,6 +809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_counts_by_role": _q_windowed_counts_by_role,
         "windowed_distinct_convs": _q_windowed_distinct,
         "cm_tool_frequencies": _q_cm_tool_frequencies,
+        "windowed_topk_tools": _q_windowed_topk_tools,
         "flagship_hll": _q_flagship_hll,  # rows-only (estimates)
         "streaming_windowed_counts": _q_streaming_windowed_counts,
         "sessions_30m": _q_sessions,
@@ -893,6 +906,9 @@ SELECT (epoch_us(ts) // {_W_US}) * {_W_US} AS window_start,
        count(*) AS est
 FROM transcripts WHERE tool IS NOT NULL GROUP BY 1, 2""",
     }
+    from condor_ray.pipelines.core import windowed_topk_sql as _wtk
+
+    out["windowed_topk_tools"] = _wtk(cte, _W_US, 5)
     out["sessions_30m"] = __import__(
         "condor_ray.pipelines.sessions", fromlist=["session_sql"]
     ).session_sql(cte, SESSION_GAP_MS)

@@ -90,6 +90,102 @@ def windowed_distinct_convs(ds, window: TumblingWindow):
     return out.map_batches(bounds, batch_format="pandas")
 
 
+def windowed_topk_tools(ds, window: TumblingWindow, k: int = 5,
+                        n_parts: int | None = None):
+    """Exact per-window top-k tool frequencies (windowed heavy hitters),
+    ties broken (n DESC, tool ASC).  Returns window_start, rank, tool, n.
+
+    Scale design: per batch one vectorized (window, tool) partial count
+    collapses each batch to its distinct pairs before the shuffle; the
+    exchange carries partial-count rows hash-partitioned BY WINDOW into
+    O(cores) groups (a window's candidates live in exactly one partition,
+    so per-partition top-k is exact — never one Ray group per window);
+    one vectorized merge + rank per partition."""
+    import pyarrow.compute as pc
+
+    n_parts = n_parts or default_n_parts()
+    size_us = window.size_us
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["tool"]))
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "wid": pa.array([], type=pa.int64()),
+                    "tool": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                    "part": pa.array([], type=pa.int32()),
+                }
+            )
+        ts = ts_to_us(batch["ts"])
+        wid = ts // size_us
+        tool = batch["tool"]
+        if isinstance(tool, pa.ChunkedArray):
+            tool = tool.combine_chunks()
+        dic = tool.dictionary_encode()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        m = len(dic.dictionary)
+        uniq, counts = np.unique(wid * m + codes, return_counts=True)
+        uw = uniq // m
+        return pa.table(
+            {
+                "wid": pa.array(uw),
+                "tool": dic.dictionary.take(pa.array(uniq % m, type=pa.int64())),
+                "n": pa.array(counts.astype(np.int64)),
+                "part": pa.array(
+                    ((uw.astype(np.uint64) * np.uint64(0x9E3779B9)) >> np.uint64(16))
+                    .astype(np.int64)
+                    .__mod__(n_parts)
+                    .astype(np.int32)
+                ),
+            }
+        )
+
+    def part_topk(g: pd.DataFrame) -> pd.DataFrame:
+        merged = (
+            g.groupby(["wid", "tool"], sort=False, as_index=False)["n"].sum()
+        )
+        merged = merged.sort_values(
+            ["wid", "n", "tool"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        rank = merged.groupby("wid", sort=False).cumcount() + 1
+        out = merged[rank <= k].reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "window_start": out["wid"].to_numpy(np.int64) * size_us,
+                "rank": rank[rank <= k].to_numpy(np.int64),
+                "tool": out["tool"].to_numpy(object),
+                "n": out["n"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: part_topk(g.drop(columns=["part"])),
+            batch_format="pandas",
+        )
+    )
+
+
+def windowed_topk_sql(transcripts_cte: str, size_us: int, k: int) -> str:
+    return f"""{transcripts_cte},
+counts AS (
+  SELECT (epoch_us(ts) // {size_us}) * {size_us} AS window_start, tool,
+         count(*) AS n
+  FROM transcripts WHERE tool IS NOT NULL GROUP BY 1, 2
+)
+SELECT window_start,
+       CAST(row_number() OVER (PARTITION BY window_start
+                               ORDER BY n DESC, tool) AS BIGINT) AS rank,
+       tool, n
+FROM counts
+QUALIFY row_number() OVER (PARTITION BY window_start
+                           ORDER BY n DESC, tool) <= {k}"""
+
+
 def cm_tool_frequencies(ds, window: TumblingWindow, width=65536, height=5, seed=7):
     """Count-Min sketch per window over tool names, then point-query every
     tool observed in that window.  With the reference-standard CM{65536,5,7}

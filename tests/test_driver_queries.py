@@ -19,6 +19,7 @@ QUERIES = [
     "query_latest_stratified",
     "session_synopses",
     "wavelet_window_sums",
+    "windowed_topk_tools",
 ]
 
 
