@@ -62,7 +62,7 @@ def _rand_stream(n=600, n_convs=12, seed=0) -> pd.DataFrame:
     rng = np.random.default_rng(seed)
     conv = np.array([f"c{int(i)}" for i in rng.integers(0, n_convs, n)])
     # coarse ts so duplicates (ties) occur within a conv
-    ts = rng.integers(0, n // 2, n).astype(np.int64) * 1_000_000
+    ts = rng.integers(0, max(n // 2, 1), n).astype(np.int64) * 1_000_000
     roles = rng.choice(["user", "assistant", "tool"], n)
     tool = np.where(
         rng.random(n) < 0.4, None, rng.choice(["search", "bash", "edit"], n)
@@ -467,3 +467,109 @@ def test_streaming_relaxed_requires_within(ray_session, tmp_path):
             PATTERNS[0][0], str(tmp_path / "x"), within_ms=None,
             contiguity="relaxed",
         )
+
+
+# ------------------------------------------------------- hypothesis matchers
+
+from hypothesis import given, settings, strategies as st
+
+_STEP_POOL = [
+    Step("role", "eq", "user"),
+    Step("role", "eq", "assistant"),
+    Step("role", "ne", "tool"),
+    Step("tool", "notnull"),
+    Step("tool", "isnull"),
+    Step("tool", "in", ["search", "bash"]),
+]
+
+_gen_steps = st.lists(st.sampled_from(_STEP_POOL), min_size=1, max_size=4)
+_gen_within = st.sampled_from([None, 2_000_000, 20_000_000])
+_gen_n = st.integers(min_value=0, max_value=120)
+_gen_seed = st.integers(min_value=0, max_value=10_000)
+
+
+def _hyp_stream(n: int, seed: int) -> pd.DataFrame:
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "conv_id": pd.Series(dtype=object),
+                "ts": pd.Series(dtype=np.int64),
+                "role": pd.Series(dtype=object),
+                "tool": pd.Series(dtype=object),
+                "turn_idx": pd.Series(dtype=np.int32),
+            }
+        )
+    return _rand_stream(n=n, n_convs=4, seed=seed)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_gen_steps, _gen_within, _gen_n, _gen_seed)
+def test_hyp_strict_matcher(steps, within_us, n, seed):
+    df = _hyp_stream(n, seed)
+    s = df.sort_values(["conv_id", "ts", "turn_idx"], kind="mergesort")
+    conv = s["conv_id"].to_numpy()
+    ts = s["ts"].to_numpy()
+    turn = s["turn_idx"].to_numpy()
+    cols = {c: s[c].to_numpy() for c in {stp.col for stp in steps}}
+    k = len(steps)
+    starts = find_match_starts(conv, ts, cols, steps, within_us)
+    got = sorted(
+        (conv[i], int(turn[i]), int(turn[i + k - 1]), int(ts[i]),
+         int(ts[i + k - 1]))
+        for i in starts
+    )
+    assert got == brute_matches(df, steps, within_us)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_gen_steps, _gen_within, _gen_n, _gen_seed)
+def test_hyp_relaxed_matcher(steps, within_us, n, seed):
+    from condor_ray.pipelines.cep import find_relaxed_matches
+
+    df = _hyp_stream(n, seed)
+    s = df.sort_values(["conv_id", "ts", "turn_idx"], kind="mergesort")
+    conv = s["conv_id"].to_numpy()
+    ts = s["ts"].to_numpy()
+    turn = s["turn_idx"].to_numpy()
+    cols = {c: s[c].to_numpy() for c in {stp.col for stp in steps}}
+    start, end = find_relaxed_matches(conv, ts, cols, steps, within_us)
+    got = sorted(
+        (conv[i], int(turn[i]), int(turn[e]), int(ts[i]), int(ts[e]))
+        for i, e in zip(start, end)
+    )
+    assert got == brute_relaxed(df, steps, within_us)
+
+
+def test_streaming_relaxed_checkpoint_resume(ray_session, tmp_path):
+    """Relaxed mode crash/resume: emissions byte-equal the uninterrupted
+    run (prev_wm + lookback buffer are part of the snapshot)."""
+    df = _rand_stream(n=900, seed=23).sort_values(
+        ["ts", "conv_id", "turn_idx"], kind="mergesort"
+    ).reset_index(drop=True)
+    steps, within_us = PATTERNS[0]
+    frags = _write_fragments(df, str(tmp_path / "rck"), 8)
+
+    full, _ = _run_streaming(
+        frags, steps, within_us, str(tmp_path), "rfull", contiguity="relaxed"
+    )
+
+    from condor_ray.engine.streaming_cep import StreamingPatternJob
+
+    out_dir = str(tmp_path / "out-rresumed")
+    ck_dir = str(tmp_path / "rckpt")
+    kw = dict(within_ms=within_us // 1000, parallelism=3,
+              checkpoint_dir=ck_dir, checkpoint_every=2, contiguity="relaxed")
+    job = StreamingPatternJob(steps, out_dir, **kw)
+    job.run(frags[:4], final_flush=False)
+    job.shutdown()
+    job2 = StreamingPatternJob(steps, out_dir, **kw)
+    assert job2.resume() and job2.next_fragment == 4
+    job2.run(frags, resume=False)
+    resumed = (
+        job2.result_dataset()
+        .to_pandas()
+        .sort_values(["conv_id", "start_ts", "start_turn_idx"])
+        .reset_index(drop=True)
+    )
+    job2.shutdown()
+    pd.testing.assert_frame_equal(resumed, full)
