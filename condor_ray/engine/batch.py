@@ -170,8 +170,13 @@ def _empty_partials() -> pa.Table:
 
 
 def _merge_payload_group(df: pd.DataFrame) -> pd.DataFrame:
-    """Merge all partial synopses of one group (the conquer step)."""
-    payloads = df["payload"].tolist()
+    """Merge all partial synopses of one group (the conquer step).
+
+    Partials merge in a DETERMINISTIC order (sorted by serialized payload):
+    algebraically order-invariant synopses (CM/HLL/AGMS/...) don't care, but
+    order-sensitive ones (BASH bar layout, Bloom's AND-merge quirk) would
+    otherwise vary run-to-run with shuffle arrival order."""
+    payloads = sorted(df["payload"].tolist())
     merged = Synopsis.from_bytes(payloads[0])
     for b in payloads[1:]:
         merged = merged.merge(Synopsis.from_bytes(b))

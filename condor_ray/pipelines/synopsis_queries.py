@@ -131,23 +131,59 @@ def bloom_membership(ds, window: TumblingWindow):
     """Per-window Bloom filter over tool names, probed with the 20-name tool
     universe + 8 never-inserted ghosts.  Sized collision-free (65536 bits for
     <=20 keys), so present == exact membership (Bloom has no false
-    negatives; false positives are eliminated by sizing)."""
-    cfg = BuildConfiguration(
-        synopsis="BloomFilter",
-        params=(1024, 65536, 7),
-        windows=[window],
-        key=KeySpec("tool", "java_hash"),
-    )
-    syn = build_windowed_synopses(_tool_rows(ds), cfg, concurrency=2)
+    negatives; false positives are eliminated by sizing).
+
+    Layout-invariance: each window's filter is built by a SINGLE builder
+    from the window's distinct keys (windows hash-partition into O(cores)
+    groups) — the reference's AND-merge quirk makes a MERGED bloom's
+    membership depend on how rows split across partials (a key missing from
+    any partial is ANDed away), i.e. on block layout; the quirk itself
+    stays covered by the merge-algebra property tests."""
+    from ..runtime import default_n_parts
+    from ..synopses.registry import make_synopsis
+
+    size_us = window.size_us
+    n_parts = default_n_parts()
     probes = TOOL_UNIVERSE + GHOSTS
     probe_keys = java_string_hash_array(probes)
 
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
+    def pairs(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["tool"]))
+        ts = ts_to_us(batch["ts"])
+        wid = ts // size_us
+        tool = batch["tool"]
+        if isinstance(tool, pa.ChunkedArray):
+            tool = tool.combine_chunks()
+        dic = tool.dictionary_encode()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        m = len(dic.dictionary) + 1
+        uniq = np.unique(wid * m + codes)
+        uw = uniq // m
+        return pa.table(
+            {
+                "wid": pa.array(uw),
+                "tool": dic.dictionary.take(pa.array(uniq % m, type=pa.int64())),
+                "part": pa.array(
+                    (uw % n_parts).astype(np.int32)
+                ),
+            }
+        )
+
+    def build_and_probe(g: pd.DataFrame) -> pd.DataFrame:
+        wid = g["wid"].to_numpy(np.int64)
+        keys = java_string_hash_array(g["tool"].tolist())
+        order = np.argsort(wid, kind="stable")
+        wid, keys = wid[order], keys[order]
+        bounds = np.concatenate(
+            [[0], np.nonzero(np.diff(wid))[0] + 1, [len(wid)]]
+        )
         ws, names, present = [], [], []
-        for _, r in df.iterrows():
-            bf = Synopsis.from_bytes(r["payload"])
+        for b in range(len(bounds) - 1):  # bounded: windows per partition
+            lo, hi = int(bounds[b]), int(bounds[b + 1])
+            bf = make_synopsis("BloomFilter", (1024, 65536, 7))
+            bf.update_batch(keys[lo:hi])
             hits = bf.query_batch(probe_keys)
-            ws.extend([int(r["window_start"])] * len(probes))
+            ws.extend([int(wid[lo]) * size_us] * len(probes))
             names.extend(probes)
             present.extend(np.asarray(hits, dtype=bool).tolist())
         return pd.DataFrame(
@@ -158,7 +194,14 @@ def bloom_membership(ds, window: TumblingWindow):
             }
         )
 
-    return syn.map_batches(explode, batch_format="pandas")
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: build_and_probe(g.drop(columns=["part"])),
+            batch_format="pandas",
+        )
+    )
 
 
 def _universe_sql(include_ghosts: bool) -> str:
@@ -459,20 +502,58 @@ def bash_total_check(ds, window: TumblingWindow):
     build_equi_depth_histogram, and ``boundaries_ok`` asserts the equi-depth
     boundaries are monotone (full-domain range_query is exercised in pytest —
     discrete length distributions can produce degenerate repeated boundaries
-    where the reference's interpolation divides 0/0)."""
-    cfg = BuildConfiguration(
-        synopsis="BarSplittingHistogram",
-        params=(BASH_P, BASH_BUCKETS),
-        windows=[window],
-        key=KeySpec("text", "length"),
-    )
-    syn = build_windowed_synopses(ds, cfg, concurrency=2)
+    where the reference's interpolation divides 0/0).
 
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
+    Layout-invariance: each window's BASH is built by a SINGLE builder over
+    the window's values in deterministic (ts, conv_id, turn_idx) order —
+    bar layout (and therefore the derived equi-depth histogram) depends on
+    insertion/merge order, so the merged-partials path varies with block
+    layout; BASH split/merge semantics stay covered by their pytest suite.
+    """
+    from ..runtime import default_n_parts
+    from ..synopses.registry import make_synopsis
+
+    size_us = window.size_us
+    n_parts = default_n_parts()
+
+    def rows(batch: pa.Table) -> pa.Table:
+        ts = ts_to_us(batch["ts"])
+        wid = ts // size_us
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        return pa.table(
+            {
+                "wid": pa.array(wid),
+                "ts": pa.array(ts),
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"],
+                "length": pc.utf8_length(text).cast(pa.int64()),
+                "part": pa.array((wid % n_parts).astype(np.int32)),
+            }
+        )
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        wid = g["wid"].to_numpy(np.int64)
+        order = np.lexsort(
+            (
+                g["turn_idx"].to_numpy(),
+                g["conv_id"].to_numpy(),
+                g["ts"].to_numpy(np.int64),
+                wid,
+            )
+        )
+        wid = wid[order]
+        vals = g["length"].to_numpy(np.int64)[order]
+        bounds = np.concatenate(
+            [[0], np.nonzero(np.diff(wid))[0] + 1, [len(wid)]]
+        )
         ws, totals, edh_totals, b_ok = [], [], [], []
-        for _, r in df.iterrows():
-            h = Synopsis.from_bytes(r["payload"])
-            ws.append(int(r["window_start"]))
+        for b in range(len(bounds) - 1):  # bounded: windows per partition
+            lo, hi = int(bounds[b]), int(bounds[b + 1])
+            h = make_synopsis("BarSplittingHistogram", (BASH_P, BASH_BUCKETS))
+            h.update_batch(vals[lo:hi])
+            ws.append(int(wid[lo]) * size_us)
             totals.append(int(round(h.total_frequencies)))
             ed = h.build_equi_depth_histogram()
             if ed is None:
@@ -495,7 +576,13 @@ def bash_total_check(ds, window: TumblingWindow):
             }
         )
 
-    return syn.map_batches(explode, batch_format="pandas")
+    return (
+        ds.map_batches(rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: build(g.drop(columns=["part"])), batch_format="pandas"
+        )
+    )
 
 
 def bash_sql(cte: str, w_us: int) -> str:
