@@ -127,6 +127,13 @@ def _q_windowed_topk_tools(sf_dir: str):
     )
 
 
+def _q_streaming_windowed_topk(sf_dir: str):
+    from condor_ray.pipelines.synopsis_queries import streaming_windowed_topk_tools
+    from condor_ray.windows import TumblingWindow
+
+    return streaming_windowed_topk_tools(sf_dir, TumblingWindow(WINDOW_MS), k=5)
+
+
 def _q_flagship_hll(sf_dir: str):
     from condor_ray.pipelines.core import flagship_hll_pipeline
     from condor_ray.sources.events_adapter import transcripts_from_events
@@ -810,6 +817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_distinct_convs": _q_windowed_distinct,
         "cm_tool_frequencies": _q_cm_tool_frequencies,
         "windowed_topk_tools": _q_windowed_topk_tools,
+        "streaming_windowed_topk": _q_streaming_windowed_topk,
         "flagship_hll": _q_flagship_hll,  # rows-only (estimates)
         "streaming_windowed_counts": _q_streaming_windowed_counts,
         "sessions_30m": _q_sessions,
@@ -909,6 +917,8 @@ FROM transcripts WHERE tool IS NOT NULL GROUP BY 1, 2""",
     from condor_ray.pipelines.core import windowed_topk_sql as _wtk
 
     out["windowed_topk_tools"] = _wtk(cte, _W_US, 5)
+    # exact per-(window, tool) counts at streaming close == batch counts
+    out["streaming_windowed_topk"] = out["windowed_topk_tools"]
     out["sessions_30m"] = __import__(
         "condor_ray.pipelines.sessions", fromlist=["session_sql"]
     ).session_sql(cte, SESSION_GAP_MS)

@@ -627,6 +627,46 @@ def query_latest_cm(ds, window: TumblingWindow):
     )
 
 
+def streaming_windowed_topk_tools(sf_dir: str, window: TumblingWindow,
+                                  k: int = 5, parallelism: int = 4):
+    """Windowed heavy hitters through the STREAMING engine: a tool-stratified
+    streaming job emits exact per-(window, tool) counts at window close
+    (partials merge per stratum across partitions/fragments); the bounded
+    emission then ranks top-k per window.  Shares ``windowed_topk_tools``'
+    QUALIFY row_number oracle."""
+    import tempfile
+
+    from ..engine.streaming import StreamingSynopsisJob
+
+    frags = _tool_stream_fragments(sf_dir)
+    cfg = BuildConfiguration(
+        synopsis="CountMinSketch",
+        params=(1024, 3, 7),
+        windows=[window],
+        key=KeySpec("tool", "java_hash"),
+        stratify_by="tool",
+        parallelism=parallelism,
+    )
+    out_dir = tempfile.mkdtemp(prefix="condor_stopk_")
+    job = StreamingSynopsisJob(cfg, out_dir, columns=["conv_id", "tool", "ts"])
+    job.run(frags)
+    out = job.result_dataset().to_pandas()  # bounded: windows x tools rows
+    job.shutdown()
+    out = (
+        out[["window_start", "stratum", "n_rows"]]
+        .rename(columns={"stratum": "tool", "n_rows": "n"})
+        .astype({"window_start": np.int64, "n": np.int64})
+        .sort_values(
+            ["window_start", "n", "tool"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+    )
+    rank = out.groupby("window_start", sort=False).cumcount() + 1
+    out = out[rank <= k].reset_index(drop=True)
+    out["rank"] = rank[rank <= k].to_numpy(np.int64)
+    return out[["window_start", "rank", "tool", "n"]]
+
+
 def _tool_stream_fragments(sf_dir: str) -> list[str]:
     """ts-ordered tool-row fragments (tool IS NOT NULL), cached per sf_dir."""
     import hashlib
