@@ -280,7 +280,11 @@ def run_bench() -> dict:
         if r == 0:
             reps.append(base)
             continue
-        mutated = base.with_columns(
+        # rep-1 planted near-dups replace their mutated counterparts; the
+        # %50 selection happens on ORIGINAL ids BEFORE the shift (testing
+        # shifted ids would only be correct when doc_step % 50 == 0)
+        src = base.filter(pl.col("doc_id") % 50 != 0) if r == 1 else base
+        mutated = src.with_columns(
             (pl.col("doc_id") + r * doc_step).alias("doc_id"),
             pl.col("text").str.replace_all(r"(\S+)", "${1}_" + str(r)).alias("text"),
         )
@@ -289,9 +293,7 @@ def run_bench() -> dict:
                 (pl.col("doc_id") + doc_step).alias("doc_id"),
                 (pl.col("text") + " planted tail").alias("text"),
             )
-            mutated = pl.concat(
-                [mutated.filter(pl.col("doc_id") % 50 != 0), near]
-            )
+            mutated = pl.concat([mutated, near])
         reps.append(mutated)
     corpus = _rd.from_arrow(pl.concat(reps).to_arrow()).repartition(ncpu).materialize()
     n_docs = corpus.count()

@@ -28,14 +28,16 @@ def _compile_cached(src_path: str, tag: str) -> str:
     # per-user, 0700: a shared predictable /tmp path would let another
     # local user pre-plant a .so at the digest-keyed name (dlopen'd into
     # every worker) or own the directory and break compilation
-    cache_dir = os.environ.get(
-        "CONDOR_RAY_NATIVE_CACHE",
-        os.path.join(
+    cache_dir = os.environ.get("CONDOR_RAY_NATIVE_CACHE")
+    if cache_dir:
+        # user-provided dir: respect its existing ownership/permissions
+        os.makedirs(cache_dir, exist_ok=True)
+    else:
+        cache_dir = os.path.join(
             tempfile.gettempdir(), f"condor_ray_native_{os.getuid()}"
-        ),
-    )
-    os.makedirs(cache_dir, mode=0o700, exist_ok=True)
-    os.chmod(cache_dir, 0o700)
+        )
+        os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+        os.chmod(cache_dir, 0o700)
     so = os.path.join(cache_dir, f"{tag}_{digest}.so")
     if not os.path.exists(so):
         fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".so.tmp")

@@ -32,6 +32,7 @@ import ray
 from ..hashing import java_string_hash_arrow
 from ..pipelines.cep import Step, find_match_starts, find_relaxed_matches
 from ..stages.extract import ts_to_us
+from .emit import atomic_emit
 from .streaming import _NEG_INF, _murmur_mix_array
 
 _FAR_FUTURE = 2**62
@@ -75,25 +76,11 @@ def _partition_cep_fragment(
     return (meta, *shards)
 
 
-@ray.remote
-def _emit_matches(out_dir: str, fragment_idx: int, *tables) -> int:
-    """Async exactly-once sink: concat + canonical sort + atomic rename.
-    Runs as a Ray task so the driver loop never blocks on emission I/O."""
-    tables = [t for t in tables if t.num_rows]
-    if not tables:
-        return 0
-    out = pa.concat_tables(tables).sort_by(
-        [
-            ("conv_id", "ascending"),
-            ("start_ts", "ascending"),
-            ("start_turn_idx", "ascending"),
-        ]
-    )
-    emit_path = os.path.join(out_dir, f"emit-f{fragment_idx:05d}.parquet")
-    tmp = emit_path + f".tmp-{os.getpid()}"
-    pq.write_table(out, tmp)
-    os.replace(tmp, emit_path)
-    return out.num_rows
+_EMIT_SORT = [
+    ("conv_id", "ascending"),
+    ("start_ts", "ascending"),
+    ("start_turn_idx", "ascending"),
+]
 
 
 @ray.remote(num_cpus=0.5)
@@ -534,9 +521,8 @@ class StreamingPatternJob:
             self.total_late += n_late
             self.watermark = max(self.watermark, meta["frag_max_ts"])
             emit_futs.append(
-                _emit_matches.remote(
-                    self.out_dir,
-                    k,
+                atomic_emit.remote(
+                    self.out_dir, "emit", k, _EMIT_SORT,
                     *[s.close.remote(self.watermark) for s in self.stores],
                 )
             )
@@ -563,9 +549,8 @@ class StreamingPatternJob:
                 emitted += _drain_emits()
         if final_flush and self.watermark > _NEG_INF:
             emit_futs.append(
-                _emit_matches.remote(
-                    self.out_dir,
-                    n_frag,
+                atomic_emit.remote(
+                    self.out_dir, "emit", n_frag, _EMIT_SORT,
                     *[s.close.remote(_FAR_FUTURE) for s in self.stores],
                 )
             )

@@ -18,6 +18,7 @@ import pyarrow.parquet as pq
 import ray
 
 from ..hashing import java_string_hash_arrow
+from .emit import atomic_emit
 from ..state.join_store import JoinStateStore
 from .streaming import _NEG_INF, _murmur_mix_array
 
@@ -43,20 +44,6 @@ def _split_by_conv(path: str, parallelism: int, columns: list[str] | None):
         frag_max,
         *[sorted_tbl.slice(offsets[p], counts[p]) for p in range(parallelism)],
     )
-
-
-@ray.remote
-def _emit_join(out_dir: str, k: int, *tables) -> int:
-    """Async exactly-once sink: concat + atomic rename off the driver."""
-    tables = [t for t in tables if t.num_rows]
-    if not tables:
-        return 0
-    out = pa.concat_tables(tables)
-    path = os.path.join(out_dir, f"join-f{k:05d}.parquet")
-    tmp = path + f".tmp-{os.getpid()}"
-    pq.write_table(out, tmp)
-    os.replace(tmp, path)
-    return out.num_rows
 
 
 class StreamingJoinJob:
@@ -118,9 +105,8 @@ class StreamingJoinJob:
             combined = min(wm.values())  # two-input watermark
             if combined > _NEG_INF:
                 emit_futs.append(
-                    _emit_join.remote(
-                        self.out_dir,
-                        k,
+                    atomic_emit.remote(
+                        self.out_dir, "join", k, None,
                         *[s.emit_matches.remote(combined) for s in self.stores],
                     )
                 )
@@ -128,9 +114,8 @@ class StreamingJoinJob:
                 emitted += sum(ray.get(emit_futs))
                 emit_futs = []
         emit_futs.append(
-            _emit_join.remote(
-                self.out_dir,
-                n_sched,
+            atomic_emit.remote(
+                self.out_dir, "join", n_sched, None,
                 *[s.emit_matches.remote(2**62) for s in self.stores],
             )
         )  # end-of-stream flush

@@ -45,6 +45,7 @@ from ..stages.extract import KeyExtractor, ts_to_us
 from ..synopses.base import Synopsis
 from ..synopses.registry import make_synopsis
 from ..windows import SessionWindow
+from .emit import atomic_emit
 from .streaming import _NEG_INF, _murmur_mix_array
 from ..hashing import java_string_hash_arrow
 
@@ -96,20 +97,7 @@ def _partition_session_fragment(
     return (meta, *shards)
 
 
-@ray.remote
-def _emit_sessions(out_dir: str, fragment_idx: int, *tables) -> int:
-    """Async exactly-once sink: concat + canonical sort + atomic rename."""
-    tables = [t for t in tables if t.num_rows]
-    if not tables:
-        return 0
-    out = pa.concat_tables(tables).sort_by(
-        [("conv_id", "ascending"), ("session_start", "ascending")]
-    )
-    emit_path = os.path.join(out_dir, f"emit-f{fragment_idx:05d}.parquet")
-    tmp = emit_path + f".tmp-{os.getpid()}"
-    pq.write_table(out, tmp)
-    os.replace(tmp, emit_path)
-    return out.num_rows
+_EMIT_SORT = [("conv_id", "ascending"), ("session_start", "ascending")]
 
 
 @ray.remote(num_cpus=0.5)
@@ -438,9 +426,8 @@ class StreamingSessionJob:
             self.total_late += n_late
             self.watermark = max(self.watermark, meta["frag_max_ts"])
             emit_futs.append(
-                _emit_sessions.remote(
-                    self.out_dir,
-                    k,
+                atomic_emit.remote(
+                    self.out_dir, "emit", k, _EMIT_SORT,
                     *[
                         s.close_sessions.remote(self.watermark)
                         for s in self.stores
@@ -471,9 +458,8 @@ class StreamingSessionJob:
         if final_flush and self.watermark > _NEG_INF:
             self.watermark += self.gap_us + 1
             emit_futs.append(
-                _emit_sessions.remote(
-                    self.out_dir,
-                    n_frag,
+                atomic_emit.remote(
+                    self.out_dir, "emit", n_frag, _EMIT_SORT,
                     *[
                         s.close_sessions.remote(self.watermark)
                         for s in self.stores

@@ -666,6 +666,9 @@ def jaccard_verify_pairs(docs_ds, pairs: pd.DataFrame, shingle: int = 3,
                 }
             )
         )
+    # duplicate pair rows would double-count na/nb AND the adjacent-hash
+    # intersection scan (silently wrong Jaccard) — dedup the bounded frame
+    pairs = pairs.drop_duplicates(["doc_a", "doc_b"])
     pa_arr = pairs["doc_a"].to_numpy().astype(np.int64)
     pb_arr = pairs["doc_b"].to_numpy().astype(np.int64)
     # membership table: doc -> (doc_a, doc_b, side) rows, sorted by doc

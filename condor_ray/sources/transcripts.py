@@ -101,14 +101,14 @@ def generate_stream_fixture(
 
     # thin fixtures build only the requested columns END TO END — at 600M
     # rows each skipped int32 index array (and its order-permuted copy) is
-    # ~2.4 GB of allocation + RNG work.  Gating is safe for determinism:
-    # conv/turn/ts draws all happen above, so the kept columns are
-    # byte-identical whether or not tool/text are generated.
+    # ~2.4 GB of allocation + RNG work.  RNG draws that PRECEDE another
+    # column's draws run unconditionally (the cheap int8 tool draw feeds
+    # the stream consumed by the text pool), so any subset of requested
+    # columns is byte-identical with the same-seed full fixture.
     def _need(name: str) -> bool:
         return columns is None or name in columns
 
-    if _need("tool"):
-        tool_idx = rng.integers(0, len(_TOOLS), total).astype(np.int8)
+    tool_idx = rng.integers(0, len(_TOOLS), total).astype(np.int8)
     is_tool = (turn_idx % 3) == 2  # _ROLES[2] == "tool"
 
     if _need("text"):
