@@ -468,18 +468,112 @@ class Fingerprinter:
         mins = np.lib.stride_tricks.sliding_window_view(hashes, w).min(axis=1)
         return np.unique(mins).astype(np.int64)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        fps = batch["text"].map(lambda t: self.fingerprints(t))
-        return pd.DataFrame(
+    def stats_csr(
+        self, data: np.ndarray, off: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batch kernel: utf-8 bytes of ALL docs concatenated (``data``,
+        uint8) + CSR ``off`` (len n_docs+1) -> (n_fingerprints, fingerprint_min)
+        per doc.  Semantics bit-identical to :meth:`fingerprints` (the scalar
+        path survives as the test oracle): the k Horner passes run ONCE over
+        the whole flat byte array (grams crossing doc boundaries are computed
+        then discarded, ~k bytes of waste per doc), window minima are w-1
+        shifted ``np.minimum`` passes, and per-doc unique counts come from one
+        composite-key sort (seg_id<<31 | hash keeps segments contiguous)."""
+        k, w, base, mod = self.k, self.window, self.base, self.mod
+        n_docs = len(off) - 1
+        lens = off[1:] - off[:-1]
+        n_fp = np.ones(n_docs, dtype=np.int64)
+        fp_min = np.zeros(n_docs, dtype=np.int64)
+        if n_docs == 0:
+            return n_fp, fp_min
+
+        # sub-k docs: blake2b has no batch form; this loop runs only over the
+        # (rare) < k-byte subset, never the whole batch
+        import hashlib
+
+        for i in np.flatnonzero(lens < k):
+            h = int.from_bytes(
+                hashlib.blake2b(
+                    data[off[i] : off[i + 1]].tobytes(), digest_size=4
+                ).digest(),
+                "big",
+            )
+            fp_min[i] = h & 0x7FFFFFFF
+
+        ldocs = np.flatnonzero(lens >= k)
+        if len(ldocs) == 0:
+            return n_fp, fp_min
+        n_roll = len(data) - k + 1
+        b64 = data.astype(np.int64)
+        g = np.zeros(n_roll, dtype=np.int64)
+        for j in range(k):
+            g *= base
+            g += b64[j : j + n_roll]
+            g %= mod
+
+        counts = (lens[ldocs] - k + 1).astype(np.int64)  # grams per long doc
+        hoff = np.concatenate(([0], np.cumsum(counts)))
+        intra = np.arange(hoff[-1], dtype=np.int64) - np.repeat(hoff[:-1], counts)
+        h = g[np.repeat(off[:-1][ldocs], counts) + intra]
+        # min over window-mins == min over the doc's gram hashes (every gram
+        # index lies in some window), and for n <= w the single fingerprint
+        # IS the segment min — one reduceat covers both cases
+        fp_min[ldocs] = np.minimum.reduceat(h, hoff[:-1])
+
+        big = counts > w  # docs emitting > 1 window
+        if big.any():
+            P = len(h) - w + 1
+            mins_glob = h[:P].copy()
+            for j in range(1, w):
+                np.minimum(mins_glob, h[j : j + P], out=mins_glob)
+            wcounts = np.where(big, counts - w + 1, 0)
+            woff = np.concatenate(([0], np.cumsum(wcounts)))
+            wintra = np.arange(woff[-1], dtype=np.int64) - np.repeat(
+                woff[:-1], wcounts
+            )
+            mins = mins_glob[np.repeat(hoff[:-1], wcounts) + wintra]
+            seg = np.repeat(np.arange(len(ldocs), dtype=np.int64), wcounts)
+            key = (seg << 31) | mins  # hash < 2^31-1, so the key sort keeps
+            key.sort()  # segments contiguous and in order
+            d = np.empty(len(key), dtype=bool)
+            d[0] = True
+            np.not_equal(key[1:], key[:-1], out=d[1:])
+            n_fp[ldocs[big]] = np.add.reduceat(d, woff[:-1][big])
+        return n_fp, fp_min
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        data, off = _utf8_csr(batch["text"])
+        n_fp, fp_min = self.stats_csr(data, off)
+        return pa.table(
             {
-                "doc_id": batch["doc_id"].astype(np.int64),
-                "n_fingerprints": fps.map(len).astype(np.int64),
-                "fingerprint_min": fps.map(lambda a: int(a.min())).astype(np.int64),
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_fingerprints": pa.array(n_fp),
+                "fingerprint_min": pa.array(fp_min),
             }
         )
 
 
+def _utf8_csr(col) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow string column -> (flat utf-8 bytes, int64 CSR offsets), zero-copy
+    from the Arrow value buffer (Arrow strings ARE utf-8; the scalar path's
+    ``encode("utf-8", "ignore")`` is an identity on them)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if arr.null_count:
+        arr = arr.fill_null("")
+    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    off = np.frombuffer(arr.buffers()[1], dtype=odt)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    buf = arr.buffers()[2]
+    data = (
+        np.frombuffer(buf, dtype=np.uint8)
+        if buf is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    return data, off
+
+
 def document_fingerprints(ds, concurrency: int = 2):
     return ds.map_batches(
-        Fingerprinter, batch_format="pandas", concurrency=concurrency
+        Fingerprinter, batch_format="pyarrow", concurrency=concurrency
     )
