@@ -118,8 +118,19 @@ def _pairs_within_groups(
     within its group.  Groups larger than ``bucket_cap`` (degenerate
     boilerplate buckets) emit only pairs within ``window`` preceding rows —
     window=1 is a chain through the sorted group (same connected components
-    as all-pairs, O(B) rows); a larger window trades rows for direct-pair
-    recall among near neighbors in sort order.
+    as all-pairs in the RAW candidate graph, O(B) rows); a larger window
+    trades rows for direct-pair recall among near neighbors in sort order.
+
+    Recall caveat: the connectivity equivalence holds PRE-verification.
+    ``minhash_lsh_pairs`` then filters every emitted pair by
+    ``est_jaccard >= threshold``, and a chain link between two dissimilar
+    sort-neighbors can be verified away, severing the only path between two
+    genuinely similar docs that landed non-adjacent in a capped bucket.
+    Capped buckets are by construction boilerplate floods where members
+    co-occur in MANY buckets (other bands re-supply edges), so the loss is
+    second-order — but for clustering-critical corpora either raise
+    ``window`` for near-cap buckets or run components on unverified chain
+    edges and verify only the reported representative pairs.
     Returns (a_idx, b_idx) global row indices with a_idx < b_idx positions."""
     n = len(doc)
     if n == 0:

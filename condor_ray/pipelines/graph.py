@@ -8,23 +8,32 @@ B~C chains must collapse into one cluster with one kept representative.
 
 Scale design (100 TB): the pair graph is orders of magnitude smaller than
 the corpus (bounded by the verified near-dup rate), but it can still exceed
-one machine, so components run as distributed min-label propagation:
+one machine, so components run as distributed min-label propagation over
+EDGE-RESIDENT STATE ACTORS (the same pattern the streaming engine uses for
+synopsis state):
 
-- state is a (doc_id, label) dataset, label = smallest doc_id reached;
-- one round = hash-partitioned vectorized join of labels into the edge
-  list (messages ``dst <- label(src)``) + a partitioned min-reduce —
-  NEVER one Ray group per vertex (the per-group-dispatch rule);
-- rounds repeat until no label changes (checked with a scalar ``sum``
-  aggregate, not a driver materialization); pointer jumping (label-of-
-  label messages) keeps the round count logarithmic in component
-  diameter, capped by ``max_iters``.
+- edges are hash-partitioned by ``src % P`` ONCE at load (each undirected
+  pair enters in both directions, so every vertex's out-edges live on its
+  owner partition ``v % P``); each actor keeps its edge CSR and the labels
+  of its owned vertices in process memory — the static edge list NEVER
+  re-enters a shuffle (the round-3 Ray Data `groupby` formulation paid a
+  full edge exchange per round: 24 rounds x 5M edges = 226 s);
+- one round = two bounded actor-to-actor exchanges (``num_returns=P``
+  shards through the object store, never via the driver):
+  (a) pointer-jump requests ``(L[v], v)`` to the owner of ``L[v]`` — path
+  lengths halve per round, so component diameter costs O(log D) rounds;
+  (b) min-label messages ``(dst, L[src])`` for static edges + jump replies,
+  min-combined per (shard, dst) BEFORE sending, so wire traffic is bounded
+  by the number of distinct receiving vertices, not the edge count;
+- DELTA PROPAGATION: a static edge re-sends only when its src label
+  changed this round (min-label flow is monotone, so a once-delivered
+  value never needs re-sending) — after round 1 the per-round edge work
+  collapses to the shrinking frontier;
+- rounds repeat until a scalar per-actor changed-count sums to zero.
 
-Known trade-off: the static edge list re-enters the groupby exchange
-every round (Ray Data's only key-colocation primitive is the sort-based
-groupby).  Measured: 5M edges / giant component = 24 rounds, 226 s at 32
-CPUs.  The upgrade path for trillion-edge pair graphs is edge-resident
-state actors (edges partitioned once, only label deltas move per round)
-— the same actor pattern the streaming engine uses for synopsis state.
+Memory bound per actor: 24 B x E/P for the edge CSR + 16 B x V/P labels;
+pick ``n_parts`` ~ total cores so a trillion-edge graph spreads across the
+cluster.
 
 The reference has no graph surface (its operator algebra is the synopsis
 set, SURVEY §2.8); this operator belongs to the training-data additions.
@@ -49,195 +58,197 @@ def _min_label_per_doc(doc: np.ndarray, lab: np.ndarray):
     return doc[keep], lab[keep]
 
 
+def _shard(keys: np.ndarray, n_parts: int, *cols: np.ndarray):
+    """Split ``cols`` into ``n_parts`` tuples by ``keys % n_parts`` with one
+    stable sort (contiguous slices, no per-shard boolean scans)."""
+    shard = keys % n_parts
+    order = np.argsort(shard, kind="stable")
+    sorted_shard = shard[order]
+    bounds = np.searchsorted(sorted_shard, np.arange(n_parts + 1))
+    moved = [c[order] for c in cols]
+    return [
+        tuple(c[bounds[q] : bounds[q + 1]] for c in moved) for q in range(n_parts)
+    ]
+
+
+def _min_per_key(key: np.ndarray, val: np.ndarray):
+    """(unique keys, min val per key) — one lexsort."""
+    return _min_label_per_doc(key, val)
+
+
+class _EdgePartition:
+    """Owns vertices with ``id % P == p`` and all their out-edges."""
+
+    def __init__(self, part: int, n_parts: int):
+        self.p = part
+        self.P = n_parts
+        self._src_chunks: list[np.ndarray] = []
+        self._dst_chunks: list[np.ndarray] = []
+
+    def add_edges(self, src: np.ndarray, dst: np.ndarray) -> None:
+        self._src_chunks.append(src)
+        self._dst_chunks.append(dst)
+
+    def finalize(self) -> int:
+        src = (
+            np.concatenate(self._src_chunks)
+            if self._src_chunks
+            else np.empty(0, np.int64)
+        )
+        dst = (
+            np.concatenate(self._dst_chunks)
+            if self._dst_chunks
+            else np.empty(0, np.int64)
+        )
+        self._src_chunks = self._dst_chunks = []  # free ingest buffers
+        # own = sorted unique local vertices; edges become a CSR over the
+        # owned-vertex index so the per-round label gather is a fancy index
+        self.own, inv = np.unique(src, return_inverse=True)
+        self.lab = self.own.copy()
+        order = np.argsort(inv, kind="stable")
+        self.e_dst = dst[order]
+        counts = np.bincount(inv, minlength=len(self.own))
+        self.e_off = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+        self.changed = np.ones(len(self.own), dtype=bool)  # round 0: send all
+        return len(self.own)
+
+    def shortcuts(self):
+        """Pointer-jump requests (L[v], v), sharded to the owner of L[v]."""
+        return _shard(self.lab, self.P, self.lab, self.own)
+
+    def messages(self, *jump_shards):
+        """Static-edge messages for changed sources + jump replies, sharded
+        by dst owner and min-combined per dst before sending."""
+        # jump replies: request (lab, v) -> message (v, L_local[lab])
+        req_lab = np.concatenate([s[0] for s in jump_shards])
+        req_v = np.concatenate([s[1] for s in jump_shards])
+        idx = np.searchsorted(self.own, req_lab)
+        jump_lab = self.lab[idx]
+
+        # static edges whose src label changed this round
+        ch = np.flatnonzero(self.changed)
+        counts = self.e_off[ch + 1] - self.e_off[ch]
+        total = int(counts.sum())
+        pos = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(counts[:-1]))) if len(counts) else
+            np.empty(0, np.int64),
+            counts,
+        )
+        e_idx = np.repeat(self.e_off[ch], counts) + pos
+        e_dst = self.e_dst[e_idx]
+        e_lab = np.repeat(self.lab[ch], counts)
+
+        dst = np.concatenate([req_v, e_dst])
+        lab = np.concatenate([jump_lab, e_lab])
+        dst, lab = _min_per_key(dst, lab)  # combine before the wire
+        return _shard(dst, self.P, dst, lab)
+
+    def reduce(self, *msg_shards) -> int:
+        """Apply min over incoming labels; returns the changed count."""
+        dst = np.concatenate([s[0] for s in msg_shards])
+        lab = np.concatenate([s[1] for s in msg_shards])
+        dst, lab = _min_per_key(dst, lab)
+        idx = np.searchsorted(self.own, dst)
+        better = lab < self.lab[idx]
+        self.changed = np.zeros(len(self.own), dtype=bool)
+        self.changed[idx[better]] = True
+        self.lab[idx[better]] = lab[better]
+        return int(better.sum())
+
+    def result(self) -> pa.Table:
+        return pa.table({"doc_id": pa.array(self.own), "label": pa.array(self.lab)})
+
+
 def connected_components(
-    pairs_ds, n_parts: int = 64, max_iters: int = 64, verbose: bool = False
+    pairs_ds, n_parts: int = 32, max_iters: int = 64, verbose: bool = False
 ):
     """Connected components of an undirected pair list.
 
     ``pairs_ds``: dataset with int64 columns ``doc_a``, ``doc_b`` (one row
     per edge; direction and duplicate edges don't matter; ids must be
-    non-negative — ``-1`` is the internal label-row sentinel).  Returns a
-    dataset (doc_id, component) covering every endpoint, ``component`` =
-    the smallest doc_id in the doc's connected component (the canonical
-    keep id)."""
+    non-negative).  Returns a dataset (doc_id, component) covering every
+    endpoint, ``component`` = the smallest doc_id in the doc's connected
+    component (the canonical keep id)."""
+    import ray
 
-    def both_dirs(batch: pa.Table) -> pa.Table:
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    P = max(2, min(n_parts, ncpu))
+
+    # num_cpus=0: the partitions are memory-resident state whose compute
+    # comes in short synchronized bursts; reserving a full CPU per actor
+    # would starve the ingest map_batches tasks (P == ncpu -> deadlock, the
+    # recurring actor-pool rule).  On a multi-node cluster Ray still
+    # SPREAD-schedules them across nodes by memory pressure.
+    Part = ray.remote(num_cpus=0)(_EdgePartition)
+    actors = [Part.remote(p, P) for p in range(P)]
+
+    # one pass over the pair blocks: both directions, sharded by src owner,
+    # pushed straight into the actors (no sort-based groupby at load)
+    def ingest(batch: pa.Table) -> pa.Table:
         a = batch["doc_a"].to_numpy().astype(np.int64)
         b = batch["doc_b"].to_numpy().astype(np.int64)
         src = np.concatenate([a, b])
         dst = np.concatenate([b, a])
-        return pa.table(
-            {
-                "src": pa.array(src),
-                "dst": pa.array(dst),
-                "part": pa.array((src % n_parts).astype(np.int32)),
-            }
-        )
+        acks = [
+            actors[q].add_edges.remote(s, d)
+            for q, (s, d) in enumerate(_shard(src, P, src, dst))
+            if len(s)
+        ]
+        ray.get(acks)  # delivered before the load pass is declared done
+        return pa.table({"n": pa.array([len(src)], type=pa.int64())})
 
-    import ray
+    pairs_ds.map_batches(ingest, batch_format="pyarrow").sum("n")
+    ray.get([a.finalize.remote() for a in actors])
 
-    # bound block counts: each groupby-sort emits one block per input
-    # block, and the per-round unions would otherwise COMPOUND the count
-    # (~2x/round) until the shuffle scheduler stalls on thousands of tiny
-    # blocks — labels are repartitioned back to n_blocks every round
-    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    n_blocks = max(2, min(n_parts, ncpu))
-
-    edges = (
-        pairs_ds.map_batches(both_dirs, batch_format="pyarrow")
-        .repartition(n_blocks)
-        .materialize()
-    )
-
-    # initial labels: every endpoint labels itself (deduped per partition)
-    def init_labels(g: pd.DataFrame) -> pd.DataFrame:
-        src = np.unique(g["src"].to_numpy())
-        return pd.DataFrame({"doc_id": src, "label": src})
-
-    labels = (
-        edges.groupby("part")
-        .map_groups(init_labels, batch_format="pandas")
-        .materialize()
-    )  # columns: exactly (doc_id, label), one row per vertex
-
-    def tag_label_rows(b: pa.Table) -> pa.Table:
-        doc = b["doc_id"].to_numpy().astype(np.int64)
-        return pa.table(
-            {
-                "src": pa.array(doc),
-                "dst": pa.array(np.full(len(doc), -1, dtype=np.int64)),
-                "label": b["label"],
-                "part": pa.array((doc % n_parts).astype(np.int32)),
-            }
-        )
-
-    def tag_edge_rows(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "src": b["src"],
-                "dst": b["dst"],
-                "label": pa.array(np.full(b.num_rows, -1, dtype=np.int64)),
-                "part": b["part"],
-            }
-        )
-
-    def send(g: pd.DataFrame) -> pd.DataFrame:
-        # labels and edges are co-partitioned on src; every edge src has a
-        # label row (dst == -1 marks a label row)
-        dst_all = g["dst"].to_numpy().astype(np.int64)
-        src_all = g["src"].to_numpy().astype(np.int64)
-        lab_all = g["label"].to_numpy().astype(np.int64)
-        is_label = dst_all == -1
-        lab_doc = src_all[is_label]
-        lab_val = lab_all[is_label]
-        order = np.argsort(lab_doc)
-        lab_doc, lab_val = lab_doc[order], lab_val[order]
-        src, dst = src_all[~is_label], dst_all[~is_label]
-        idx = np.searchsorted(lab_doc, src)
-        return pd.DataFrame({"doc_id": dst, "label": lab_val[idx]})
-
-    def tag_old(b: pa.Table) -> pa.Table:
-        doc = b["doc_id"].to_numpy().astype(np.int64)
-        return pa.table(
-            {
-                "doc_id": pa.array(doc),
-                "label": b["label"],
-                "is_old": pa.array(np.ones(len(doc), dtype=bool)),
-                "part": pa.array((doc % n_parts).astype(np.int32)),
-            }
-        )
-
-    def tag_msg(df: pd.DataFrame) -> pa.Table:
-        # Arrow output: the union partner (tag_old) emits Arrow blocks and
-        # Ray's sort cannot sample mixed pandas/Arrow block streams
-        doc = df["doc_id"].to_numpy().astype(np.int64)
-        return pa.table(
-            {
-                "doc_id": pa.array(doc),
-                "label": pa.array(df["label"].to_numpy().astype(np.int64)),
-                "is_old": pa.array(np.zeros(len(doc), dtype=bool)),
-                "part": pa.array((doc % n_parts).astype(np.int32)),
-            }
-        )
-
-    def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
-        doc_all = g["doc_id"].to_numpy().astype(np.int64)
-        lab_all = g["label"].to_numpy().astype(np.int64)
-        doc, lab = _min_label_per_doc(doc_all, lab_all)
-        is_old = g["is_old"].to_numpy()
-        old_doc = doc_all[is_old]
-        old_lab = lab_all[is_old]
-        order = np.argsort(old_doc)
-        # every doc has exactly one old row, so doc == old_doc[order]
-        changed = int((lab < old_lab[order]).sum())
-        out = pd.DataFrame({"doc_id": doc, "label": lab})
-        out["changed"] = 0
-        if len(out):
-            out.iloc[0, out.columns.get_loc("changed")] = changed
-        return out
-
-    def shortcut_edges(b: pa.Table) -> pa.Table:
-        # pointer jumping: doc also asks for label(label(doc)) each round —
-        # path lengths halve per round, so a depth-D chain converges in
-        # O(log D) rounds instead of D (the Ray-job fixed cost per round is
-        # what dominates, so round count is the thing to minimize)
-        lab = b["label"].to_numpy().astype(np.int64)
-        return pa.table(
-            {
-                "src": pa.array(lab),
-                "dst": b["doc_id"].cast(pa.int64()),
-                "label": pa.array(np.full(len(lab), -1, dtype=np.int64)),
-                "part": pa.array((lab % n_parts).astype(np.int32)),
-            }
-        )
-
-    for _ in range(max_iters):
-        msgs = (
-            labels.map_batches(tag_label_rows, batch_format="pyarrow")
-            .union(
-                edges.map_batches(tag_edge_rows, batch_format="pyarrow"),
-                labels.map_batches(shortcut_edges, batch_format="pyarrow"),
+    for it in range(max_iters):
+        jump = [a.shortcuts.options(num_returns=P).remote() for a in actors]
+        msgs = [
+            actors[p].messages.options(num_returns=P).remote(
+                *[jump[q][p] for q in range(P)]
             )
-            .groupby("part")
-            .map_groups(send, batch_format="pandas")
-        )
-        new_labels = (
-            labels.map_batches(tag_old, batch_format="pyarrow")
-            .union(msgs.map_batches(tag_msg, batch_format="pandas"))
-            .groupby("part")
-            .map_groups(reduce_min, batch_format="pandas")
-            .materialize()
-        )
-        n_changed = new_labels.sum("changed")
-        labels = (
-            new_labels.drop_columns(["changed"]).repartition(n_blocks).materialize()
+            for p in range(P)
+        ]
+        changed = sum(
+            ray.get(
+                [
+                    actors[p].reduce.remote(*[msgs[q][p] for q in range(P)])
+                    for p in range(P)
+                ]
+            )
         )
         if verbose:
             import sys
             import time
 
             print(
-                f"[components] round changed={n_changed} t={time.strftime('%H:%M:%S')}",
+                f"[components] round {it} changed={changed}"
+                f" t={time.strftime('%H:%M:%S')}",
                 file=sys.stderr,
                 flush=True,
             )
-        if not n_changed:
+        if not changed:
             break
 
-    return labels.map_batches(
+    import ray.data as rd
+
+    out = rd.from_arrow_refs([a.result.remote() for a in actors])
+    labels = out.map_batches(
         lambda b: pa.table({"doc_id": b["doc_id"], "component": b["label"]}),
         batch_format="pyarrow",
-    )
+    ).materialize()
+    for a in actors:
+        ray.kill(a)
+    return labels
 
 
-def dedup_keep_list(docs_ds, pairs_ds, n_parts: int = 64):
+def dedup_keep_list(docs_ds, pairs_ds, n_parts: int = 32):
     """Per-document dedup decision from a near-dup pair list.
 
     ``docs_ds`` needs a ``doc_id`` column covering the corpus.  Returns
     (doc_id, component, keep): ``component`` is the smallest doc_id in the
     doc's near-dup cluster (its own id when unpaired), ``keep`` is true for
     exactly one representative (the smallest id) per cluster."""
-    comps = connected_components(pairs_ds, n_parts=n_parts).materialize()
+    comps = connected_components(pairs_ds, n_parts=n_parts)
 
     def tag_docs(batch: pa.Table) -> pa.Table:
         doc = batch["doc_id"].to_numpy().astype(np.int64)

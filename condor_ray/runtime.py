@@ -46,4 +46,28 @@ def worker_polars():
             os.environ["POLARS_MAX_THREADS"] = omp
     import polars as pl
 
+    # the cap can only be applied before the FIRST polars import in this
+    # process; if some other path imported it earlier the oversubscription
+    # regression returns silently — make that failure loud (once)
+    global _warned_oversubscribed
+    omp = os.environ.get("OMP_NUM_THREADS")
+    if omp and not _warned_oversubscribed:
+        try:
+            if pl.thread_pool_size() > 2 * int(omp):
+                _warned_oversubscribed = True
+                import warnings
+
+                warnings.warn(
+                    f"polars thread pool ({pl.thread_pool_size()}) exceeds this "
+                    f"worker's CPU share (OMP_NUM_THREADS={omp}): polars was "
+                    "imported before condor_ray.runtime.worker_polars() could "
+                    "cap it; expect node oversubscription",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+        except Exception:
+            pass
     return pl
+
+
+_warned_oversubscribed = False
