@@ -355,9 +355,11 @@ def scaling_job(name: str, ncpu: int) -> dict:
     The three jobs cover the resource spectrum on purpose: ``cm`` is the
     headline streaming ingest (memory-bandwidth-bound on a single box —
     BASELINE.md documents the ceiling), ``wavelet`` is the order-based
-    sort + tree-build path (mixed shuffle/compute), and ``ann`` is the
-    dgemm-dense brute-force cosine top-k (compute-bound — the job where
-    CPU is the binding resource and the >=0.8 efficiency bar is
+    path (since round 4's task-based window-partition exchange it is
+    parquet-READ-bound: 2.4 s of its 3.9 s wall at 32 CPUs is the decode
+    stage, so on-box it shares the cm bandwidth ceiling), and ``ann`` is
+    the dgemm-dense brute-force cosine top-k (compute-bound — the job
+    where CPU is the binding resource and the >=0.8 efficiency bar is
     demonstrated).
     """
     import numpy as np

@@ -31,6 +31,103 @@ from ..synopses.wavelets import DistributedWaveletsManager, WaveletSynopsis
 from ..windows import TumblingWindow
 
 
+def _shard_wavelet_block(
+    tbl: pa.Table, n_parts: int, size_us: int, key_spec: KeySpec
+):
+    """One input block -> n_parts shards routed by window_id % n_parts.
+    Carries only (window_id, ts, conv_id, turn_idx, value) onto the wire."""
+    if isinstance(tbl, pd.DataFrame):  # Ray Data blocks may be pandas
+        tbl = pa.Table.from_pandas(tbl, preserve_index=False)
+    ts = ts_to_us(tbl["ts"])
+    values = KeyExtractor(key_spec)(tbl).astype(np.float64)
+    wid = ts // size_us
+    turn = tbl["turn_idx"].to_numpy()
+    conv = tbl["conv_id"]
+    if isinstance(conv, pa.ChunkedArray):
+        conv = conv.combine_chunks()
+    part = wid % n_parts
+    order = np.argsort(part, kind="stable")
+    bounds = np.searchsorted(part[order], np.arange(n_parts + 1))
+    out = []
+    for q in range(n_parts):
+        sel = order[bounds[q] : bounds[q + 1]]
+        out.append(
+            pa.table(
+                {
+                    "window_id": pa.array(wid[sel], type=pa.int64()),
+                    "ts": pa.array(ts[sel], type=pa.int64()),
+                    "conv_id": conv.take(pa.array(sel)),
+                    "turn_idx": pa.array(turn[sel]),
+                    "value": pa.array(values[sel], type=pa.float64()),
+                }
+            )
+        )
+    return tuple(out)
+
+
+def _build_wavelet_partition(
+    size_us: int, size: int, parallelism: int, *tables: pa.Table
+) -> pa.Table:
+    """Fused per-partition conquer: ONE lexsort over the partition's rows
+    establishes every window's (ts, conv_id, turn_idx) order, then each
+    window segment round-robin splits into P sub-wavelets (C kernel) and
+    assembles its manager — bit-identical to the groupby formulation."""
+    tables = [t for t in tables if t.num_rows]
+    empty = pa.table(
+        {
+            "window_start": pa.array([], type=pa.int64()),
+            "window_end": pa.array([], type=pa.int64()),
+            "n_rows": pa.array([], type=pa.int64()),
+            "payload": pa.array([], type=pa.binary()),
+        }
+    )
+    if not tables:
+        return empty
+    tbl = pa.concat_tables(tables)
+    # Arrow's native multi-key sort: C++ string compares for the conv_id
+    # tie-break (6x faster than np.unique-codes + np.lexsort on object
+    # arrays, order-identical — rows tied on all four keys are
+    # interchangeable since (conv_id, turn_idx) identifies a turn)
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(
+        tbl,
+        sort_keys=[
+            ("window_id", "ascending"),
+            ("ts", "ascending"),
+            ("conv_id", "ascending"),
+            ("turn_idx", "ascending"),
+        ],
+    ).to_numpy()
+    wid_s = tbl["window_id"].to_numpy()[order]
+    val_s = tbl["value"].to_numpy()[order]
+    bounds = np.concatenate(
+        ([0], np.flatnonzero(np.diff(wid_s)) + 1, [len(wid_s)])
+    )
+    ws, we, nr, payloads = [], [], [], []
+    for b in range(len(bounds) - 1):
+        lo, hi = int(bounds[b]), int(bounds[b + 1])
+        vals = val_s[lo:hi]
+        mgr = DistributedWaveletsManager(0, None)
+        for p in range(parallelism):
+            w = WaveletSynopsis(size)
+            w.update_batch(np.ascontiguousarray(vals[p::parallelism]))
+            mgr.add_synopsis(w)
+        w0 = int(wid_s[lo])
+        ws.append(w0 * size_us)
+        we.append(w0 * size_us + size_us)
+        nr.append(hi - lo)
+        payloads.append(mgr.to_bytes())
+    return pa.table(
+        {
+            "window_start": pa.array(ws, type=pa.int64()),
+            "window_end": pa.array(we, type=pa.int64()),
+            "n_rows": pa.array(nr, type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+
+
 def build_windowed_wavelets(
     ds,
     window: TumblingWindow,
@@ -38,21 +135,57 @@ def build_windowed_wavelets(
     parallelism: int = 4,
     key: KeySpec | None = None,
     intra_window_parallel: bool = True,
+    mode: str = "partition",
 ):
     """Dataset -> one DistributedWaveletsManager per tumbling window.
 
     Output: window_start, window_end (int64 us), n_rows, payload (manager).
 
-    ``intra_window_parallel=True`` (default): stage A sorts/splits each
-    window into P round-robin substreams, stage B builds the P trees in
-    separate tasks, stage C assembles — a hot window spreads over P cores
-    (the 100 TB-skew path).  ``False``: one fused task per window does
-    sort + split + serial sub-builds + assembly — one exchange instead of
-    three, lowest overhead when windows are near-uniform.  Both produce
-    BIT-IDENTICAL managers (same round-robin index contract)."""
+    ``mode="partition"`` (default): explicit task-based hash exchange —
+    every input block shards by ``window_id % n_parts`` (``num_returns``
+    fan-out straight through the object store), and one fused task per
+    partition sorts/builds/assembles ALL of its windows with a single
+    lexsort.  Rows cross the wire exactly once and never enter Ray Data's
+    sort-based groupby (whose range-sample + per-block sort + merge
+    machinery dominated the job once the C kernel made the tree build
+    cheap: 8->32 CPU efficiency fell to 0.43 through the global exchange).
+
+    ``mode="group"``: the Ray Data ``groupby(window_id)`` formulation.
+    ``intra_window_parallel=True`` there splits each window into P
+    round-robin substreams built in separate tasks — the path to keep for
+    EXTREME single-window skew, where one window outweighs whole
+    partitions.  All modes produce BIT-IDENTICAL managers (same
+    (ts, conv_id, turn_idx) order, same round-robin index contract)."""
     key = key or KeySpec("text", "length")
     size_us = window.size_us
     extractor = KeyExtractor(key)
+
+    if mode == "partition":
+        import ray
+        import ray.data as rd
+
+        ncpu = (
+            int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized()
+            else 8
+        )
+        n_parts = max(2, 2 * ncpu)
+        shard = ray.remote(num_returns=n_parts)(_shard_wavelet_block)
+        per_part: list[list] = [[] for _ in range(n_parts)]
+        for bundle in ds.iter_internal_ref_bundles():
+            for bref in bundle.block_refs:
+                refs = shard.remote(bref, n_parts, size_us, key)
+                for q in range(n_parts):
+                    per_part[q].append(refs[q])
+        build = ray.remote(_build_wavelet_partition)
+        out_refs = [
+            build.remote(size_us, size, parallelism, *per_part[q])
+            for q in range(n_parts)
+            if per_part[q]
+        ]
+        if not out_refs:
+            out_refs = [build.remote(size_us, size, parallelism)]
+        return rd.from_arrow_refs(out_refs)
 
     def add_window(batch: pa.Table) -> pa.Table:
         ts = ts_to_us(batch["ts"])
