@@ -577,8 +577,23 @@ class StreamingSynopsisJob:
                 "late_dropped": self.total_late,
                 "fragments": self.next_fragment,
             }
-        # phase A: parallel metadata pass -> per-fragment (min, max) ts
-        stats = ray.get([_fragment_ts_stats.remote(p) for p in paths])
+        # phase A: parallel metadata pass -> per-fragment (min, max) ts,
+        # submitted and consumed in bounded waves: at 100 TB (>=1e5
+        # fragments) a single list comprehension would put 1e5 simultaneous
+        # driver submissions and one giant ray.get in flight
+        try:
+            _ncpu = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            _ncpu = 8
+        wave = max(64, 4 * _ncpu)
+        stats = []
+        pending = [_fragment_ts_stats.remote(p) for p in paths[:wave]]
+        for j in range(len(paths)):
+            nxt = j + wave
+            if nxt < len(paths):
+                pending.append(_fragment_ts_stats.remote(paths[nxt]))
+            stats.append(ray.get(pending[j]))
+            pending[j] = None
         # carry-in watermark per fragment = prefix max of prior fragment maxes
         wms = []
         wm = self.watermark
