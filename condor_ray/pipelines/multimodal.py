@@ -1,13 +1,12 @@
 """Multimodal columns: image/audio payloads as opaque ``binary`` columns with
 typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The container ships no image/audio codecs (SURVEY mandate: STUB the decode
-behind a clearly-marked boundary and make the Ray-side plumbing — schema,
-batch size, actor signature, output layout — real and tested).
-
 ``ImageDecoder`` tries Pillow in ``__init__`` (the once-per-actor model-load
-slot); absent codecs fall back to a DETERMINISTIC FAKE decode that parses the
-synthetic payload header.  Real deployments swap ``_decode`` only.
+slot); without it, PNG payloads decode through the REAL pure-stdlib codec
+(``condor_ray.pipelines.png``: zlib inflate + scanline unfilter — no image
+library needed), and synthetic FIMG payloads through the deterministic
+header parser.  Anything else raises ``NotImplementedError`` at the
+clearly-marked boundary.  Real deployments swap ``_decode`` only.
 """
 
 from __future__ import annotations
@@ -67,7 +66,7 @@ class ImageDecoder:
 
             self._backend = "pillow"
         except ImportError:
-            self._backend = "fake"
+            self._backend = "stdlib"
 
     def _decode(self, payload: bytes) -> tuple[int, int, float]:
         if self._backend == "pillow":  # pragma: no cover
@@ -78,11 +77,17 @@ class ImageDecoder:
             img = Image.open(io.BytesIO(payload))
             arr = np.asarray(img, dtype=np.float64)
             return img.width, img.height, float(arr.mean())
+        from .png import decode_png, is_png
+
+        if is_png(payload):
+            # REAL decode: pure-stdlib zlib inflate + scanline unfilter
+            arr = decode_png(payload)
+            return arr.shape[1], arr.shape[0], float(arr.mean())
         magic, w, h, c = struct.unpack_from("<4sIII", payload)
         if magic != b"FIMG":
             raise NotImplementedError(
-                "real image decoding requires an image codec (Pillow absent); "
-                "payload is not a synthetic FIMG stub"
+                "payload is neither PNG (stdlib-decodable) nor a synthetic "
+                "FIMG stub; other formats need a real codec (Pillow)"
             )
         body = np.frombuffer(payload, dtype=np.uint8, offset=16)
         mean = float(body.mean()) if len(body) else 0.0

@@ -191,9 +191,87 @@ class TestMultimodal:
         from condor_ray.pipelines.multimodal import ImageDecoder
 
         dec = ImageDecoder()
-        if dec._backend == "fake":
+        if dec._backend == "stdlib":
             with pytest.raises(NotImplementedError):
+                # truncated signature: neither PNG nor FIMG
                 dec._decode(b"\x89PNG\r\n" + b"\x00" * 32)
+
+    def test_png_roundtrip_all_filters_and_color_types(self):
+        """The stdlib codec: every scanline filter (None/Sub/Up/Average/
+        Paeth) and color type (gray, gray+alpha, RGB, RGBA) round-trips
+        bit-exactly through encode -> zlib -> decode."""
+        import numpy as np
+
+        from condor_ray.pipelines.png import decode_png, encode_png, is_png
+
+        rng = np.random.default_rng(7)
+        for ch in (1, 2, 3, 4):
+            arr = rng.integers(0, 256, (13, 9, ch), dtype=np.uint8)
+            for f in range(5):
+                filters = np.full(13, f)
+                payload = encode_png(arr, row_filters=filters)
+                assert is_png(payload)
+                out = decode_png(payload)
+                assert out.shape == (13, 9, ch)
+                assert (out == arr).all(), (ch, f)
+            # mixed filters per row (what real encoders emit)
+            payload = encode_png(arr, row_filters=rng.integers(0, 5, 13))
+            assert (decode_png(payload) == arr).all()
+
+    def test_png_decoder_runs_in_ray_pipeline(self, ray_session):
+        """End-to-end: a binary PNG column through the actor-pool decode
+        stage produces exact (width, height, mean) features."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from condor_ray.pipelines.multimodal import decode_images
+        from condor_ray.pipelines.png import encode_png
+
+        rng = np.random.default_rng(11)
+        imgs = [
+            rng.integers(0, 256, (8 + i, 5 + 2 * i, 3), dtype=np.uint8)
+            for i in range(20)
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(20), type=pa.int64()),
+                "image": pa.array(
+                    [encode_png(a, row_filters=rng.integers(0, 5, a.shape[0]))
+                     for a in imgs],
+                    type=pa.binary(),
+                ),
+            }
+        )
+        feats = (
+            decode_images(rd.from_arrow(tbl))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for i, a in enumerate(imgs):
+            assert feats.loc[i, "width"] == a.shape[1]
+            assert feats.loc[i, "height"] == a.shape[0]
+            assert feats.loc[i, "mean_intensity"] == pytest.approx(a.mean())
+
+    def test_png_unsupported_variants_raise(self):
+        import struct
+        import zlib
+
+        import numpy as np
+        import pytest as _pytest
+
+        from condor_ray.pipelines.png import _SIG, _chunk, decode_png
+
+        # 16-bit depth should refuse, not decode wrong
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+        payload = (
+            _SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+            + _chunk(b"IEND", b"")
+        )
+        with _pytest.raises(NotImplementedError):
+            decode_png(payload)
 
     def test_pillow_branch_via_fake_codec(self, monkeypatch):
         """Exercise the real-codec probe/decode branch: a stand-in PIL
