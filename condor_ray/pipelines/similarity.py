@@ -376,6 +376,38 @@ def embedding_neardup_pairs(
 # -- IVF (inverted-file) ANN — the coarse-quantizer scale path ---------------
 
 
+def synthesize_clustered_embeddings(
+    n: int,
+    dim: int = 64,
+    n_clusters: int = 64,
+    noise: float = 0.15,
+    seed: int = 5,
+    n_queries: int = 0,
+):
+    """Deterministic clustered corpus for honest IVF pruning evidence.
+
+    The driver's ``embeddings`` table is uniform random (same-label cosine
+    ~= cross-label), where coarse quantization CANNOT prune without recall
+    loss — a property of that data, not of the index.  Real embedding
+    corpora cluster; this generator reproduces that: unit cluster centers
+    + ``noise``-scaled Gaussian offsets, renormalized (noise=0.15 at
+    dim=64 gives within-cluster cosine ~0.4 vs cross ~N(0, 0.125) — the
+    regime where nprobe=2 of 64 cells scans ~3% of the corpus at ~0.99
+    recall@10).  Returns (vecs, labels) and, when ``n_queries`` > 0, also
+    (query_vecs, query_labels) drawn from the same mixture."""
+    rng = np.random.default_rng(seed)
+    centers = _normalize(rng.standard_normal((n_clusters, dim)))
+    labels = rng.integers(0, n_clusters, n)
+    vecs = _normalize(centers[labels] + noise * rng.standard_normal((n, dim)))
+    if not n_queries:
+        return vecs, labels
+    qlab = rng.integers(0, n_clusters, n_queries)
+    qvecs = _normalize(
+        centers[qlab] + noise * rng.standard_normal((n_queries, dim))
+    )
+    return vecs, labels, qvecs, qlab
+
+
 def _kmeans_fit(sample: np.ndarray, n_centroids: int, seed: int, iters: int = 10):
     """Deterministic spherical k-means on a bounded sample (driver-side
     numpy; the sample is the ONLY thing that materializes — at 100 TB it
@@ -482,3 +514,186 @@ def ivf_topk(
         )
 
     return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def _merge_topk_by_part(partials, k: int):
+    """Hash-partitioned final top-k merge (one vectorized lexsort per
+    partition, never one Ray group per query).  Expects columns
+    (query_id, vec_id, cosine, part)."""
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        qid = g["query_id"].to_numpy()
+        vid = g["vec_id"].to_numpy()
+        cos = g["cosine"].to_numpy()
+        order = np.lexsort((vid, -cos, qid))
+        qid, vid = qid[order], vid[order]
+        boundary = np.empty(len(qid), dtype=bool)
+        if len(qid):
+            boundary[0] = True
+            boundary[1:] = qid[1:] != qid[:-1]
+        starts = np.flatnonzero(boundary)
+        gid = np.cumsum(boundary) - 1
+        rank = np.arange(len(qid), dtype=np.int64) - starts[gid] + 1
+        keep = rank <= k
+        return pd.DataFrame(
+            {
+                "query_id": qid[keep],
+                "rank": rank[keep],
+                "vec_id": vid[keep],
+            }
+        )
+
+    return partials.groupby("part").map_groups(final_topk, batch_format="pandas")
+
+
+class IvfIndex:
+    """Handle to a cell-partitioned on-disk IVF index: the trained
+    centroids plus the root of a Parquet layout with one ``cell=<c>``
+    directory per coarse cell."""
+
+    def __init__(self, path: str, centroids: np.ndarray):
+        self.path = path
+        self.centroids = centroids
+
+    def cell_paths(self, cells) -> list[str]:
+        """Parquet FILES of the given cells (read_parquet takes a list of
+        files, not of directories)."""
+        import os
+
+        out = []
+        for c in cells:
+            p = os.path.join(self.path, f"cell={int(c)}")
+            if os.path.isdir(p):
+                out.extend(
+                    os.path.join(p, f)
+                    for f in sorted(os.listdir(p))
+                    if f.endswith(".parquet")
+                )
+        return out
+
+
+def build_ivf_index(
+    ds,
+    out_dir: str,
+    n_centroids: int = 256,
+    train_sample: int = 8192,
+    seed: int = 7,
+):
+    """ONE-TIME index build: train the coarse quantizer, assign every
+    corpus vector, and write the corpus partitioned by cell.  This is the
+    amortization boundary that makes IVF pay: the per-query-batch
+    assignment dgemm (n_corpus x n_centroids — as expensive as brute force
+    whenever n_queries <= n_centroids) happens once here, and searches
+    then PRUNE AT THE READ — only the probed cells' files leave storage.
+
+    ``cell_id`` is stored as a regular column as well (hive partition
+    columns are directory-only), so search batches know their cell without
+    re-assigning."""
+    import ray
+
+    sample = ds.limit(train_sample).to_pandas()
+    smat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    cent = _kmeans_fit(smat, n_centroids, seed)
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _normalize(_vec_matrix(batch))
+        cell = np.argmax(m @ c.T, axis=1).astype(np.int64)
+        batch = batch.append_column("cell", pa.array(cell))
+        return batch.append_column("cell_id", pa.array(cell))
+
+    # sort by cell before the partitioned write: without it every (input
+    # block x cell) combination becomes its own tiny file (b x c files whose
+    # open/footer costs dominate search reads); sorted blocks give each cell
+    # O(1) contiguous files.  The sort is a one-time build cost — this IS
+    # the single up-front shuffle the index amortizes.
+    ds.map_batches(assign, batch_format="pyarrow").sort("cell").write_parquet(
+        out_dir, partition_cols=["cell"]
+    )
+    return IvfIndex(out_dir, cent)
+
+
+def ivf_search(
+    index: IvfIndex,
+    query_vecs: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 8,
+):
+    """Search a built IVF index: each query probes its ``n_probe`` nearest
+    cells; ONLY those cells' Parquet files are read (storage-level
+    pruning), scanned blocks run a per-cell dgemm against the queries
+    probing that cell, and a hash-partitioned merge yields the final
+    top-k.  No shuffle of corpus vectors, no full-corpus scan.
+
+    Output schema matches ``brute_force_topk``: query_id, rank, vec_id."""
+    import ray
+    import ray.data as rd
+
+    cent = index.centroids
+    qn = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    n_parts = default_n_parts()
+    probe = np.argsort(-(qn @ cent.T), axis=1)[:, : min(n_probe, len(cent))]
+    needed = np.unique(probe)
+    cell_q = {int(c): np.flatnonzero((probe == c).any(axis=1)) for c in needed}
+    bc_ref = ray.put((qn, qids, cell_q))
+
+    paths = index.cell_paths(needed)
+    if not paths:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "rank": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+
+    def search_block(batch: pa.Table) -> pa.Table:
+        q, ids_, c2q = ray.get(bc_ref)
+        cells = batch["cell_id"].to_numpy()
+        m = _normalize(_vec_matrix(batch))
+        vids = batch["vec_id"].to_numpy()
+        out_q, out_v, out_s = [], [], []
+        order = np.argsort(cells, kind="stable")
+        bounds = np.concatenate(
+            ([0], np.flatnonzero(np.diff(cells[order])) + 1, [len(cells)])
+        )
+        for b in range(len(bounds) - 1):
+            sel = order[bounds[b] : bounds[b + 1]]
+            q_idx = c2q.get(int(cells[sel[0]]))
+            if q_idx is None or not len(sel):
+                continue
+            sub = m[sel]
+            sims = q[q_idx] @ sub.T
+            kk = min(k, sims.shape[1])
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            out_q.append(np.repeat(ids_[q_idx], kk))
+            out_v.append(vids[sel][part].ravel())
+            out_s.append(np.take_along_axis(sims, part, axis=1).ravel())
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
+                    "part": pa.array([], type=pa.int32()),
+                }
+            )
+        oq = np.concatenate(out_q)
+        return pa.table(
+            {
+                "query_id": pa.array(oq),
+                "vec_id": pa.array(np.concatenate(out_v).astype(np.int64)),
+                "cosine": pa.array(np.concatenate(out_s)),
+                "part": pa.array((oq % n_parts).astype(np.int32)),
+            }
+        )
+
+    partials = rd.read_parquet(paths).map_batches(
+        search_block, batch_format="pyarrow"
+    )
+    return _merge_topk_by_part(partials, k)
