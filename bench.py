@@ -471,6 +471,48 @@ def scaling_job(name: str, ncpu: int) -> dict:
         sec = time.perf_counter() - t0
         return {"job": name, "ncpu": ncpu, "sec": round(sec, 2), "rows": n_rows}
 
+    if name == "qlatest":
+        # end-to-end queryLatest at a scale where the per-job fixed cost
+        # amortizes (the suite's 2M-query row finishes in ~0.25 s and
+        # measures scheduling, not the evaluator; reference target is
+        # 1M queries/s/core, QueryLatest.java:59-64)
+        import pandas as pd
+        import ray.data as rd
+
+        from condor_ray.evaluate.queries import query_count_min, query_latest
+        from condor_ray.synopses import CountMinSketch
+
+        cm = CountMinSketch(65536, 5, 7)
+        rng = np.random.default_rng(7)
+        cm.update_batch(rng.integers(0, 2**31 - 1, 100_000).astype(np.int32))
+        syn_df = pd.DataFrame(
+            {"window_start": [0], "window_end": [60_000_000],
+             "payload": [cm.to_bytes()]}
+        )
+        n_q = 50_000_000
+
+        def make_keys(batch):
+            i = batch["id"].to_numpy().astype(np.uint64)
+            h = (i ^ np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
+            import pyarrow as pa
+
+            return pa.table(
+                {"query_key": pa.array((h >> np.uint64(33)).astype(np.int32))}
+            )
+
+        q_ds = (
+            rd.range(n_q, override_num_blocks=4 * ncpu)
+            .map_batches(make_keys, batch_format="pyarrow")
+            .materialize()
+        )
+        t0 = time.perf_counter()
+        query_latest(q_ds, syn_df, query_count_min).materialize()
+        sec = time.perf_counter() - t0
+        return {
+            "job": name, "ncpu": ncpu, "sec": round(sec, 2), "rows": n_q,
+            "queries_per_s_per_core": round(n_q / sec / ncpu),
+        }
+
     if name == "ann":
         import pyarrow as pa
         import pyarrow.parquet as pq

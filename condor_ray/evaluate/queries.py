@@ -36,6 +36,29 @@ def _collect_synopses(synopsis_ds) -> pd.DataFrame:
     return df.sort_values(["window_start", "window_end"]).reset_index(drop=True)
 
 
+# Process-level deserialized-synopsis cache.  Evaluator map_batches tasks
+# are stateless plain tasks, but Ray reuses worker processes, so caching
+# from_bytes by (broadcast-ref hex, window key) turns the per-batch
+# synopsis rebuild (1.3 MB of numpy allocation per batch for a
+# CM{65536,5} — it dominated the 50M-query run) into a once-per-worker
+# cost, the same pattern as the process-cached H3 tables.  Bounded: a new
+# broadcast generation evicts prior generations.
+_SYN_CACHE: dict = {"gen": None, "syn": {}}
+
+
+def _cached_synopsis(gen_key, sub_key, fetch_payload) -> Synopsis:
+    """``fetch_payload`` is a thunk so cache hits skip even the broadcast
+    ray.get / bytes copy."""
+    if _SYN_CACHE["gen"] != gen_key:
+        _SYN_CACHE["gen"] = gen_key
+        _SYN_CACHE["syn"] = {}
+    syn = _SYN_CACHE["syn"].get(sub_key)
+    if syn is None:
+        syn = Synopsis.from_bytes(fetch_payload())
+        _SYN_CACHE["syn"][sub_key] = syn
+    return syn
+
+
 def query_latest(query_ds, synopsis_ds, query_fn: QueryFn):
     """Evaluate every query against the latest (max window_start) synopsis.
 
@@ -46,18 +69,32 @@ def query_latest(query_ds, synopsis_ds, query_fn: QueryFn):
     syn = _collect_synopses(synopsis_ds)
     latest = syn.iloc[-1]
     payload_ref = ray.put(latest["payload"])
+    gen = payload_ref.hex()
     w_start, w_end = int(latest["window_start"]), int(latest["window_end"])
 
-    def evaluate(batch: pd.DataFrame) -> pd.DataFrame:
-        synopsis = Synopsis.from_bytes(ray.get(payload_ref))
-        keys = batch["query_key"].to_numpy()
-        out = batch.copy()
-        out["result"] = query_fn(synopsis, keys)
-        out["window_start"] = w_start
-        out["window_end"] = w_end
-        return out
+    import pyarrow as pa
 
-    return query_ds.map_batches(evaluate, batch_format="pandas")
+    def evaluate(batch: pa.Table) -> pa.Table:
+        synopsis = _cached_synopsis(gen, 0, lambda: ray.get(payload_ref))
+        col = batch["query_key"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        res = query_fn(synopsis, col.to_numpy())
+        n = batch.num_rows
+        return (
+            batch.append_column("result", pa.array(res))
+            .append_column(
+                "window_start", pa.array(np.full(n, w_start, dtype=np.int64))
+            )
+            .append_column(
+                "window_end", pa.array(np.full(n, w_end, dtype=np.int64))
+            )
+        )
+
+    # whole-block Arrow batches: the evaluator kernel is ~20M q/s/core, so
+    # at the default 1024-row batches the per-batch dispatch/convert cost
+    # (not the kernel) set the end-to-end rate
+    return query_ds.map_batches(evaluate, batch_format="pyarrow", batch_size=None)
 
 
 def query_timestamped(query_ds, synopsis_ds, query_fn: QueryFn, max_synopsis_count: int = 10**6):
@@ -72,9 +109,9 @@ def query_timestamped(query_ds, synopsis_ds, query_fn: QueryFn, max_synopsis_cou
     starts = syn["window_start"].to_numpy(np.int64)
     ends = syn["window_end"].to_numpy(np.int64)
     payloads_ref = ray.put(list(syn["payload"]))
+    gen = payloads_ref.hex()
 
     def evaluate(batch: pd.DataFrame) -> pd.DataFrame:
-        payloads = ray.get(payloads_ref)
         q_ts = batch["query_ts"].astype("int64").to_numpy()
         idx = np.searchsorted(starts, q_ts, side="right") - 1
         valid = (idx >= 0) & (q_ts < ends[np.clip(idx, 0, len(ends) - 1)])
@@ -82,12 +119,10 @@ def query_timestamped(query_ds, synopsis_ds, query_fn: QueryFn, max_synopsis_cou
         idx = idx[valid]
         keys = batch["query_key"].to_numpy()
         results = np.empty(len(batch), dtype=np.float64)
-        cache: dict[int, Synopsis] = {}
         for w in np.unique(idx):
-            syn_w = cache.get(w)
-            if syn_w is None:
-                syn_w = Synopsis.from_bytes(payloads[w])
-                cache[w] = syn_w
+            syn_w = _cached_synopsis(
+                gen, int(w), lambda: ray.get(payloads_ref)[int(w)]
+            )
             m = idx == w
             results[m] = query_fn(syn_w, keys[m])
         batch["result"] = results
@@ -114,6 +149,7 @@ def query_latest_stratified(query_ds, synopsis_ds, query_fn: QueryFn):
         )
     }
     ref = ray.put(table)
+    gen = ref.hex()
 
     def evaluate(batch: pd.DataFrame) -> pd.DataFrame:
         tbl = ray.get(ref)
@@ -123,7 +159,7 @@ def query_latest_stratified(query_ds, synopsis_ds, query_fn: QueryFn):
             if entry is None:
                 continue
             payload, ws, we = entry
-            synopsis = Synopsis.from_bytes(payload)
+            synopsis = _cached_synopsis(gen, stratum, lambda: payload)
             g = grp.copy()
             g["result"] = query_fn(synopsis, grp["query_key"].to_numpy())
             g["window_start"] = ws
@@ -152,6 +188,7 @@ def query_timestamped_stratified(query_ds, synopsis_ds, query_fn: QueryFn):
         for s, g in syn.groupby("stratum", dropna=False)
     }
     ref = ray.put(per_stratum)
+    gen = ref.hex()
 
     def evaluate(batch: pd.DataFrame) -> pd.DataFrame:
         tbl = ray.get(ref)
@@ -168,7 +205,9 @@ def query_timestamped_stratified(query_ds, synopsis_ds, query_fn: QueryFn):
             gi = idx[valid]
             results = np.empty(len(g), dtype=np.float64)
             for w in np.unique(gi):
-                syn_w = Synopsis.from_bytes(payloads[w])
+                syn_w = _cached_synopsis(
+                    gen, (stratum, int(w)), lambda: payloads[int(w)]
+                )
                 m = gi == w
                 results[m] = query_fn(syn_w, g["query_key"].to_numpy()[m])
             g["result"] = results
