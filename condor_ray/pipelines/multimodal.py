@@ -16,6 +16,7 @@ import struct
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def synthesize_image_table(ds):
@@ -157,4 +158,87 @@ class FrameSampler:
 def sample_frames(image_ds, concurrency: int = 2):
     return image_ds.map_batches(
         FrameSampler, batch_format="pyarrow", batch_size=256, concurrency=concurrency
+    )
+
+
+def synthesize_audio_table(ds, rate: int = 16_000):
+    """documents -> opaque WAV payloads: REAL RIFF/PCM int16 mono streams
+    whose samples are an exact integer function of (doc_id, frame index):
+    v_i = (doc_id*31 + i*17) % 65535 - 32767, n_frames = 1000 +
+    (doc_id % 7) * 250.  Sample values are integers scaled by 1/32767
+    before encoding, so the stored PCM words equal v_i exactly and every
+    downstream feature is integer-computable — the SQL twin regenerates
+    v_i with generate_series (no float summation order to match)."""
+    from .wav import encode_wav
+
+    def synth(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_numpy().astype(np.int64)
+        payloads = []
+        for d in doc_ids:
+            n = 1000 + (int(d) % 7) * 250
+            i = np.arange(n, dtype=np.int64)
+            v = (d * 31 + i * 17) % 65535 - 32767
+            payloads.append(encode_wav(v / 32767.0, rate))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids),
+                "audio": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    return ds.map_batches(synth, batch_format="pyarrow")
+
+
+class AudioDecoder:
+    """Actor-pool audio decode/feature stage (mirrors ImageDecoder): the
+    pure-stdlib WAV codec decodes RIFF/PCM in ``_decode``; features are
+    integer-exact (PCM words reconstruct exactly from the float samples
+    because division by 2^15 is lossless in fp64), so the stage is
+    SQL-twinnable end to end."""
+
+    def __init__(self):
+        from .wav import decode_wav, is_wav  # codec probe slot
+
+        self._decode_wav = decode_wav
+        self._is_wav = is_wav
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_rows = batch.num_rows
+        rates = np.empty(n_rows, dtype=np.int64)
+        chans = np.empty(n_rows, dtype=np.int64)
+        frames = np.empty(n_rows, dtype=np.int64)
+        sum_sq = np.empty(n_rows, dtype=np.int64)
+        peak = np.empty(n_rows, dtype=np.int64)
+        for j, payload in enumerate(batch["audio"].to_pylist()):
+            if not self._is_wav(payload):
+                raise NotImplementedError(
+                    "payload is not RIFF/WAVE; other audio containers need "
+                    "a real codec"
+                )
+            samples, rate = self._decode_wav(payload)
+            words = np.rint(samples * 32768.0).astype(np.int64)
+            rates[j] = rate
+            chans[j] = samples.shape[1]
+            frames[j] = samples.shape[0]
+            sum_sq[j] = int((words * words).sum())
+            peak[j] = int(np.abs(words).max()) if words.size else 0
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "sample_rate": pa.array(rates),
+                "n_channels": pa.array(chans),
+                "n_frames": pa.array(frames),
+                "sum_sq": pa.array(sum_sq),
+                "peak_abs": pa.array(peak),
+            }
+        )
+
+
+def decode_audio(audio_ds, concurrency: int = 2, batch_size: int = 256):
+    """Binary WAV column -> integer-exact feature table (actor pool)."""
+    return audio_ds.map_batches(
+        AudioDecoder,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
     )

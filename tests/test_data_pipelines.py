@@ -634,3 +634,95 @@ class TestQualitySql:
         m_ref = ref["text"].map(lambda t: int(fp.fingerprints(t).min())).to_numpy()
         assert (want["n_fingerprints"].to_numpy() == n_ref).all()
         assert (want["fingerprint_min"].to_numpy() == m_ref).all()
+
+
+class TestAudio:
+    def test_wav_roundtrip_and_stdlib_cross_check(self):
+        """encode_wav output parses identically through the stdlib `wave`
+        module (header correctness) and decode_wav recovers the PCM words
+        exactly."""
+        import io
+        import wave as stdlib_wave
+
+        from condor_ray.pipelines.wav import decode_wav, encode_wav, is_wav
+
+        rng = np.random.default_rng(3)
+        for n_ch in (1, 2):
+            v = rng.integers(-32767, 32768, (500, n_ch)).astype(np.int64)
+            payload = encode_wav(v / 32767.0, 8000)
+            assert is_wav(payload)
+            with stdlib_wave.open(io.BytesIO(payload)) as w:
+                assert w.getnchannels() == n_ch
+                assert w.getframerate() == 8000
+                assert w.getsampwidth() == 2
+                assert w.getnframes() == 500
+                ref = np.frombuffer(w.readframes(500), dtype="<i2")
+            samples, rate = decode_wav(payload)
+            assert rate == 8000 and samples.shape == (500, n_ch)
+            words = np.rint(samples * 32768.0).astype(np.int64)
+            assert (words.ravel() == ref.astype(np.int64)).all()
+            assert (words == v).all()
+
+    def test_wav_bit_depths_and_float(self):
+        import struct
+
+        from condor_ray.pipelines.wav import decode_wav, encode_wav
+
+        rng = np.random.default_rng(4)
+        x = rng.uniform(-1, 1, 64)
+        # tolerance = quantization step + the encode(x*(2^(b-1)-1)) vs
+        # decode(/2^(b-1)) scale mismatch, both O(2^-(b-1))
+        for bits, tol in ((8, 1 / 64), (16, 1 / 16384), (32, 1e-9)):
+            samples, rate = decode_wav(encode_wav(x, 44100, bits=bits))
+            assert rate == 44100
+            assert np.abs(samples.ravel() - x).max() <= tol + 1e-9
+        # float32 WAV (format tag 3) built by hand
+        f32 = x.astype("<f4").tobytes()
+        fmt = struct.pack("<HHIIHH", 3, 1, 22050, 22050 * 4, 4, 32)
+        payload = (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(f32))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(f32)) + f32
+        )
+        samples, rate = decode_wav(payload)
+        assert rate == 22050
+        assert np.abs(samples.ravel() - x.astype(np.float32).astype(np.float64)).max() == 0.0
+        # compressed tags refuse
+        import pytest as _pytest
+
+        bad_fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)  # mu-law
+        bad = (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(bad_fmt) + 8)
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(bad_fmt)) + bad_fmt
+            + b"data" + struct.pack("<I", 0)
+        )
+        with _pytest.raises(NotImplementedError):
+            decode_wav(bad)
+
+    def test_audio_pipeline_matches_duckdb_twin(self, ray_session, docs_ds):
+        """audio_features end to end vs the integer-domain SQL twin."""
+        import duckdb
+
+        import __ray_entry__ as e
+
+        got = (
+            e.queries()["audio_features"](SF)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+        )
+        want = (
+            con.execute(e.oracle_sql()["audio_features"])
+            .fetchdf()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert list(got.columns) == [
+            "doc_id", "sample_rate", "n_channels", "n_frames", "sum_sq", "peak_abs",
+        ]
+        for c in got.columns:
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
