@@ -38,6 +38,18 @@ def _shard_wavelet_block(
     Carries only (window_id, ts, conv_id, turn_idx, value) onto the wire."""
     if isinstance(tbl, pd.DataFrame):  # Ray Data blocks may be pandas
         tbl = pa.Table.from_pandas(tbl, preserve_index=False)
+    if tbl.num_rows == 0 or "ts" not in tbl.schema.names:
+        # zero-row blocks can arrive schemaless (no columns at all)
+        empty = pa.table(
+            {
+                "window_id": pa.array([], type=pa.int64()),
+                "ts": pa.array([], type=pa.int64()),
+                "conv_id": pa.array([], type=pa.string()),
+                "turn_idx": pa.array([], type=pa.int64()),
+                "value": pa.array([], type=pa.float64()),
+            }
+        )
+        return tuple(empty for _ in range(n_parts))
     ts = ts_to_us(tbl["ts"])
     values = KeyExtractor(key_spec)(tbl).astype(np.float64)
     wid = ts // size_us

@@ -174,6 +174,58 @@ def main() -> None:
     }
     print("counts:", results["jobs"]["windowed_counts_by_role"], flush=True)
 
+    # 5) windowed Haar wavelets (order-based path, round-4 task-based
+    # window-partition exchange) at full 600M-row scale
+    from condor_ray.engine.ordered import build_windowed_wavelets
+
+    ds = read_transcripts(fixture, columns=["conv_id", "turn_idx", "ts"])
+    t0 = time.perf_counter()
+    build_windowed_wavelets(
+        ds, TumblingWindow(60_000), size=1024, parallelism=4,
+        key=KeySpec("turn_idx", "value"),
+    ).materialize()
+    wall = time.perf_counter() - t0
+    results["jobs"]["wavelet_windows_60s"] = {
+        "wall_s": round(wall, 2),
+        "rows_per_s": round(total_rows / wall),
+    }
+    print("wavelets:", results["jobs"]["wavelet_windows_60s"], flush=True)
+
+    # 6) connected components on a 50M-edge giant component (round-4
+    # edge-resident actors: edges shuffle once at load, label deltas only
+    # per round)
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from condor_ray.pipelines.graph import connected_components
+
+    rng = np.random.default_rng(42)
+    nv, ne = 20_000_000, 50_000_000
+    a = rng.integers(0, nv, ne - nv, dtype=np.int64)
+    b = rng.integers(0, nv, ne - nv, dtype=np.int64)
+    chain = np.arange(nv, dtype=np.int64)
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_a": np.concatenate([a, chain[:-1]]),
+                "doc_b": np.concatenate([b, chain[1:]]),
+            }
+        )
+    ).repartition(256).materialize()
+    t0 = time.perf_counter()
+    comps = connected_components(pairs, n_parts=32)
+    n_comp_rows = comps.count()
+    wall = time.perf_counter() - t0
+    results["jobs"]["connected_components_50m_edges"] = {
+        "wall_s": round(wall, 2),
+        "edges": ne,
+        "vertices": n_comp_rows,
+        "edges_per_s": round(ne / wall),
+    }
+    print("components:", results["jobs"]["connected_components_50m_edges"],
+          flush=True)
+
     with open(
         os.path.join(os.path.dirname(__file__), "..", "BENCH_soak_sf1.json"), "w"
     ) as f:
