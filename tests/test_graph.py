@@ -70,6 +70,32 @@ class TestConnectedComponents:
         got = dict(zip(res["doc_id"], res["component"]))
         assert got == {1: 1, 2: 1, 3: 1, 7: 7}
 
+    @pytest.mark.parametrize("seed", [1, 2, 3])
+    def test_property_random_graphs_match_union_find(self, ray_session, seed):
+        """Property sweep over graph shapes the delta-propagation and
+        pointer-jumping logic must survive: sparse random + hub star
+        (extreme degree skew) + long chain, varying density per seed."""
+        rng = np.random.default_rng(seed)
+        n_nodes = int(rng.integers(50, 500))
+        n_edges = int(rng.integers(20, 800))
+        pairs = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, n_nodes, (n_edges, 2))
+        ]
+        hub = int(rng.integers(0, n_nodes))
+        pairs += [(hub, int(x)) for x in rng.integers(0, n_nodes, 40)]
+        pairs += [(50_000 + i, 50_000 + i + 1) for i in range(int(rng.integers(5, 80)))]
+        nodes = sorted({x for p in pairs for x in p})
+        expected = _uf_components(pairs, nodes)
+        res = connected_components(_pairs_ds(pairs), n_parts=5).to_pandas()
+        got = dict(zip(res["doc_id"], res["component"]))
+        assert len(got) == len(nodes)
+        assert all(got[n] == expected[n] for n in nodes)
+
+    def test_empty_pair_list(self, ray_session):
+        res = connected_components(_pairs_ds([]), n_parts=4).to_pandas()
+        assert len(res) == 0
+
 
 class TestDedupKeepList:
     def test_keep_one_representative_per_cluster(self, ray_session):
