@@ -128,9 +128,11 @@ def _pairs_within_groups(
     genuinely similar docs that landed non-adjacent in a capped bucket.
     Capped buckets are by construction boilerplate floods where members
     co-occur in MANY buckets (other bands re-supply edges), so the loss is
-    second-order — but for clustering-critical corpora either raise
-    ``window`` for near-cap buckets or run components on unverified chain
-    edges and verify only the reported representative pairs.
+    second-order — for clustering-critical corpora pass
+    ``minhash_lsh_pairs(chain_keep_threshold=0.0)``, which keeps
+    chain-provenance edges through the verification filter and restores
+    the all-pairs connectivity guarantee (verify only the reported
+    representative pairs afterwards), or raise ``window``.
     Returns (a_idx, b_idx) global row indices with a_idx < b_idx positions."""
     n = len(doc)
     if n == 0:
@@ -151,7 +153,8 @@ def _pairs_within_groups(
     return a_idx, b_idx
 
 
-def _dedup_pairs(pairs_ds, n_parts: int | None = None, min_col: str | None = None):
+def _dedup_pairs(pairs_ds, n_parts: int | None = None, min_col: str | None = None,
+                 and_col: str | None = None):
     """Distinct (doc_a, doc_b) rows (optionally keeping min of ``min_col``)
     without a per-group Ray aggregate.
 
@@ -173,8 +176,15 @@ def _dedup_pairs(pairs_ds, n_parts: int | None = None, min_col: str | None = Non
         pl = worker_polars()
 
         pldf = pl.from_pandas(g.drop(columns=["part"]))
+        aggs = []
         if min_col is not None:
-            out = pldf.group_by(["doc_a", "doc_b"]).agg(pl.col(min_col).min())
+            aggs.append(pl.col(min_col).min())
+        if and_col is not None:
+            # a pair is 'chained' only if EVERY band that surfaced it did so
+            # through a capped bucket (bool min == AND)
+            aggs.append(pl.col(and_col).min())
+        if aggs:
+            out = pldf.group_by(["doc_a", "doc_b"]).agg(aggs)
         else:
             out = pldf.unique(subset=["doc_a", "doc_b"])
         return out.sort(["doc_a", "doc_b"]).to_pandas()
@@ -188,7 +198,7 @@ def _dedup_pairs(pairs_ds, n_parts: int | None = None, min_col: str | None = Non
 
 def _bucket_pair_stage(key_cols: tuple[str, str], bucket_cap: int,
                        carry: tuple[str, ...] = (), id_col: str = "doc_id",
-                       window: int = 1):
+                       window: int = 1, tag_chained: bool = False):
     """Vectorized per-partition candidate-pair emitter.
 
     The caller hash-partitions banded rows into a BOUNDED number of
@@ -204,6 +214,8 @@ def _bucket_pair_stage(key_cols: tuple[str, str], bucket_cap: int,
         if len(g) == 0:
             out = {"doc_a": pd.Series(dtype=np.int64),
                    "doc_b": pd.Series(dtype=np.int64)}
+            if tag_chained:
+                out["chained"] = pd.Series(dtype=bool)
             for col in carry:
                 out[f"{col}_a"] = g[col]
                 out[f"{col}_b"] = g[col]
@@ -227,6 +239,10 @@ def _bucket_pair_stage(key_cols: tuple[str, str], bucket_cap: int,
             "doc_a": doc[a_idx].astype(np.int64),
             "doc_b": doc[b_idx].astype(np.int64),
         }
+        if tag_chained:
+            # pair came from a capped bucket's chain fallback (recall
+            # provenance for the post-verification clustering option)
+            out["chained"] = sizes[gid][b_idx] > bucket_cap
         for col in carry:
             vals = g[col].to_numpy()[order]
             out[f"{col}_a"] = vals[a_idx]
@@ -385,10 +401,21 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.6,
     concurrency: int = 2,
     bucket_cap: int = 500,
+    chain_keep_threshold: float | None = None,
 ):
     """Near-duplicate pairs via MinHash-LSH + exact signature-Jaccard verify.
 
     Returns doc_a, doc_b (doc_a < doc_b), est_jaccard (float).
+
+    ``chain_keep_threshold``: the capped-bucket chain fallback guarantees
+    connectivity only PRE-verification — a chain link between two
+    dissimilar sort-neighbors gets verified away, which can sever the only
+    path between similar docs that landed non-adjacent in a degenerate
+    bucket.  Setting this (e.g. 0.0) keeps chain-provenance pairs whose
+    est_jaccard clears THIS lower bar, restoring the all-pairs
+    connectivity guarantee for clustering; report-facing callers that need
+    every emitted pair to be a verified near-dup leave it None (default,
+    output unchanged).
 
     Scale design: banded rows carry ONLY (band, bucket:int64, doc_id) — 20
     bytes/row, not the full signature per band (round-1 shuffle carried the
@@ -451,16 +478,19 @@ def minhash_lsh_pairs(
         part = (batch["bucket"].to_numpy() % n_parts).astype(np.int32)
         return batch.append_column("part", pa.array(part))
 
+    tag_chained = chain_keep_threshold is not None
     pairs = (
         banded.map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(
-            _bucket_pair_stage(("band", "bucket"), bucket_cap),
+            _bucket_pair_stage(
+                ("band", "bucket"), bucket_cap, tag_chained=tag_chained
+            ),
             batch_format="pandas",
         )
     )
     # dedup pairs found in multiple bands (partitioned vectorized distinct)
-    uniq_pairs = _dedup_pairs(pairs)
+    uniq_pairs = _dedup_pairs(pairs, and_col="chained" if tag_chained else None)
 
     # verification: broadcast a doc -> signature lookup bounded by the
     # candidate set, estimate Jaccard per pair, filter by threshold
@@ -505,7 +535,12 @@ def minhash_lsh_pairs(
             "est_jaccard": est.astype(np.float64),
         }
     )
-    out = out[out["est_jaccard"] >= jaccard_threshold].reset_index(drop=True)
+    keep = out["est_jaccard"] >= jaccard_threshold
+    if tag_chained:
+        keep |= pairs_pd["chained"].to_numpy() & (
+            out["est_jaccard"] >= chain_keep_threshold
+        )
+    out = out[keep].reset_index(drop=True)
     import ray.data as rd
 
     return rd.from_pandas(out)

@@ -726,3 +726,43 @@ class TestAudio:
         ]
         for c in got.columns:
             assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+class TestChainKeepThreshold:
+    def test_bucket_pair_stage_tags_chain_provenance(self):
+        from condor_ray.pipelines.dedup import _bucket_pair_stage
+
+        # one capped bucket (4 members, cap 2 -> chain) + one normal (2)
+        g = pd.DataFrame(
+            {
+                "band": [0] * 4 + [1] * 2,
+                "bucket": [7] * 4 + [9] * 2,
+                "doc_id": [10, 11, 12, 13, 20, 21],
+                "part": [0] * 6,
+            }
+        )
+        emit = _bucket_pair_stage(("band", "bucket"), bucket_cap=2,
+                                  tag_chained=True)
+        out = emit(g).sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        # capped bucket emits the 3 chain links, normal bucket its 1 pair
+        got = {(r.doc_a, r.doc_b): r.chained for r in out.itertuples()}
+        assert got == {
+            (10, 11): True, (11, 12): True, (12, 13): True, (20, 21): False,
+        }
+
+    def test_chain_keep_is_superset_of_default(self, ray_session, docs_pd):
+        from condor_ray.pipelines.dedup import minhash_lsh_pairs
+
+        base = docs_pd.head(100)[["doc_id", "text"]]
+        planted = base.head(20).copy()
+        planted["doc_id"] = planted["doc_id"] + 5000
+        planted["text"] = planted["text"] + " extra tail words here"
+        ds = rd.from_pandas(pd.concat([base, planted], ignore_index=True))
+        default = minhash_lsh_pairs(ds, jaccard_threshold=0.5).to_pandas()
+        kept = minhash_lsh_pairs(
+            ds, jaccard_threshold=0.5, chain_keep_threshold=0.0
+        ).to_pandas()
+        assert list(kept.columns) == ["doc_a", "doc_b", "est_jaccard"]
+        d = set(zip(default["doc_a"], default["doc_b"]))
+        k = set(zip(kept["doc_a"], kept["doc_b"]))
+        assert d <= k  # connectivity edges only ever ADD pairs
