@@ -828,7 +828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     row inside the cap; positions 51+ hold the rows-only entries (LSH pair
     sets, HLL estimates — no SQL oracle by nature) and streaming twins whose
     family already has both a batch oracle row and another streaming oracle
-    row in-gate.  All 61 still run under ``tools/check_correctness.py``."""
+    row in-gate.  All 62 still run under ``tools/check_correctness.py``."""
     return {
         # --- transcripts + tumbling/sliding/stratified windows -------------
         "transcripts_derivation": _q_transcripts,

@@ -41,9 +41,13 @@ def _collect_synopses(synopsis_ds) -> pd.DataFrame:
 # from_bytes by (broadcast-ref hex, window key) turns the per-batch
 # synopsis rebuild (1.3 MB of numpy allocation per batch for a
 # CM{65536,5} — it dominated the 50M-query run) into a once-per-worker
-# cost, the same pattern as the process-cached H3 tables.  Bounded: a new
-# broadcast generation evicts prior generations.
+# cost, the same pattern as the process-cached H3 tables.  Bounded two
+# ways: a new broadcast generation evicts prior generations, and within a
+# generation at most _SYN_CACHE_CAP entries live (FIFO eviction) — a
+# timestamped run spreading queries over up to max_synopsis_count=1e6
+# windows must not pin every synopsis it ever touched in worker memory.
 _SYN_CACHE: dict = {"gen": None, "syn": {}}
+_SYN_CACHE_CAP = 256
 
 
 def _cached_synopsis(gen_key, sub_key, fetch_payload) -> Synopsis:
@@ -55,7 +59,10 @@ def _cached_synopsis(gen_key, sub_key, fetch_payload) -> Synopsis:
     syn = _SYN_CACHE["syn"].get(sub_key)
     if syn is None:
         syn = Synopsis.from_bytes(fetch_payload())
-        _SYN_CACHE["syn"][sub_key] = syn
+        cache = _SYN_CACHE["syn"]
+        while len(cache) >= _SYN_CACHE_CAP:
+            cache.pop(next(iter(cache)))  # FIFO: dict preserves insertion
+        cache[sub_key] = syn
     return syn
 
 
@@ -79,7 +86,10 @@ def query_latest(query_ds, synopsis_ds, query_fn: QueryFn):
         col = batch["query_key"]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        res = query_fn(synopsis, col.to_numpy())
+        # zero_copy_only=False: string or null-bearing key columns (bloom /
+        # cuckoo membership queries) need the copying path, like the old
+        # pandas formatting did
+        res = query_fn(synopsis, col.to_numpy(zero_copy_only=False))
         n = batch.num_rows
         return (
             batch.append_column("result", pa.array(res))

@@ -154,7 +154,7 @@ def _pairs_within_groups(
 
 
 def _dedup_pairs(pairs_ds, n_parts: int | None = None, min_col: str | None = None,
-                 and_col: str | None = None):
+                 or_col: str | None = None):
     """Distinct (doc_a, doc_b) rows (optionally keeping min of ``min_col``)
     without a per-group Ray aggregate.
 
@@ -179,10 +179,13 @@ def _dedup_pairs(pairs_ds, n_parts: int | None = None, min_col: str | None = Non
         aggs = []
         if min_col is not None:
             aggs.append(pl.col(min_col).min())
-        if and_col is not None:
-            # a pair is 'chained' only if EVERY band that surfaced it did so
-            # through a capped bucket (bool min == AND)
-            aggs.append(pl.col(and_col).min())
+        if or_col is not None:
+            # a pair is chain-provenanced if ANY band surfaced it through a
+            # capped bucket (bool max == OR): the connectivity guarantee
+            # must survive the pair ALSO colliding in some normal bucket —
+            # with AND such a pair loses its chained flag and a
+            # below-threshold chain link would still be dropped
+            aggs.append(pl.col(or_col).max())
         if aggs:
             out = pldf.group_by(["doc_a", "doc_b"]).agg(aggs)
         else:
@@ -490,7 +493,7 @@ def minhash_lsh_pairs(
         )
     )
     # dedup pairs found in multiple bands (partitioned vectorized distinct)
-    uniq_pairs = _dedup_pairs(pairs, and_col="chained" if tag_chained else None)
+    uniq_pairs = _dedup_pairs(pairs, or_col="chained" if tag_chained else None)
 
     # verification: broadcast a doc -> signature lookup bounded by the
     # candidate set, estimate Jaccard per pair, filter by threshold

@@ -185,6 +185,9 @@ def connected_components(
     # one pass over the pair blocks: both directions, sharded by src owner,
     # pushed straight into the actors (no sort-based groupby at load)
     def ingest(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_a" not in batch.schema.names:
+            # zero-row blocks can arrive schemaless (no columns at all)
+            return pa.table({"n": pa.array([0], type=pa.int64())})
         a = batch["doc_a"].to_numpy().astype(np.int64)
         b = batch["doc_b"].to_numpy().astype(np.int64)
         src = np.concatenate([a, b])

@@ -642,6 +642,21 @@ def ivf_search(
 
     paths = index.cell_paths(needed)
     if not paths:
+        # distinguish "probed cells are empty" (legal, empty result) from a
+        # missing/unreadable index root (mistyped path, remote-URI index the
+        # driver can't list) — the latter must NOT silently answer zero
+        # neighbors for every query
+        import os
+
+        has_any_cell = os.path.isdir(index.path) and any(
+            d.startswith("cell=") for d in os.listdir(index.path)
+        )
+        if not has_any_cell:
+            raise FileNotFoundError(
+                f"IVF index root {index.path!r} has no cell=<c> partitions "
+                "visible to this process (missing, mistyped, or a remote "
+                "URI this local reader cannot list)"
+            )
         return rd.from_arrow(
             pa.table(
                 {

@@ -95,10 +95,14 @@ def encode_wav(samples: np.ndarray, rate: int, bits: int = 16) -> bytes:
         raise ValueError(f"unsupported bits={bits}")
     block = n_ch * bits // 8
     fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * block, block, bits)
+    # RIFF chunks are word-aligned: an odd-length data chunk (8-bit mono
+    # with an odd frame count) takes a pad byte AFTER the chunk, not
+    # counted in its length field
+    pad = b"\x00" if len(pcm) & 1 else b""
     chunks = b"".join(
         [
             b"fmt ", struct.pack("<I", len(fmt)), fmt,
-            b"data", struct.pack("<I", len(pcm)), pcm,
+            b"data", struct.pack("<I", len(pcm)), pcm, pad,
         ]
     )
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks

@@ -647,6 +647,13 @@ class TestAudio:
         from condor_ray.pipelines.wav import decode_wav, encode_wav, is_wav
 
         rng = np.random.default_rng(3)
+        # odd-length 8-bit data chunk carries the RIFF word-alignment pad
+        odd = encode_wav(rng.uniform(-1, 1, 11), 8000, bits=8)
+        assert len(odd) % 2 == 0
+        with stdlib_wave.open(io.BytesIO(odd)) as w:
+            assert w.getnframes() == 11
+        s_odd, _ = decode_wav(odd)
+        assert s_odd.shape == (11, 1)
         for n_ch in (1, 2):
             v = rng.integers(-32767, 32768, (500, n_ch)).astype(np.int64)
             payload = encode_wav(v / 32767.0, 8000)
@@ -749,6 +756,25 @@ class TestChainKeepThreshold:
         assert got == {
             (10, 11): True, (11, 12): True, (12, 13): True, (20, 21): False,
         }
+
+    def test_chain_provenance_ors_across_bands(self, ray_session):
+        """A pair surfaced by BOTH a capped-bucket chain and a normal bucket
+        must stay chain-provenanced (OR) — with AND it would lose the flag
+        and a below-threshold chain link could still sever connectivity."""
+        from condor_ray.pipelines.dedup import _dedup_pairs
+
+        pairs = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_a": np.array([1, 1, 3], dtype=np.int64),
+                    "doc_b": np.array([2, 2, 4], dtype=np.int64),
+                    "chained": [True, False, False],
+                }
+            )
+        )
+        out = _dedup_pairs(pairs, or_col="chained").to_pandas()
+        got = {(r.doc_a, r.doc_b): r.chained for r in out.itertuples()}
+        assert got == {(1, 2): True, (3, 4): False}
 
     def test_chain_keep_is_superset_of_default(self, ray_session, docs_pd):
         from condor_ray.pipelines.dedup import minhash_lsh_pairs

@@ -202,8 +202,9 @@ def main() -> None:
 
     rng = np.random.default_rng(42)
     nv, ne = 20_000_000, 50_000_000
-    a = rng.integers(0, nv, ne - nv, dtype=np.int64)
-    b = rng.integers(0, nv, ne - nv, dtype=np.int64)
+    # chain contributes nv-1 links, random part tops up to exactly ne edges
+    a = rng.integers(0, nv, ne - (nv - 1), dtype=np.int64)
+    b = rng.integers(0, nv, ne - (nv - 1), dtype=np.int64)
     chain = np.arange(nv, dtype=np.int64)
     pairs = rd.from_arrow(
         pa.table(
