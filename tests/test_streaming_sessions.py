@@ -193,15 +193,19 @@ class TestCloseCycleScaling:
         # ingest returns the late-dropped count (none here)
         assert ray.get(store.ingest.remote(batch)) == 0
 
-        # 200 close cycles at a watermark that closes nothing
-        t0 = time.perf_counter()
+        # 200 close cycles at a watermark that closes nothing.  Assert on
+        # the per-cycle MEDIAN: the total is flaky under full-suite host
+        # load (RPC spikes), but the median cleanly separates the heap path
+        # (~1 ms RPC overhead) from the old full sweep (~25 ms/cycle for
+        # 50k open convs).
+        cycles = []
         for _ in range(200):
+            t0 = time.perf_counter()
             t = ray.get(store.close_sessions.remote(0))
+            cycles.append(time.perf_counter() - t0)
             assert t.num_rows == 0
-        noop_wall = time.perf_counter() - t0
-        # heap path: pure RPC overhead (~1 ms/cycle); the old full sweep of
-        # 50k convs costs ~25 ms/cycle => ~5 s for 200 cycles
-        assert noop_wall < 2.0, f"no-op close cycles took {noop_wall:.2f}s"
+        med = sorted(cycles)[len(cycles) // 2]
+        assert med < 0.010, f"median no-op close cycle {med * 1e3:.2f} ms"
 
         # closing watermark emits every session exactly once
         t = ray.get(store.close_sessions.remote(2**62))
