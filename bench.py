@@ -211,17 +211,17 @@ def run_bench() -> dict:
 
     # q4: order-based path — windowed Haar wavelets (the reference's hardest
     # path, ~50x slower by design; compute-bound => the scaling demonstrator)
-    from condor_ray.engine.ordered import build_windowed_wavelets
+    from condor_ray.engine.ordered import build_windowed_wavelets_from_fragments
 
     wl_rows = min(total_rows, 6_000_000)
     wl_fix = generate_stream_fixture(
         n_rows=wl_rows, n_convs=max(wl_rows // 1000, 600), seed=42, n_fragments=128
     )
-    ds = read_transcripts(wl_fix, columns=["conv_id", "turn_idx", "ts"])
     t0 = time.perf_counter()
-    build_windowed_wavelets(
-        ds, TumblingWindow(60_000), size=1024, parallelism=4,
-        key=KeySpec("turn_idx", "value"),
+    build_windowed_wavelets_from_fragments(
+        transcript_fragments(wl_fix), TumblingWindow(60_000), size=1024,
+        parallelism=4, key=KeySpec("turn_idx", "value"),
+        columns=["conv_id", "turn_idx", "ts"],
     ).materialize()
     queries["wavelet_windows_60s"] = time.perf_counter() - t0
 
@@ -454,19 +454,22 @@ def scaling_job(name: str, ncpu: int) -> dict:
 
     if name == "wavelet":
         from condor_ray.config import KeySpec
-        from condor_ray.engine.ordered import build_windowed_wavelets
-        from condor_ray.sources.transcripts import generate_stream_fixture, read_transcripts
+        from condor_ray.engine.ordered import build_windowed_wavelets_from_fragments
+        from condor_ray.sources.transcripts import (
+            generate_stream_fixture,
+            transcript_fragments,
+        )
         from condor_ray.windows import TumblingWindow
 
         n_rows = 24_000_000
         fix = generate_stream_fixture(
             n_rows=n_rows, n_convs=n_rows // 1000, seed=42, n_fragments=128
         )
-        ds = read_transcripts(fix, columns=["conv_id", "turn_idx", "ts"])
         t0 = time.perf_counter()
-        build_windowed_wavelets(
-            ds, TumblingWindow(60_000), size=1024, parallelism=4,
-            key=KeySpec("turn_idx", "value"),
+        build_windowed_wavelets_from_fragments(
+            transcript_fragments(fix), TumblingWindow(60_000), size=1024,
+            parallelism=4, key=KeySpec("turn_idx", "value"),
+            columns=["conv_id", "turn_idx", "ts"],
         ).materialize()
         sec = time.perf_counter() - t0
         return {"job": name, "ncpu": ncpu, "sec": round(sec, 2), "rows": n_rows}

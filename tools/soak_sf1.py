@@ -176,13 +176,12 @@ def main() -> None:
 
     # 5) windowed Haar wavelets (order-based path, round-4 task-based
     # window-partition exchange) at full 600M-row scale
-    from condor_ray.engine.ordered import build_windowed_wavelets
+    from condor_ray.engine.ordered import build_windowed_wavelets_from_fragments
 
-    ds = read_transcripts(fixture, columns=["conv_id", "turn_idx", "ts"])
     t0 = time.perf_counter()
-    build_windowed_wavelets(
-        ds, TumblingWindow(60_000), size=1024, parallelism=4,
-        key=KeySpec("turn_idx", "value"),
+    build_windowed_wavelets_from_fragments(
+        frags, TumblingWindow(60_000), size=1024, parallelism=4,
+        key=KeySpec("turn_idx", "value"), columns=["conv_id", "turn_idx", "ts"],
     ).materialize()
     wall = time.perf_counter() - t0
     results["jobs"]["wavelet_windows_60s"] = {
