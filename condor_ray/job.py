@@ -1,0 +1,178 @@
+"""``ray job submit``-compatible entrypoint.
+
+On a real cluster:
+
+    ray job submit --working-dir . -- \\
+        python -m condor_ray.job --pipeline cm --input /data/transcripts \\
+        --out /data/out --window-ms 60000 --parallelism 64 \\
+        --checkpoint-dir /data/ckpt
+
+``ray job submit`` exports RAY_ADDRESS into the driver environment, so
+``ray.init(address="auto")`` attaches to the running cluster; standalone
+invocations fall back to a local session.  This module is a CLI entry
+point and therefore OWNS its Ray session (the library itself never calls
+``ray.init``); it prints exactly one JSON summary line on success.
+
+``--resume`` continues a checkpointed streaming job byte-identically
+after a crash (per-partition lineage manifest + atomic emission files —
+already-emitted fragments are skipped).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def _fragments(input_path: str) -> list[str]:
+    if os.path.isfile(input_path):
+        return [input_path]
+    frags = sorted(
+        glob.glob(os.path.join(input_path, "**", "*.parquet"), recursive=True)
+    )
+    if not frags:
+        raise SystemExit(f"no parquet fragments under {input_path!r}")
+    return frags
+
+
+def main(argv: list[str] | None = None) -> dict:
+    ap = argparse.ArgumentParser(prog="python -m condor_ray.job")
+    ap.add_argument(
+        "--pipeline",
+        required=True,
+        choices=["cm", "hll", "counts", "wavelets", "cep", "sessions"],
+        help="cm/hll: streaming windowed synopses; counts: exact windowed "
+        "counts; wavelets: order-based Haar managers; cep: 3-step pattern "
+        "matcher; sessions: gap-merged session windows",
+    )
+    ap.add_argument("--input", required=True, help="parquet file or directory")
+    ap.add_argument("--out", required=True, help="emission directory")
+    ap.add_argument("--window-ms", type=int, default=60_000)
+    ap.add_argument("--slide-ms", type=int, default=None)
+    ap.add_argument("--gap-ms", type=int, default=30 * 60 * 1000)
+    ap.add_argument("--key", default="conv_id")
+    ap.add_argument("--parallelism", type=int, default=None)
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        # under `ray job submit` RAY_ADDRESS is set and "auto" attaches to
+        # the cluster; standalone falls back to a local session
+        try:
+            ray.init(address="auto", ignore_reinit_error=True)
+        except ConnectionError:
+            ray.init(address="local", include_dashboard=False,
+                     ignore_reinit_error=True)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    parallelism = args.parallelism or max(2, min(16, ncpu // 2))
+    frags = _fragments(args.input)
+
+    from condor_ray.config import BuildConfiguration, KeySpec
+    from condor_ray.windows import SlidingWindow, TumblingWindow
+
+    window = (
+        SlidingWindow(args.window_ms, args.slide_ms)
+        if args.slide_ms
+        else TumblingWindow(args.window_ms)
+    )
+
+    summary: dict = {"pipeline": args.pipeline, "out": args.out,
+                     "fragments": len(frags), "num_cpus": ncpu}
+    if args.pipeline in ("cm", "hll"):
+        from condor_ray.engine.streaming import StreamingSynopsisJob
+
+        cfg = BuildConfiguration(
+            synopsis="CountMinSketch" if args.pipeline == "cm"
+            else "HyperLogLogSketch",
+            params=(65536, 5, 7) if args.pipeline == "cm" else (16, 7),
+            windows=[window],
+            key=KeySpec(args.key, "java_hash"),
+            parallelism=parallelism,
+        )
+        job = StreamingSynopsisJob(
+            cfg, args.out, columns=[args.key, "ts"],
+            checkpoint_dir=args.checkpoint_dir,
+        )
+        if args.resume:
+            job.resume()
+        summary.update(job.run(frags))
+        job.shutdown()
+    elif args.pipeline == "cep":
+        from condor_ray.engine.streaming_cep import StreamingPatternJob
+        from condor_ray.pipelines.cep import Step
+
+        job = StreamingPatternJob(
+            [
+                Step("role", "eq", "user"),
+                Step("role", "eq", "assistant"),
+                Step("tool", "notnull"),
+            ],
+            args.out,
+            within_ms=args.window_ms,
+            parallelism=parallelism,
+            checkpoint_dir=args.checkpoint_dir,
+        )
+        if args.resume:
+            job.resume()
+        summary.update(job.run(frags))
+        job.shutdown()
+    elif args.pipeline == "sessions":
+        from condor_ray.engine.streaming_sessions import StreamingSessionJob
+        from condor_ray.windows import SessionWindow
+
+        cfg = BuildConfiguration(
+            synopsis="CountMinSketch",
+            params=(1024, 3, 7),
+            windows=[SessionWindow(args.gap_ms)],
+            key=KeySpec(args.key, "java_hash"),
+            parallelism=parallelism,
+        )
+        job = StreamingSessionJob(
+            cfg, args.out, checkpoint_dir=args.checkpoint_dir,
+        )
+        if args.resume:
+            job.resume()
+        summary.update(job.run(frags))
+        job.shutdown()
+    elif args.pipeline == "counts":
+        import ray.data as rd
+
+        from condor_ray.engine.batch import windowed_counts
+
+        ds = rd.read_parquet(frags, columns=["ts"])
+        windowed_counts(ds, TumblingWindow(args.window_ms)).write_parquet(
+            args.out
+        )
+        summary["rows"] = ds.count()
+    elif args.pipeline == "wavelets":
+        from condor_ray.engine.ordered import (
+            build_windowed_wavelets_from_fragments,
+        )
+
+        res = build_windowed_wavelets_from_fragments(
+            frags, TumblingWindow(args.window_ms), size=1024,
+            parallelism=4, key=KeySpec("turn_idx", "value"),
+            columns=["conv_id", "turn_idx", "ts"],
+        )
+        res.write_parquet(args.out)
+        summary["windows"] = res.count()
+
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main()
+    import ray
+
+    ray.shutdown()

@@ -1,0 +1,88 @@
+"""The ``ray job submit`` entrypoint (python -m condor_ray.job)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def fragments(tmp_path_factory):
+    d = tmp_path_factory.mktemp("job_frags")
+    rng = np.random.default_rng(5)
+    n = 5000
+    for k in range(3):
+        ts0 = 1_000_000 + k * n * 1000
+        tbl = pa.table(
+            {
+                "conv_id": pa.array([f"c{int(i):04d}" for i in rng.integers(0, 200, n)]),
+                "turn_idx": pa.array(np.arange(n, dtype=np.int32)),
+                "role": pa.array(
+                    [["user", "assistant", "tool"][i % 3] for i in range(n)]
+                ),
+                "tool": pa.array(["grep" if i % 5 == 0 else None for i in range(n)]),
+                "ts": pa.array(
+                    (ts0 + np.arange(n, dtype=np.int64) * 1000)
+                ).cast(pa.timestamp("us")),
+            }
+        )
+        pq.write_table(tbl, os.path.join(d, f"fragment-{k:05d}.parquet"))
+    return str(d)
+
+
+class TestJobCli:
+    def test_cm_pipeline_end_to_end(self, ray_session, fragments, tmp_path):
+        from condor_ray.job import main
+
+        out = str(tmp_path / "out")
+        summary = main(
+            [
+                "--pipeline", "cm", "--input", fragments, "--out", out,
+                "--window-ms", "5000", "--parallelism", "2",
+            ]
+        )
+        assert summary["rows"] == 15000
+        emits = [f for f in os.listdir(out) if f.startswith("emit-")]
+        assert emits, "no emission files written"
+        assert os.path.exists(os.path.join(out, "manifest.jsonl"))
+        # emissions hold windowed synopsis rows
+        total = sum(
+            pq.read_table(os.path.join(out, f)).num_rows for f in emits
+        )
+        assert total == summary["windows_emitted"] > 0
+
+    def test_counts_pipeline_matches_pandas(self, ray_session, fragments, tmp_path):
+        from condor_ray.job import main
+
+        out = str(tmp_path / "counts")
+        main(
+            ["--pipeline", "counts", "--input", fragments, "--out", out,
+             "--window-ms", "5000"]
+        )
+        got = (
+            pd.concat(
+                [pq.read_table(os.path.join(out, f)).to_pandas()
+                 for f in os.listdir(out)]
+            )
+            .groupby("window_start")["n_rows"].sum()
+        )
+        frames = [
+            pq.read_table(os.path.join(fragments, f)).to_pandas()
+            for f in sorted(os.listdir(fragments))
+        ]
+        ts = pd.concat(frames)["ts"].astype("int64")
+        want = ts.groupby((ts // 5_000_000) * 5_000_000).count()
+        assert got.sort_index().tolist() == want.sort_index().tolist()
+
+    def test_missing_input_errors(self, ray_session, tmp_path):
+        from condor_ray.job import main
+
+        with pytest.raises(SystemExit):
+            main(["--pipeline", "cm", "--input", str(tmp_path / "nope"),
+                  "--out", str(tmp_path / "o")])
