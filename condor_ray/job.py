@@ -56,7 +56,16 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--key", default="conv_id")
     ap.add_argument("--parallelism", type=int, default=None)
     ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--checkpoint-every", type=int, default=4,
+                    help="checkpoint cadence in fragments")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument(
+        "--no-final-flush", action="store_true",
+        help="leave open windows in state instead of force-closing at end "
+        "of input — for jobs that will be resumed with more fragments "
+        "(a final flush advances the watermark past the stream end, so a "
+        "later continuation would drop its rows as late)",
+    )
     args = ap.parse_args(argv)
 
     import ray
@@ -102,10 +111,12 @@ def main(argv: list[str] | None = None) -> dict:
         job = StreamingSynopsisJob(
             cfg, args.out, columns=[args.key, "ts"],
             checkpoint_dir=args.checkpoint_dir,
+            checkpoint_every=args.checkpoint_every,
         )
-        if args.resume:
-            job.resume()
-        summary.update(job.run(frags))
+        summary.update(
+            job.run(frags, resume=args.resume,
+                    final_flush=not args.no_final_flush)
+        )
         job.shutdown()
     elif args.pipeline == "cep":
         from condor_ray.engine.streaming_cep import StreamingPatternJob
@@ -121,10 +132,12 @@ def main(argv: list[str] | None = None) -> dict:
             within_ms=args.window_ms,
             parallelism=parallelism,
             checkpoint_dir=args.checkpoint_dir,
+            checkpoint_every=args.checkpoint_every,
         )
-        if args.resume:
-            job.resume()
-        summary.update(job.run(frags))
+        summary.update(
+            job.run(frags, resume=args.resume,
+                    final_flush=not args.no_final_flush)
+        )
         job.shutdown()
     elif args.pipeline == "sessions":
         from condor_ray.engine.streaming_sessions import StreamingSessionJob
@@ -139,10 +152,12 @@ def main(argv: list[str] | None = None) -> dict:
         )
         job = StreamingSessionJob(
             cfg, args.out, checkpoint_dir=args.checkpoint_dir,
+            checkpoint_every=args.checkpoint_every,
         )
-        if args.resume:
-            job.resume()
-        summary.update(job.run(frags))
+        summary.update(
+            job.run(frags, resume=args.resume,
+                    final_flush=not args.no_final_flush)
+        )
         job.shutdown()
     elif args.pipeline == "counts":
         import ray.data as rd
