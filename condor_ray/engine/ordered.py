@@ -102,12 +102,24 @@ def build_windowed_wavelets_from_fragments(
     parallelism: int = 4,
     key: KeySpec | None = None,
     columns: list[str] | None = None,
+    wave_fragments: int | str | None = "auto",
 ):
     """Fragment-path binding of ``build_windowed_wavelets`` (bit-identical
     managers): one shard task per fragment reads + routes in a single hop,
     one fused build task per window partition.  Use when the input is
     already a list of Parquet fragments (the streaming engines' source
-    shape); arbitrary Datasets go through ``build_windowed_wavelets``."""
+    shape); arbitrary Datasets go through ``build_windowed_wavelets``.
+
+    ``wave_fragments``: process fragments in bounded waves (default auto =
+    4×CPU fragments/wave, engaged only when the stream is longer than one
+    wave).  A cheap footer-stats pass yields each fragment's min ts; after
+    wave *i*, every window older than the min ts of the REMAINING fragments
+    is complete and is built + released immediately, with only open-window
+    rows carried into the next wave's per-partition task.  In-flight shard
+    bytes drop from O(stream) to O(wave + open windows) — at 600 M rows the
+    single-shot path held ~26 GB of shards and spilled.  ``None`` forces the
+    single-shot path.  Wave order is time order; out-of-order fragment lists
+    degrade gracefully (threshold stops advancing) but stay correct."""
     import ray
     import ray.data as rd
 
@@ -118,6 +130,13 @@ def build_windowed_wavelets_from_fragments(
     )
     n_parts = max(2, 2 * ncpu)
     shard = ray.remote(num_returns=n_parts)(_shard_wavelet_fragment)
+    if wave_fragments == "auto":
+        wave_fragments = 4 * ncpu
+    if wave_fragments is not None and len(fragment_paths) > wave_fragments:
+        return _build_wavelets_waved(
+            fragment_paths, shard, columns, n_parts, size_us, size,
+            parallelism, key, int(wave_fragments),
+        )
     per_part: list[list] = [[] for _ in range(n_parts)]
     for path in fragment_paths:
         refs = shard.remote(path, columns, n_parts, size_us, key)
@@ -134,25 +153,84 @@ def build_windowed_wavelets_from_fragments(
     return rd.from_arrow_refs(out_refs)
 
 
-def _build_wavelet_partition(
-    size_us: int, size: int, parallelism: int, *tables: pa.Table
-) -> pa.Table:
-    """Fused per-partition conquer: ONE lexsort over the partition's rows
-    establishes every window's (ts, conv_id, turn_idx) order, then each
-    window segment round-robin splits into P sub-wavelets (C kernel) and
-    assembles its manager — bit-identical to the groupby formulation."""
-    tables = [t for t in tables if t.num_rows]
-    empty = pa.table(
-        {
-            "window_start": pa.array([], type=pa.int64()),
-            "window_end": pa.array([], type=pa.int64()),
-            "n_rows": pa.array([], type=pa.int64()),
-            "payload": pa.array([], type=pa.binary()),
-        }
-    )
-    if not tables:
-        return empty
-    tbl = pa.concat_tables(tables)
+def _build_wavelets_waved(
+    paths: list[str],
+    shard,
+    columns,
+    n_parts: int,
+    size_us: int,
+    size: int,
+    parallelism: int,
+    key: KeySpec,
+    wave: int,
+):
+    """Wave-bounded fragment build (see ``build_windowed_wavelets_from_
+    fragments``).  Per wave: shard tasks for the wave's fragments, then one
+    chained task per partition that builds complete windows and carries open
+    ones forward.  At most ~2 waves of shard outputs are in flight (the
+    driver waits on wave i-1's builds before submitting wave i+1)."""
+    import ray
+    import ray.data as rd
+
+    min_ts_task = ray.remote(num_cpus=0.25)(_fragment_min_ts)
+    # footer probes in bounded chunks (not 10^5 simultaneous submissions)
+    frag_min: list[int] = []
+    for lo in range(0, len(paths), 4 * wave):
+        frag_min.extend(
+            ray.get([min_ts_task.remote(p) for p in paths[lo : lo + 4 * wave]])
+        )
+    # threshold after wave ending at fragment e = min ts of fragments [e:)
+    suffix_min = [2**62] * (len(paths) + 1)
+    for i in range(len(paths) - 1, -1, -1):
+        suffix_min[i] = min(frag_min[i], suffix_min[i + 1])
+    wave_build = ray.remote(num_returns=2)(_build_wavelet_wave)
+    carry: list = [None] * n_parts
+    emit_refs: list = []
+    prev_waves: list[list] = []
+    for lo in range(0, len(paths), wave):
+        hi = min(lo + wave, len(paths))
+        threshold_wid = (
+            2**62 if hi >= len(paths) else suffix_min[hi] // size_us
+        )
+        per_part: list[list] = [[] for _ in range(n_parts)]
+        for path in paths[lo:hi]:
+            refs = shard.remote(path, columns, n_parts, size_us, key)
+            for q in range(n_parts):
+                per_part[q].append(refs[q])
+        this_wave = []
+        for q in range(n_parts):
+            out, carry[q] = wave_build.remote(
+                threshold_wid, size_us, size, parallelism,
+                carry[q], *per_part[q],
+            )
+            emit_refs.append(out)
+            this_wave.append(out)
+        prev_waves.append(this_wave)
+        if len(prev_waves) > 1:  # bound in-flight shards to ~2 waves
+            done_wave = prev_waves.pop(0)
+            ray.wait(done_wave, num_returns=len(done_wave), fetch_local=False)
+    return rd.from_arrow_refs(emit_refs)
+
+
+_EMPTY_MANAGER_TABLE = pa.table(
+    {
+        "window_start": pa.array([], type=pa.int64()),
+        "window_end": pa.array([], type=pa.int64()),
+        "n_rows": pa.array([], type=pa.int64()),
+        "payload": pa.array([], type=pa.binary()),
+    }
+)
+
+
+def _emit_windows(tbl: pa.Table, size_us: int, size: int, parallelism: int) -> pa.Table:
+    """Rows (window_id, ts, conv_id, turn_idx, value) -> one manager row per
+    window.  ONE lexsort establishes every window's (ts, conv_id, turn_idx)
+    order, then each window segment round-robin splits into P sub-wavelets
+    (C kernel) and assembles its manager — bit-identical to the groupby
+    formulation (a sort of any superset of whole windows yields the same
+    per-window segment order)."""
+    if tbl.num_rows == 0:
+        return _EMPTY_MANAGER_TABLE
     # Arrow's native multi-key sort: C++ string compares for the conv_id
     # tie-break (6x faster than np.unique-codes + np.lexsort on object
     # arrays, order-identical — rows tied on all four keys are
@@ -195,6 +273,71 @@ def _build_wavelet_partition(
             "payload": pa.array(payloads, type=pa.binary()),
         }
     )
+
+
+def _build_wavelet_partition(
+    size_us: int, size: int, parallelism: int, *tables: pa.Table
+) -> pa.Table:
+    """Fused per-partition conquer over the partition's FULL row set."""
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return _EMPTY_MANAGER_TABLE
+    return _emit_windows(pa.concat_tables(tables), size_us, size, parallelism)
+
+
+def _build_wavelet_wave(
+    threshold_wid: int,
+    size_us: int,
+    size: int,
+    parallelism: int,
+    carry: pa.Table | None,
+    *tables: pa.Table,
+):
+    """One wave of a partition's conquer: build every COMPLETE window
+    (window_id < threshold_wid — no remaining fragment can contribute to
+    it), return (manager rows, carryover of still-open-window rows).  The
+    carryover chains into the next wave's task, so in-flight shard bytes
+    stay O(wave), not O(stream) — the 600 M-row spill fix."""
+    import pyarrow.compute as pc
+
+    parts = [t for t in ((carry,) + tables) if t is not None and t.num_rows]
+    if not parts:
+        return _EMPTY_MANAGER_TABLE, None
+    tbl = pa.concat_tables(parts)
+    done_mask = pc.less(tbl["window_id"], threshold_wid)
+    done = tbl.filter(done_mask)
+    keep = tbl.filter(pc.invert(done_mask))
+    out = _emit_windows(done, size_us, size, parallelism)
+    return out, (keep.combine_chunks() if keep.num_rows else None)
+
+
+def _fragment_min_ts(path: str) -> int:
+    """Min epoch-µs ts of one fragment from the Parquet FOOTER statistics
+    (no data pages read); falls back to reading the ts column when a row
+    group lacks stats.  2**62 for empty fragments."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(path)
+    md = f.metadata
+    col_idx = None
+    for i in range(md.num_columns):
+        if md.schema.column(i).path == "ts":
+            col_idx = i
+            break
+    mins: list[int] = []
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        if g.num_rows == 0:
+            continue
+        st = g.column(col_idx).statistics if col_idx is not None else None
+        if st is None or not st.has_min_max:
+            ts = ts_to_us(f.read(columns=["ts"])["ts"])
+            return int(ts.min()) if len(ts) else 2**62
+        m = st.min
+        if not isinstance(m, (int, np.integer)):
+            m = pd.Timestamp(m).value // 1000  # datetime stat -> epoch µs
+        mins.append(int(m))
+    return min(mins) if mins else 2**62
 
 
 def build_windowed_wavelets(

@@ -3,9 +3,11 @@ under the DistributedWaveletsManager index contract."""
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+from condor_ray.config import KeySpec
 from condor_ray.engine.ordered import build_windowed_wavelets, wavelet_range_sums
 from condor_ray.sources.transcripts import read_transcripts, transcript_fragments
 from condor_ray.synopses import Synopsis
@@ -104,3 +106,94 @@ class TestFusedWindowBuild:
         assert len(a) == len(b) > 0
         assert (a["n_rows"].values == b["n_rows"].values).all()
         assert all(x == y for x, y in zip(a["payload"], b["payload"]))
+
+
+class TestWaveBoundedFragmentBuild:
+    """Wave-bounded fragment build == single-shot build, bit-identical."""
+
+    @pytest.fixture(scope="class")
+    def wave_fragments_fixture(self, tmp_path_factory):
+        import pyarrow.parquet as pq
+
+        rng = np.random.default_rng(11)
+        n = 9_000
+        ts = np.sort(rng.integers(0, 90_000_000, n))  # 90 s span, us
+        df = pd.DataFrame(
+            {
+                "conv_id": np.array([f"c{int(x)}" for x in rng.integers(0, 40, n)]),
+                "turn_idx": rng.integers(0, 500, n).astype(np.int32),
+                "ts": ts,
+            }
+        ).sort_values(["ts", "conv_id", "turn_idx"], kind="mergesort")
+        d = tmp_path_factory.mktemp("wave_bound_frags")
+        paths = []
+        bounds = np.linspace(0, n, 10).astype(int)
+        for i in range(9):
+            part = pa.Table.from_pandas(
+                df.iloc[bounds[i] : bounds[i + 1]], preserve_index=False
+            )
+            part = part.set_column(
+                part.schema.get_field_index("ts"), "ts",
+                part["ts"].cast(pa.timestamp("us")),
+            )
+            p = str(d / f"fragment-{i:05d}.parquet")
+            pq.write_table(part, p)
+            paths.append(p)
+        # one empty fragment mid-stream (schemaless-empty guard territory)
+        empty = pa.Table.from_pandas(df.iloc[:0], preserve_index=False)
+        empty = empty.set_column(
+            empty.schema.get_field_index("ts"), "ts",
+            empty["ts"].cast(pa.timestamp("us")),
+        )
+        ep = str(d / "fragment-empty.parquet")
+        pq.write_table(empty, ep)
+        paths.insert(4, ep)
+        return paths
+
+    @staticmethod
+    def _build(paths, wave):
+        from condor_ray.engine.ordered import build_windowed_wavelets_from_fragments
+
+        return (
+            build_windowed_wavelets_from_fragments(
+                paths, TumblingWindow(10_000), size=512, parallelism=4,
+                key=KeySpec("turn_idx", "value"),
+                columns=["conv_id", "turn_idx", "ts"],
+                wave_fragments=wave,
+            )
+            .to_pandas()
+            .sort_values("window_start")
+            .reset_index(drop=True)
+        )
+
+    def test_waved_matches_single_shot(self, ray_session, wave_fragments_fixture):
+        single = self._build(wave_fragments_fixture, None)
+        waved = self._build(wave_fragments_fixture, 2)
+        assert len(single) == len(waved) > 3
+        assert (single["window_start"].to_numpy() == waved["window_start"].to_numpy()).all()
+        assert (single["n_rows"].to_numpy() == waved["n_rows"].to_numpy()).all()
+        for a, b in zip(single["payload"], waved["payload"]):
+            assert a == b  # bit-identical managers
+
+    def test_out_of_order_fragment_list_still_correct(
+        self, ray_session, wave_fragments_fixture
+    ):
+        single = self._build(wave_fragments_fixture, None)
+        shuffled = list(wave_fragments_fixture)
+        rng = np.random.default_rng(3)
+        rng.shuffle(shuffled)
+        waved = self._build(shuffled, 3)
+        assert (single["n_rows"].to_numpy() == waved["n_rows"].to_numpy()).all()
+        for a, b in zip(single["payload"], waved["payload"]):
+            assert a == b
+
+    def test_fragment_min_ts_footer_stats(self, wave_fragments_fixture):
+        import pyarrow.parquet as pq
+
+        from condor_ray.engine.ordered import _fragment_min_ts
+        from condor_ray.stages.extract import ts_to_us
+
+        for p in wave_fragments_fixture:
+            ts = ts_to_us(pq.read_table(p, columns=["ts"])["ts"])
+            expect = int(ts.min()) if len(ts) else 2**62
+            assert _fragment_min_ts(p) == expect
