@@ -204,6 +204,81 @@ def _q_turns_join_tool_calls(sf_dir: str):
     return join_turns_tool_calls(turns, calls, bound_ms=5_000)
 
 
+def _q_asof_user_context(sf_dir: str):
+    """Generic as-of join: each tool turn joins the LATEST user turn of its
+    conversation at-or-before its ts (ties: greatest (ts, turn_idx));
+    unmatched rows surface -1.  Partitioned merge_asof, no broadcast."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from condor_ray.pipelines.temporal_join import asof_join
+    from condor_ray.sources.events_adapter import transcripts_from_events
+
+    tool_turns = transcripts_from_events(sf_dir).map_batches(
+        lambda b: b.filter(pc.is_valid(b["tool"])), batch_format="pyarrow"
+    )
+    user_turns = transcripts_from_events(sf_dir).map_batches(
+        lambda b: b.filter(pc.equal(b["role"], "user")), batch_format="pyarrow"
+    )
+    out = asof_join(
+        tool_turns,
+        user_turns,
+        left_cols={"turn_idx": "turn_idx"},
+        right_cols={"user_ts": "ts", "user_turn": "turn_idx"},
+        right_order=("user_turn",),
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv_id": df["conv_id"],
+                "ts_us": df["ts_us"].astype("int64"),
+                "turn_idx": df["turn_idx"].astype("int64"),
+                "user_ts": df["user_ts"].fillna(-1).astype("int64"),
+                "user_turn": df["user_turn"].fillna(-1).astype("int64"),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pandas")
+
+
+def _q_session_interval_join(sf_dir: str):
+    """Point-in-interval join: each tool turn lands in its (conv, 30 m gap)
+    session — one as-of exchange plus a containment filter, never a range
+    cross product."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from condor_ray.pipelines.sessions import session_stats
+    from condor_ray.pipelines.temporal_join import interval_join
+    from condor_ray.sources.events_adapter import transcripts_from_events
+
+    tool_turns = transcripts_from_events(sf_dir).map_batches(
+        lambda b: b.filter(pc.is_valid(b["tool"])), batch_format="pyarrow"
+    )
+    sessions = session_stats(transcripts_from_events(sf_dir), SESSION_GAP_MS)
+    out = interval_join(
+        tool_turns,
+        sessions,
+        point_cols={"turn_idx": "turn_idx"},
+        interval_cols={"session_idx": "session_idx"},
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv_id": df["conv_id"],
+                "ts_us": df["ts_us"].astype("int64"),
+                "turn_idx": df["turn_idx"].astype("int64"),
+                "session_idx": df["session_idx"].astype("int64"),
+                "session_start": df["session_start"].astype("int64"),
+                "session_end": df["session_end"].astype("int64"),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pandas")
+
+
 def _q_streaming_turns_join(sf_dir: str):
     from condor_ray.pipelines.core import streaming_turns_join
 
@@ -828,7 +903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     row inside the cap; positions 51+ hold the rows-only entries (LSH pair
     sets, HLL estimates — no SQL oracle by nature) and streaming twins whose
     family already has both a batch oracle row and another streaming oracle
-    row in-gate.  All 62 still run under ``tools/check_correctness.py``."""
+    row in-gate.  All 64 still run under ``tools/check_correctness.py``."""
     return {
         # --- transcripts + tumbling/sliding/stratified windows -------------
         "transcripts_derivation": _q_transcripts,
@@ -851,14 +926,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- joins + concurrent windows --------------------------------------
         "turns_join_tool_calls": _q_turns_join_tool_calls,
         "streaming_turns_join": _q_streaming_turns_join,
+        "asof_user_context": _q_asof_user_context,
+        "session_interval_join": _q_session_interval_join,
         "streaming_multi_window": _q_streaming_multi_window,
         # --- evaluators (queryLatest / queryTimestamped, batch + continuous) -
         "cm_asof_queries": _q_cm_asof_queries,
-        "streaming_cm_asof": _q_streaming_cm_asof,
         "cm_asof_stratified": _q_cm_asof_stratified,
         "query_latest_cm": _mk_synopsis_query("query_latest_cm"),
         "streaming_query_latest": _q_streaming_query_latest,
-        "query_latest_stratified": _mk_synopsis_query("query_latest_stratified_cm"),
         # --- wavelets (order-based) ------------------------------------------
         "wavelet_window_sums": _q_wavelet_window_sums,
         "streaming_wavelet_sums": _q_streaming_wavelet_sums,
@@ -899,6 +974,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_neardup": _q_simhash_neardup,
         "embedding_neardup": _q_embedding_neardup,
         # oracle-backed streaming twins; family keeps batch + streaming rows in-gate
+        "streaming_cm_asof": _q_streaming_cm_asof,
+        "query_latest_stratified": _mk_synopsis_query("query_latest_stratified_cm"),
         "streaming_windowed_topk": _q_streaming_windowed_topk,
         "streaming_pattern_matches_relaxed": _q_streaming_pattern_matches_relaxed,
         "streaming_ten_windows": _q_streaming_ten_windows,
@@ -981,6 +1058,34 @@ JOIN tool_calls c
  AND epoch_us(c.ts) BETWEEN epoch_us(t.ts) AND epoch_us(t.ts) + 5000000
 WHERE t.tool IS NOT NULL"""
     out["streaming_turns_join"] = out["turns_join_tool_calls"]
+    out["asof_user_context"] = f"""{cte}
+SELECT t.conv_id, CAST(epoch_us(t.ts) AS BIGINT) AS ts_us,
+       CAST(t.turn_idx AS BIGINT) AS turn_idx,
+       COALESCE(u.user_ts, -1) AS user_ts,
+       COALESCE(u.user_turn, -1) AS user_turn
+FROM transcripts t
+LEFT JOIN LATERAL (
+  SELECT CAST(epoch_us(u.ts) AS BIGINT) AS user_ts,
+         CAST(u.turn_idx AS BIGINT) AS user_turn
+  FROM transcripts u
+  WHERE u.conv_id = t.conv_id AND u.role = 'user' AND u.ts <= t.ts
+  ORDER BY u.ts DESC, u.turn_idx DESC LIMIT 1
+) u ON TRUE
+WHERE t.tool IS NOT NULL"""
+    from condor_ray.pipelines.sessions import session_sql
+
+    out["session_interval_join"] = f"""WITH sessions AS (
+{session_sql(cte, SESSION_GAP_MS)}
+), {cte.removeprefix("WITH ")}
+SELECT t.conv_id, CAST(epoch_us(t.ts) AS BIGINT) AS ts_us,
+       CAST(t.turn_idx AS BIGINT) AS turn_idx,
+       s.session_idx,
+       s.session_start, s.session_end
+FROM transcripts t
+JOIN sessions s
+  ON t.conv_id = s.conv_id
+ AND epoch_us(t.ts) BETWEEN s.session_start AND s.session_end
+WHERE t.tool IS NOT NULL"""
     from condor_ray.pipelines.cep import pattern_sql
 
     out["pattern_matches"] = pattern_sql(

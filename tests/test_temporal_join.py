@@ -1,0 +1,149 @@
+"""Generic temporal joins: asof_join / interval_join vs per-key brute force."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _brute_asof(left: pd.DataFrame, right: pd.DataFrame, tol=None):
+    rows = []
+    for _, l in left.iterrows():
+        cand = right[(right["k"] == l["k"]) & (right["ts"] <= l["ts"])]
+        if tol is not None:
+            cand = cand[cand["ts"] >= l["ts"] - tol]
+        if cand.empty:
+            rows.append((l["k"], l["ts"], l["lv"], np.nan, np.nan))
+        else:
+            best = cand.sort_values(["ts", "rv"]).iloc[-1]
+            rows.append((l["k"], l["ts"], l["lv"], best["ts"], best["rv"]))
+    return (
+        pd.DataFrame(rows, columns=["k", "ts_us", "lv", "r_ts", "rv"])
+        .sort_values(["k", "ts_us", "lv"])
+        .reset_index(drop=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def sides():
+    rng = np.random.default_rng(5)
+    n_l, n_r = 400, 300
+    left = pd.DataFrame(
+        {
+            "k": [f"k{i}" for i in rng.integers(0, 12, n_l)],
+            "ts": rng.integers(0, 500, n_l).astype(np.int64),  # dup ts likely
+            "lv": np.arange(n_l, dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            # k11 never on right; k12 only on right
+            "k": [f"k{i}" for i in rng.integers(1, 13, n_r)],
+            "ts": rng.integers(0, 500, n_r).astype(np.int64),
+            "rv": np.arange(n_r, dtype=np.int64),
+        }
+    )
+    return left, right
+
+
+def _run_asof(left, right, tol=None, n_buckets=8):
+    import ray.data as rd
+
+    from condor_ray.pipelines.temporal_join import asof_join
+
+    out = asof_join(
+        rd.from_pandas(left),
+        rd.from_pandas(right),
+        key="k",
+        ts="ts",
+        left_cols={"lv": "lv"},
+        right_cols={"r_ts": "ts", "rv": "rv"},
+        right_order=("rv",),
+        tolerance_us=tol,
+        n_buckets=n_buckets,
+    ).to_pandas()
+    return out.sort_values(["k", "ts_us", "lv"]).reset_index(drop=True)
+
+
+class TestAsofJoin:
+    def test_matches_brute_force(self, ray_session, sides):
+        left, right = sides
+        got = _run_asof(left, right)
+        want = _brute_asof(left, right)
+        assert len(got) == len(left)
+        for c in ["k", "ts_us", "lv"]:
+            assert (got[c].to_numpy() == want[c].to_numpy()).all()
+        for c in ["r_ts", "rv"]:  # NaN-tolerant compare
+            a, b = got[c].to_numpy(float), want[c].to_numpy(float)
+            assert ((a == b) | (np.isnan(a) & np.isnan(b))).all()
+
+    def test_tolerance(self, ray_session, sides):
+        left, right = sides
+        got = _run_asof(left, right, tol=25)
+        want = _brute_asof(left, right, tol=25)
+        a, b = got["rv"].to_numpy(float), want["rv"].to_numpy(float)
+        assert ((a == b) | (np.isnan(a) & np.isnan(b))).all()
+        assert np.isnan(a).sum() > np.isnan(_run_asof(left, right)["rv"].to_numpy(float)).sum()
+
+    def test_bucket_count_invariant(self, ray_session, sides):
+        left, right = sides
+        a = _run_asof(left, right, n_buckets=3)
+        b = _run_asof(left, right, n_buckets=17)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_output_name_collision_raises(self, ray_session, sides):
+        import ray.data as rd
+
+        from condor_ray.pipelines.temporal_join import asof_join
+
+        left, right = sides
+        with pytest.raises(ValueError, match="collide"):
+            asof_join(
+                rd.from_pandas(left),
+                rd.from_pandas(right),
+                key="k",
+                ts="ts",
+                left_cols={"v": "lv"},
+                right_cols={"v": "rv"},
+            )
+
+
+class TestIntervalJoin:
+    def test_containment(self, ray_session):
+        import ray.data as rd
+
+        from condor_ray.pipelines.temporal_join import interval_join
+
+        points = pd.DataFrame(
+            {
+                "k": ["a", "a", "a", "a", "b", "b", "c"],
+                "ts": np.array([5, 10, 25, 40, 8, 100, 7], dtype=np.int64),
+                "pid": np.arange(7, dtype=np.int64),
+            }
+        )
+        intervals = pd.DataFrame(
+            {
+                "k": ["a", "a", "b"],
+                "lo": np.array([0, 20, 0], dtype=np.int64),
+                "hi": np.array([12, 30, 50], dtype=np.int64),
+                "iid": np.array([0, 1, 2], dtype=np.int64),
+            }
+        )
+        got = (
+            interval_join(
+                rd.from_pandas(points),
+                rd.from_pandas(intervals),
+                key="k",
+                ts="ts",
+                start="lo",
+                end="hi",
+                point_cols={"pid": "pid"},
+                interval_cols={"iid": "iid"},
+            )
+            .to_pandas()
+            .sort_values("pid")
+            .reset_index(drop=True)
+        )
+        # pid 3 (ts=40 after [20,30]), pid 5 (ts=100 > 50), pid 6 (key c) drop
+        assert got["pid"].tolist() == [0, 1, 2, 4]
+        assert got["iid"].astype(int).tolist() == [0, 0, 1, 2]
+        assert got["lo"].dtype == np.int64 and got["hi"].dtype == np.int64
