@@ -50,6 +50,7 @@ def asof_join(
     right_order: tuple[str, ...] = (),
     tolerance_us: int | None = None,
     n_buckets: int | None = None,
+    broadcast: bool = False,
 ):
     """Left as-of join: one output row per left row; right columns are null
     when no right row of the key precedes it (within tolerance).
@@ -59,7 +60,13 @@ def asof_join(
     int64 epoch-µs).  ``right_ts``: the right side's event-time column when
     it differs from ``ts``.  ``right_order``: extra right columns (already
     among ``right_cols``'s outputs) breaking right-side ts ties — greatest
-    wins.  Output: ``key``, ``ts_us``, left outputs, right outputs."""
+    wins.  Output: ``key``, ``ts_us``, left outputs, right outputs.
+
+    ``broadcast=True``: the right side must be SMALL (a dimension /
+    lookup stream).  It materializes once, ships via ``ray.put`` (read by
+    every task, never re-serialized per batch), and the join runs as a
+    per-batch merge over the un-shuffled left — the big side never enters
+    an exchange.  Identical output to the partitioned path."""
     import pyarrow as pa
 
     n_buckets = n_buckets or default_n_parts()
@@ -81,6 +88,13 @@ def asof_join(
     right_types = {n: _arrow_type(rschema, s) for n, s in right_cols.items()}
 
     all_types = {**left_types, **right_types}
+    out_cols = [key, "ts_us", *left_cols, *right_cols]
+
+    if broadcast:
+        return _asof_broadcast(
+            left_ds, right_ds, key, ts, right_ts, left_cols, right_cols,
+            right_order, tolerance_us, out_cols, all_types,
+        )
 
     def _tag(ts_col: str, cols_here: dict, side: int):
         def tag(batch: pa.Table) -> pa.Table:
@@ -120,7 +134,6 @@ def asof_join(
         right_ds.map_batches(_tag(right_ts, right_cols, 1), batch_format="pyarrow")
     )
 
-    out_cols = [key, "ts_us", *left_cols, *right_cols]
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         left = g[g["side"] == 0]
@@ -150,6 +163,73 @@ def asof_join(
         return merged[out_cols].reset_index(drop=True)
 
     return tagged.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def _asof_broadcast(
+    left_ds, right_ds, key, ts, right_ts, left_cols, right_cols,
+    right_order, tolerance_us, out_cols, all_types,
+):
+    """Broadcast binding of ``asof_join``: small right side materializes to
+    one ts-sorted frame in plasma (``ray.put``), an actor pool reads it ONCE
+    per actor (``__init__``), and every left batch merges locally — the big
+    side never shuffles."""
+    import pyarrow as pa
+    import ray
+
+    def _proj(batch: pa.Table, ts_col: str, cols: dict) -> pd.DataFrame:
+        out = {key: batch[key].to_pandas(), "ts_us": batch[ts_col].cast(pa.int64()).to_pandas()}
+        for name, src in cols.items():
+            col = batch[src]
+            if pa.types.is_timestamp(col.type):
+                col = col.cast(pa.int64())
+            out[name] = col.to_pandas()
+        return pd.DataFrame(out)
+
+    right_tbl = pa.concat_tables(
+        [ray.get(r) for r in right_ds.to_arrow_refs()]
+    )
+    right_df = _proj(right_tbl, right_ts, right_cols).sort_values(
+        ["ts_us", *right_order], kind="mergesort"
+    ).rename(columns={"ts_us": "_r_ts"}).reset_index(drop=True)
+    ref = ray.put(right_df)
+
+    class BroadcastAsof:
+        def __init__(self):
+            self.right = ray.get(ref)  # once per actor, not per batch
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            if batch.num_rows == 0 or key not in batch.schema.names:
+                return pa.table(
+                    {
+                        key: pa.array([], pa.string()),
+                        "ts_us": pa.array([], pa.int64()),
+                        **{n: pa.array([], t) for n, t in all_types.items()},
+                    }
+                ).to_pandas()[out_cols]
+            left = _proj(batch, ts, left_cols).sort_values(
+                "ts_us", kind="mergesort"
+            )
+            merged = pd.merge_asof(
+                left,
+                self.right,
+                left_on="ts_us",
+                right_on="_r_ts",
+                by=key,
+                direction="backward",
+                tolerance=tolerance_us,
+            )
+            return merged[out_cols].reset_index(drop=True)
+
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    return left_ds.map_batches(
+        BroadcastAsof,
+        batch_format="pyarrow",
+        concurrency=(1, max(2, ncpu // 2)),  # never the whole CPU budget:
+        # an actor pool sized to every core starves the upstream read
+    )
 
 
 def interval_join(

@@ -90,6 +90,33 @@ class TestAsofJoin:
         b = _run_asof(left, right, n_buckets=17)
         pd.testing.assert_frame_equal(a, b)
 
+    def test_broadcast_matches_partitioned(self, ray_session, sides):
+        import ray.data as rd
+
+        from condor_ray.pipelines.temporal_join import asof_join
+
+        left, right = sides
+        got = (
+            asof_join(
+                rd.from_pandas(left),
+                rd.from_pandas(right),
+                key="k",
+                ts="ts",
+                left_cols={"lv": "lv"},
+                right_cols={"r_ts": "ts", "rv": "rv"},
+                right_order=("rv",),
+                broadcast=True,
+            )
+            .to_pandas()
+            .sort_values(["k", "ts_us", "lv"])
+            .reset_index(drop=True)
+        )
+        want = _run_asof(left, right)
+        assert (got["lv"].to_numpy() == want["lv"].to_numpy()).all()
+        for c in ["r_ts", "rv"]:
+            a, b = got[c].to_numpy(float), want[c].to_numpy(float)
+            assert ((a == b) | (np.isnan(a) & np.isnan(b))).all()
+
     def test_output_name_collision_raises(self, ray_session, sides):
         import ray.data as rd
 
