@@ -364,6 +364,39 @@ def run_bench() -> dict:
     windowed_counts(ds, TumblingWindow(60_000), stratify_by="role").materialize()
     queries["windowed_counts_by_role"] = time.perf_counter() - t0
 
+    # q10: generic as-of join over the 6M-row stress fixture — every tool
+    # turn attaches its conversation's latest user turn (partitioned
+    # merge_asof exchange; carries only the projected join columns)
+    import pyarrow.compute as _pc
+
+    from condor_ray.pipelines.temporal_join import asof_join
+
+    def _role_filter(role):
+        def f(b):
+            if b.num_rows == 0 or "role" not in b.schema.names:
+                return b
+            return b.filter(
+                _pc.is_valid(b["tool"]) if role == "tool"
+                else _pc.equal(b["role"], role)
+            )
+
+        return f
+
+    cols = ["conv_id", "turn_idx", "role", "tool", "ts"]
+    t0 = time.perf_counter()
+    asof_join(
+        read_transcripts(stress_fix, columns=cols).map_batches(
+            _role_filter("tool"), batch_format="pyarrow"
+        ),
+        read_transcripts(stress_fix, columns=cols).map_batches(
+            _role_filter("user"), batch_format="pyarrow"
+        ),
+        left_cols={"turn_idx": "turn_idx"},
+        right_cols={"user_ts": "ts", "user_turn": "turn_idx"},
+        right_order=("user_turn",),
+    ).materialize()
+    queries["asof_tool_user_6m"] = time.perf_counter() - t0
+
     total = sum(queries.values())
     headline_tput = total_rows / queries["stream_cm_tumbling_60s"]
     return {
