@@ -8,11 +8,13 @@ c.ts BETWEEN t.ts AND t.ts + bound`` (tool calls fire 0..bound after their
 turn).  Orphan calls (conv absent) match nothing; duplicate calls produce
 duplicate output rows — both asserted by tests on the F2 fixture.
 
-Physical plan (batch): bucket BOTH sides by hash(conv_id) % B, tag the side,
-union, ``groupby(bucket).map_groups`` joining the two sides per bucket with a
-pandas merge + vectorized time filter — the explicit partitioned hash join
-from the Ray guide; B and hot-key handling are the same conv partitioning the
-rest of the engine uses.
+Physical plan (batch): the engine's task-based two-sided hash exchange
+(``engine.exchange``): each block shards by hash(conv_id) % B via
+``num_returns`` fan-out, one task per bucket joins its shards with a pandas
+merge + vectorized time filter.  Rows cross the wire once and never enter
+Ray Data's sort-based groupby (which measured ~6x slower at millions of
+rows); B and hot-key handling are the same conv partitioning the rest of
+the engine uses.
 
 Physical plan (streaming): per-partition join buffers live in
 ``JoinStateStore`` actors fed by the same conv-hash split; matches emit at
@@ -45,64 +47,93 @@ def join_turns_tool_calls(
     call_id, tool, status, call_ts (int64 us)."""
     import pyarrow as pa
 
+    from ..engine.exchange import two_sided_hash_exchange
+
     bound_us = bound_ms * 1000
 
-    def tag_turns(batch: pa.Table) -> pa.Table:
+    def _route(tbl: pa.Table, n_parts: int):
+        """Sorted-stable split of a projected table by conv bucket."""
+        part = _bucket_of(tbl["conv_id"], n_parts).astype(np.int64)
+        order = np.argsort(part, kind="stable")
+        bounds = np.searchsorted(part[order], np.arange(n_parts + 1))
+        sel = pa.array(order)
+        return tuple(
+            tbl.take(sel.slice(int(bounds[q]), int(bounds[q + 1] - bounds[q])))
+            for q in range(n_parts)
+        )
+
+    def shard_turns(block, n_parts: int):
         import pyarrow.compute as pc
 
-        batch = batch.filter(pc.is_valid(batch["tool"]))  # NULL never joins
-        return pa.table(
+        if isinstance(block, pd.DataFrame):
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        empty = pa.table(
             {
-                "bucket": pa.array(_bucket_of(batch["conv_id"], n_buckets)),
-                "conv_id": batch["conv_id"],
-                "turn_idx": batch["turn_idx"],
-                "turn_ts": batch["ts"].cast(pa.int64()),
-                "side": pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
-                "call_id": pa.nulls(batch.num_rows, pa.string()),
-                "tool": batch["tool"],
-                "status": pa.nulls(batch.num_rows, pa.string()),
-                "call_ts": pa.nulls(batch.num_rows, pa.int64()),
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int32()),
+                "turn_ts": pa.array([], pa.int64()),
+                "tool": pa.array([], pa.string()),
             }
         )
-
-    def tag_calls(batch: pa.Table) -> pa.Table:
-        return pa.table(
+        if block.num_rows == 0 or "conv_id" not in block.schema.names:
+            return tuple(empty for _ in range(n_parts))  # schemaless guard
+        block = block.filter(pc.is_valid(block["tool"]))  # NULL never joins
+        proj = pa.table(
             {
-                "bucket": pa.array(_bucket_of(batch["conv_id"], n_buckets)),
-                "conv_id": batch["conv_id"],
-                "turn_idx": pa.nulls(batch.num_rows, pa.int32()),
-                "turn_ts": pa.nulls(batch.num_rows, pa.int64()),
-                "side": pa.array(np.ones(batch.num_rows, dtype=np.int8)),
-                "call_id": batch["call_id"],
-                "tool": batch["tool"],
-                "status": batch["status"],
-                "call_ts": batch["ts"].cast(pa.int64()),
+                "conv_id": block["conv_id"],
+                "turn_idx": block["turn_idx"].cast(pa.int32()),
+                "turn_ts": block["ts"].cast(pa.int64()),
+                "tool": block["tool"],
+            }
+        ).combine_chunks()
+        return _route(proj, n_parts)
+
+    def shard_calls(block, n_parts: int):
+        if isinstance(block, pd.DataFrame):
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        empty = pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "call_id": pa.array([], pa.string()),
+                "tool": pa.array([], pa.string()),
+                "status": pa.array([], pa.string()),
+                "call_ts": pa.array([], pa.int64()),
             }
         )
+        if block.num_rows == 0 or "conv_id" not in block.schema.names:
+            return tuple(empty for _ in range(n_parts))
+        proj = pa.table(
+            {
+                "conv_id": block["conv_id"],
+                "call_id": block["call_id"],
+                "tool": block["tool"],
+                "status": block["status"],
+                "call_ts": block["ts"].cast(pa.int64()),
+            }
+        ).combine_chunks()
+        return _route(proj, n_parts)
 
-    tagged = turns_ds.map_batches(tag_turns, batch_format="pyarrow").union(
-        tool_calls_ds.map_batches(tag_calls, batch_format="pyarrow")
-    )
-
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        turns = g[g["side"] == 0]
-        calls = g[g["side"] == 1]
-        if turns.empty or calls.empty:
-            return _empty_join_frame()
-        merged = turns[["conv_id", "turn_idx", "turn_ts", "tool"]].merge(
-            calls[["conv_id", "call_id", "tool", "status", "call_ts"]],
+    def combine(n_left, *tables):
+        turns = [t for t in tables[:n_left] if t.num_rows]
+        calls = [t for t in tables[n_left:] if t.num_rows]
+        if not turns or not calls:
+            return pa.Table.from_pandas(_empty_join_frame(), preserve_index=False)
+        merged = pa.concat_tables(turns).to_pandas().merge(
+            pa.concat_tables(calls).to_pandas(),
             on=["conv_id", "tool"],
             how="inner",
         )
         ok = (merged["call_ts"] >= merged["turn_ts"]) & (
             merged["call_ts"] <= merged["turn_ts"] + bound_us
         )
-        out = merged[ok].copy()
-        return out[
+        out = merged[ok][
             ["conv_id", "turn_idx", "turn_ts", "call_id", "tool", "status", "call_ts"]
         ].astype({"turn_idx": np.int32, "turn_ts": np.int64, "call_ts": np.int64})
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    return tagged.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+    return two_sided_hash_exchange(
+        turns_ds, tool_calls_ds, n_buckets, shard_turns, shard_calls, combine
+    )
 
 
 def _empty_join_frame() -> pd.DataFrame:

@@ -100,38 +100,26 @@ def asof_join(
             right_order, tolerance_us, out_cols, all_types,
         )
 
-    import ray
-    import ray.data as rd
+    from ..engine.exchange import two_sided_hash_exchange
 
-    shard = ray.remote(num_returns=n_buckets)(_shard_asof_side)
-    per_part_l: list[list] = [[] for _ in range(n_buckets)]
-    per_part_r: list[list] = [[] for _ in range(n_buckets)]
-    for ds_, ts_col, cols, parts in (
-        (left_ds, ts, left_cols, per_part_l),
-        (right_ds, right_ts, right_cols, per_part_r),
-    ):
+    def _shard(ts_col, cols):
         types = {n: all_types[n] for n in cols}
-        for bundle in ds_.iter_internal_ref_bundles():
-            for bref in bundle.block_refs:
-                refs = shard.remote(bref, n_buckets, key, ts_col, cols, types)
-                for q in range(n_buckets):
-                    parts[q].append(refs[q])
-    join = ray.remote(_asof_bucket_join)
-    out_refs = [
-        join.remote(
-            len(per_part_l[q]), key, list(left_cols), list(right_cols),
-            list(right_order), tolerance_us,
-            *per_part_l[q], *per_part_r[q],
+
+        def fn(block, n_parts):
+            return _shard_asof_side(block, n_parts, key, ts_col, cols, types)
+
+        return fn
+
+    def _combine(n_left, *tables):
+        return _asof_bucket_join(
+            n_left, key, list(left_cols), list(right_cols),
+            list(right_order), tolerance_us, *tables,
         )
-        for q in range(n_buckets)
-        if per_part_l[q]
-    ]
-    if not out_refs:
-        out_refs = [
-            join.remote(0, key, list(left_cols), list(right_cols),
-                        list(right_order), tolerance_us)
-        ]
-    return rd.from_arrow_refs(out_refs)
+
+    return two_sided_hash_exchange(
+        left_ds, right_ds, n_buckets,
+        _shard(ts, left_cols), _shard(right_ts, right_cols), _combine,
+    )
 
 
 def _shard_asof_side(tbl, n_parts: int, key: str, ts_col: str, cols: dict, types: dict):
