@@ -17,6 +17,29 @@ rows, and B scales with the cluster (`default_n_parts`).
 from __future__ import annotations
 
 
+def hash_exchange(ds, n_buckets: int, shard, combine):
+    """One-sided variant: ``shard(block, n_buckets)`` routes each input
+    block into schema-stable per-bucket tables; ``combine(*tables)`` fuses
+    one bucket.  Replaces ``groupby("part").map_groups`` for full-row
+    streams (the sort-based groupby's range-sample + per-block sort costs
+    multiples of the task fan-out at millions of rows)."""
+    import ray
+    import ray.data as rd
+
+    shard_task = ray.remote(num_returns=n_buckets)(shard)
+    parts: list[list] = [[] for _ in range(n_buckets)]
+    for bundle in ds.iter_internal_ref_bundles():
+        for bref in bundle.block_refs:
+            refs = shard_task.remote(bref, n_buckets)
+            for q in range(n_buckets):
+                parts[q].append(refs[q])
+    combine_task = ray.remote(combine)
+    out_refs = [combine_task.remote(*parts[q]) for q in range(n_buckets) if parts[q]]
+    if not out_refs:
+        out_refs = [combine_task.remote()]
+    return rd.from_arrow_refs(out_refs)
+
+
 def two_sided_hash_exchange(
     left_ds,
     right_ds,

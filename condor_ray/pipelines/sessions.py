@@ -97,13 +97,67 @@ def session_stats(ds, gap_ms: int, n_parts: int | None = None):
             }
         )
 
-    return (
-        ds.map_batches(_conv_partition(n_parts), batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(
-            lambda g: per_part(g.drop(columns=["part"])), batch_format="pandas"
+    import pyarrow as pa
+
+    from ..engine.exchange import hash_exchange
+    from ..hashing import java_string_hash_arrow
+
+    def shard(block, n_buckets: int):
+        """Project to (conv_id, turn_idx, ts µs) and route by conv hash."""
+        if isinstance(block, pd.DataFrame):
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        empty = pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.int64()),
+            }
         )
+        if block.num_rows == 0 or "conv_id" not in block.schema.names:
+            return tuple(empty for _ in range(n_buckets))  # schemaless guard
+        conv = block["conv_id"]
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        dic = conv.dictionary_encode()
+        h = java_string_hash_arrow(dic.dictionary).astype(np.int64)
+        lut = ((h * 0x9E3779B9) >> 16) % n_buckets
+        part = lut[dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+        proj = pa.table(
+            {
+                "conv_id": conv,
+                "turn_idx": block["turn_idx"].cast(pa.int64()),
+                "ts": block["ts"].cast(pa.int64()),
+            }
+        ).combine_chunks()
+        order = np.argsort(part, kind="stable")
+        bounds = np.searchsorted(part[order], np.arange(n_buckets + 1))
+        sel = pa.array(order)
+        return tuple(
+            proj.take(sel.slice(int(bounds[q]), int(bounds[q + 1] - bounds[q])))
+            for q in range(n_buckets)
+        )
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("session_idx", pa.int64()),
+            ("session_start", pa.int64()),
+            ("session_end", pa.int64()),
+            ("n_turns", pa.int64()),
+        ]
     )
+
+    def combine(*tables):
+        tables = [t for t in tables if t.num_rows]
+        if not tables:
+            return out_schema.empty_table()
+        return pa.Table.from_pandas(
+            per_part(pa.concat_tables(tables).to_pandas()),
+            schema=out_schema,
+            preserve_index=False,
+        )
+
+    return hash_exchange(ds, n_parts, shard, combine)
 
 
 def session_sql(transcripts_cte: str, gap_ms: int) -> str:

@@ -12,9 +12,11 @@ the SQL side agree bit-for-bit:
     ts       = ts
 
 Scale note: the per-conversation ``turn_idx`` ordinal requires co-locating
-each conv's rows — implemented as ``groupby(user_id).map_groups`` (one shuffle
-on the SAME key the streaming engine partitions by, so at 100 TB this shuffle
-is shared with the state-routing partitioning, not an extra exchange).
+each conv's rows — one hash shuffle on the SAME key the streaming engine
+partitions by, so at 100 TB this shuffle is shared with the state-routing
+partitioning, not an extra exchange.  It runs through the engine's
+task-based ``hash_exchange`` (``engine/exchange.py``), not Ray Data's
+sort-based groupby, so rows cross the wire once with no range-sampled sort.
 """
 
 from __future__ import annotations
@@ -92,16 +94,51 @@ def transcripts_from_events(sf_dir: str, n_parts: int | None = None):
         columns=["event_id", "ts", "user_id", "event_type", "props"],
     )
 
-    def add_part(batch: pa.Table) -> pa.Table:
-        u = batch["user_id"].to_numpy().astype(np.int64)
-        part = (((u * 0x9E3779B9) >> 16) % n_parts).astype(np.int32)
-        return batch.append_column("part", pa.array(part))
+    from ..engine.exchange import hash_exchange
 
-    return (
-        ds.map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(
-            lambda g: _events_part_to_transcripts(g.drop(columns=["part"])),
-            batch_format="pandas",
+    def shard(block, n_buckets: int):
+        if isinstance(block, pd.DataFrame):
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "props": pa.array([], pa.string()),
+            }
         )
+        if block.num_rows == 0 or "user_id" not in block.schema.names:
+            return tuple(empty for _ in range(n_buckets))  # schemaless guard
+        u = block["user_id"].to_numpy().astype(np.int64)
+        part = (((u * 0x9E3779B9) >> 16) % n_buckets).astype(np.int64)
+        order = np.argsort(part, kind="stable")
+        bounds = np.searchsorted(part[order], np.arange(n_buckets + 1))
+        block = block.combine_chunks()
+        sel = pa.array(order)
+        return tuple(
+            block.take(sel.slice(int(bounds[q]), int(bounds[q + 1] - bounds[q])))
+            for q in range(n_buckets)
+        )
+
+    # pinned output schema: an all-None tool bucket must still be string,
+    # and ts must stay timestamp[us] across every block
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("role", pa.string()),
+            ("text", pa.string()),
+            ("tool", pa.string()),
+            ("ts", pa.timestamp("us")),
+        ]
     )
+
+    def combine(*tables):
+        tables = [t for t in tables if t.num_rows]
+        if not tables:
+            return out_schema.empty_table()
+        out = _events_part_to_transcripts(pa.concat_tables(tables).to_pandas())
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+
+    return hash_exchange(ds, n_parts, shard, combine)
