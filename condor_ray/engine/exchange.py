@@ -17,6 +17,21 @@ rows, and B scales with the cluster (`default_n_parts`).
 from __future__ import annotations
 
 
+def split_by_partition(tbl, part, n_parts: int):
+    """One sorted-stable pass: Arrow table + per-row partition ids ->
+    ``n_parts`` zero-copy-sliced tables (the shard tasks' inner step)."""
+    import numpy as np
+    import pyarrow as pa
+
+    order = np.argsort(part, kind="stable")
+    bounds = np.searchsorted(part[order], np.arange(n_parts + 1))
+    sel = pa.array(order)
+    return tuple(
+        tbl.take(sel.slice(int(bounds[q]), int(bounds[q + 1] - bounds[q])))
+        for q in range(n_parts)
+    )
+
+
 def hash_exchange(ds, n_buckets: int, shard, combine):
     """One-sided variant: ``shard(block, n_buckets)`` routes each input
     block into schema-stable per-bucket tables; ``combine(*tables)`` fuses

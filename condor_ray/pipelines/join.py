@@ -51,16 +51,12 @@ def join_turns_tool_calls(
 
     bound_us = bound_ms * 1000
 
+    from ..engine.exchange import split_by_partition
+
     def _route(tbl: pa.Table, n_parts: int):
         """Sorted-stable split of a projected table by conv bucket."""
         part = _bucket_of(tbl["conv_id"], n_parts).astype(np.int64)
-        order = np.argsort(part, kind="stable")
-        bounds = np.searchsorted(part[order], np.arange(n_parts + 1))
-        sel = pa.array(order)
-        return tuple(
-            tbl.take(sel.slice(int(bounds[q]), int(bounds[q + 1] - bounds[q])))
-            for q in range(n_parts)
-        )
+        return split_by_partition(tbl, part, n_parts)
 
     def shard_turns(block, n_parts: int):
         import pyarrow.compute as pc

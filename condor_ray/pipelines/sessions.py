@@ -129,13 +129,9 @@ def session_stats(ds, gap_ms: int, n_parts: int | None = None):
                 "ts": block["ts"].cast(pa.int64()),
             }
         ).combine_chunks()
-        order = np.argsort(part, kind="stable")
-        bounds = np.searchsorted(part[order], np.arange(n_buckets + 1))
-        sel = pa.array(order)
-        return tuple(
-            proj.take(sel.slice(int(bounds[q]), int(bounds[q + 1] - bounds[q])))
-            for q in range(n_buckets)
-        )
+        from ..engine.exchange import split_by_partition
+
+        return split_by_partition(proj, part, n_buckets)
 
     out_schema = pa.schema(
         [
@@ -258,30 +254,40 @@ def count_window_distinct(sf_dir: str, size: int):
 
     n_parts = default_n_parts()
 
-    def add_part(batch):
-        import pyarrow as pa
+    from ..engine.exchange import hash_exchange, split_by_partition
 
-        u = batch["user_id"].to_numpy().astype(np.int64)
-        part = (((u * 0x9E3779B9) >> 16) % n_parts).astype(np.int32)
-        return batch.append_column("part", pa.array(part))
+    def shard(block, n_buckets: int):
+        if isinstance(block, pd.DataFrame):
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        empty = pa.table(
+            {
+                "window_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+            }
+        )
+        if block.num_rows == 0 or "user_id" not in block.schema.names:
+            return tuple(empty for _ in range(n_buckets))  # schemaless guard
+        u = block["user_id"].to_numpy().astype(np.int64)
+        part = (((u * 0x9E3779B9) >> 16) % n_buckets).astype(np.int64)
+        return split_by_partition(block.combine_chunks(), part, n_buckets)
 
-    def partial_counts(g: pd.DataFrame) -> pd.DataFrame:
+    def partial_counts(*tables):
+        tables = [t for t in tables if t.num_rows]
+        schema = pa.schema([("window_id", pa.int64()), ("c", pa.int64())])
+        if not tables:
+            return schema.empty_table()
         pl = worker_polars()
-
         return (
-            pl.from_pandas(g[["window_id", "user_id"]])
+            pl.from_arrow(pa.concat_tables(tables))
             .unique()
             .group_by("window_id")
             .agg(pl.len().cast(pl.Int64).alias("c"))
-            .to_pandas()
+            .to_arrow()
+            .cast(schema)
         )
 
     p = ds.map_batches(pairs, batch_format="pyarrow")
-    partials = (
-        p.map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(partial_counts, batch_format="pandas")
-    )
+    partials = hash_exchange(p, n_parts, shard, partial_counts)
     out = partials.groupby("window_id").aggregate(Sum("c", alias_name="n_convs"))
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
@@ -364,13 +370,66 @@ def session_synopses(
             ],
         )
 
-    return (
-        ds.map_batches(_conv_partition(64), batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(
-            lambda g: per_part(g.drop(columns=["part"])), batch_format="pandas"
+    from ..engine.exchange import hash_exchange, split_by_partition
+    from ..hashing import java_string_hash_arrow
+
+    n_parts = 64
+
+    def shard(block, n_buckets: int):
+        if isinstance(block, pd.DataFrame):
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        # schemaless-empty face assumes a string key_field (the default
+        # "text"); non-string keys still work — only zero-row shards of
+        # SCHEMALESS blocks would drift, and those carry no data
+        empty = pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.int64()),
+                key_field: pa.array([], pa.string()),
+            }
         )
+        if block.num_rows == 0 or "conv_id" not in block.schema.names:
+            return tuple(empty for _ in range(n_buckets))  # schemaless guard
+        conv = block["conv_id"]
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        dic = conv.dictionary_encode()
+        h = java_string_hash_arrow(dic.dictionary).astype(np.int64)
+        lut = ((h * 0x9E3779B9) >> 16) % n_buckets
+        part = lut[dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+        proj = pa.table(
+            {
+                "conv_id": conv,
+                "turn_idx": block["turn_idx"].cast(pa.int64()),
+                "ts": block["ts"].cast(pa.int64()),
+                key_field: block[key_field],
+            }
+        ).combine_chunks()
+        return split_by_partition(proj, part, n_buckets)
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("session_start", pa.int64()),
+            ("session_end", pa.int64()),
+            ("n_rows", pa.int64()),
+            ("synopsis_type", pa.string()),
+            ("payload", pa.binary()),
+        ]
     )
+
+    def combine(*tables):
+        tables = [t for t in tables if t.num_rows]
+        if not tables:
+            return out_schema.empty_table()
+        return pa.Table.from_pandas(
+            per_part(pa.concat_tables(tables).to_pandas()),
+            schema=out_schema,
+            preserve_index=False,
+        )
+
+    return hash_exchange(ds, n_parts, shard, combine)
 
 
 def session_synopsis_sql(transcripts_cte: str, gap_ms: int) -> str:

@@ -145,15 +145,11 @@ def _shard_asof_side(tbl, n_parts: int, key: str, ts_col: str, cols: dict, types
         if pa.types.is_timestamp(col.type):
             col = col.cast(pa.int64())
         proj[name] = col
+    from ..engine.exchange import split_by_partition
+
     flat = pa.table(proj).combine_chunks()
     part = _bucket_of(flat[key], n_parts).astype(np.int64)
-    order = np.argsort(part, kind="stable")
-    bounds = np.searchsorted(part[order], np.arange(n_parts + 1))
-    sel = pa.array(order)
-    return tuple(
-        flat.take(sel.slice(int(bounds[q]), int(bounds[q + 1] - bounds[q])))
-        for q in range(n_parts)
-    )
+    return split_by_partition(flat, part, n_parts)
 
 
 def _asof_bucket_join(

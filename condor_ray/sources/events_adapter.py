@@ -110,16 +110,11 @@ def transcripts_from_events(sf_dir: str, n_parts: int | None = None):
         )
         if block.num_rows == 0 or "user_id" not in block.schema.names:
             return tuple(empty for _ in range(n_buckets))  # schemaless guard
+        from ..engine.exchange import split_by_partition
+
         u = block["user_id"].to_numpy().astype(np.int64)
         part = (((u * 0x9E3779B9) >> 16) % n_buckets).astype(np.int64)
-        order = np.argsort(part, kind="stable")
-        bounds = np.searchsorted(part[order], np.arange(n_buckets + 1))
-        block = block.combine_chunks()
-        sel = pa.array(order)
-        return tuple(
-            block.take(sel.slice(int(bounds[q]), int(bounds[q + 1] - bounds[q])))
-            for q in range(n_buckets)
-        )
+        return split_by_partition(block.combine_chunks(), part, n_buckets)
 
     # pinned output schema: an all-None tool bucket must still be string,
     # and ts must stay timestamp[us] across every block

@@ -1,0 +1,116 @@
+"""Task-based hash exchange: routing correctness + schema stability."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _make_shard_by_mod():
+    """Closure (pickled by value — workers cannot import the tests pkg)."""
+
+    def shard(block, n_buckets):
+        if isinstance(block, pd.DataFrame):
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        empty = pa.table(
+            {"k": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}
+        )
+        if block.num_rows == 0 or "k" not in block.schema.names:
+            return tuple(empty for _ in range(n_buckets))
+        from condor_ray.engine.exchange import split_by_partition
+
+        part = block["k"].to_numpy() % n_buckets
+        return split_by_partition(
+            block.combine_chunks(), part.astype(np.int64), n_buckets
+        )
+
+    return shard
+
+
+class TestSplitByPartition:
+    def test_partition_of_rows_is_exact(self):
+        from condor_ray.engine.exchange import split_by_partition
+
+        rng = np.random.default_rng(1)
+        k = rng.integers(0, 7, 1000)
+        tbl = pa.table({"k": k, "v": np.arange(1000)})
+        parts = split_by_partition(tbl, (k % 7).astype(np.int64), 7)
+        assert sum(p.num_rows for p in parts) == 1000
+        for q, p in enumerate(parts):
+            assert (p["k"].to_numpy() % 7 == q).all()
+        # union of v across parts == all rows exactly once
+        allv = np.concatenate([p["v"].to_numpy() for p in parts])
+        assert sorted(allv.tolist()) == list(range(1000))
+
+
+class TestHashExchange:
+    def test_one_sided_groupwise_sum(self, ray_session):
+        import ray.data as rd
+
+        from condor_ray.engine.exchange import hash_exchange
+
+        rng = np.random.default_rng(2)
+        df = pd.DataFrame(
+            {
+                "k": rng.integers(0, 100, 5000).astype(np.int64),
+                "v": rng.integers(0, 10, 5000).astype(np.int64),
+            }
+        )
+
+        def combine(*tables):
+            tables = [t for t in tables if t.num_rows]
+            schema = pa.schema([("k", pa.int64()), ("s", pa.int64())])
+            if not tables:
+                return schema.empty_table()
+            g = pa.concat_tables(tables).to_pandas().groupby("k", as_index=False)["v"].sum()
+            return pa.table({"k": g["k"].astype(np.int64), "s": g["v"].astype(np.int64)})
+
+        got = (
+            hash_exchange(rd.from_pandas(df).repartition(8), 5, _make_shard_by_mod(), combine)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        want = (
+            df.groupby("k", as_index=False)["v"].sum()
+            .rename(columns={"v": "s"})
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_two_sided_bucket_alignment(self, ray_session):
+        import ray.data as rd
+
+        from condor_ray.engine.exchange import two_sided_hash_exchange
+
+        left = pd.DataFrame({"k": np.arange(50, dtype=np.int64), "v": np.arange(50, dtype=np.int64)})
+        right = pd.DataFrame({"k": np.arange(0, 100, 2, dtype=np.int64), "v": np.arange(50, dtype=np.int64) * 10})
+
+        def combine(n_left, *tables):
+            lefts = [t for t in tables[:n_left] if t.num_rows]
+            rights = [t for t in tables[n_left:] if t.num_rows]
+            schema = pa.schema([("k", pa.int64()), ("lv", pa.int64()), ("rv", pa.int64())])
+            if not lefts or not rights:
+                return schema.empty_table()
+            lf = pa.concat_tables(lefts).to_pandas()
+            rf = pa.concat_tables(rights).to_pandas().rename(columns={"v": "rv"})
+            m = lf.rename(columns={"v": "lv"}).merge(rf, on="k", how="inner")
+            return pa.table(
+                {"k": m["k"].astype(np.int64), "lv": m["lv"].astype(np.int64),
+                 "rv": m["rv"].astype(np.int64)}
+            )
+
+        got = (
+            two_sided_hash_exchange(
+                rd.from_pandas(left).repartition(4),
+                rd.from_pandas(right).repartition(3),
+                6, _make_shard_by_mod(), _make_shard_by_mod(), combine,
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        # every even k < 50 joins exactly once: rv = (k/2)*10
+        assert got["k"].tolist() == list(range(0, 50, 2))
+        assert (got["rv"].to_numpy() == got["k"].to_numpy() // 2 * 10).all()
