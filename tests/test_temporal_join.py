@@ -134,6 +134,38 @@ class TestAsofJoin:
             )
 
 
+class TestAsofSkew:
+    def test_hot_key_half_of_stream(self, ray_session):
+        """One conversation owns 50% of both sides — the exchange gets an
+        unbalanced bucket but stays correct (merge is per-bucket local)."""
+        rng = np.random.default_rng(9)
+        n = 2000
+        hot = rng.random(n) < 0.5
+        left = pd.DataFrame(
+            {
+                "k": np.where(hot, "hot", [f"k{i}" for i in rng.integers(0, 40, n)]),
+                "ts": rng.integers(0, 300, n).astype(np.int64),
+                "lv": np.arange(n, dtype=np.int64),
+            }
+        )
+        hot_r = rng.random(n // 2) < 0.5
+        right = pd.DataFrame(
+            {
+                "k": np.where(
+                    hot_r, "hot", [f"k{i}" for i in rng.integers(0, 40, n // 2)]
+                ),
+                "ts": rng.integers(0, 300, n // 2).astype(np.int64),
+                "rv": np.arange(n // 2, dtype=np.int64),
+            }
+        )
+        got = _run_asof(left, right)
+        want = _brute_asof(left, right)
+        assert len(got) == n
+        for c in ["r_ts", "rv"]:
+            a, b = got[c].to_numpy(float), want[c].to_numpy(float)
+            assert ((a == b) | (np.isnan(a) & np.isnan(b))).all()
+
+
 class TestIntervalJoin:
     def test_containment(self, ray_session):
         import ray.data as rd
