@@ -43,10 +43,11 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument(
         "--pipeline",
         required=True,
-        choices=["cm", "hll", "counts", "wavelets", "cep", "sessions"],
+        choices=["cm", "hll", "counts", "wavelets", "cep", "sessions", "asof"],
         help="cm/hll: streaming windowed synopses; counts: exact windowed "
         "counts; wavelets: order-based Haar managers; cep: 3-step pattern "
-        "matcher; sessions: gap-merged session windows",
+        "matcher; sessions: gap-merged session windows; asof: every tool "
+        "turn joined to its conversation's latest user turn",
     )
     ap.add_argument("--input", required=True, help="parquet file or directory")
     ap.add_argument("--out", required=True, help="emission directory")
@@ -169,6 +170,37 @@ def main(argv: list[str] | None = None) -> dict:
             args.out
         )
         summary["rows"] = ds.count()
+    elif args.pipeline == "asof":
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from condor_ray.pipelines.temporal_join import asof_join
+
+        def _side(role):
+            def f(b):
+                if b.num_rows == 0 or "role" not in b.schema.names:
+                    return b
+                return b.filter(
+                    pc.is_valid(b["tool"]) if role == "tool"
+                    else pc.equal(b["role"], role)
+                )
+
+            return f
+
+        cols = ["conv_id", "turn_idx", "role", "tool", "ts"]
+        res = asof_join(
+            rd.read_parquet(frags, columns=cols).map_batches(
+                _side("tool"), batch_format="pyarrow"
+            ),
+            rd.read_parquet(frags, columns=cols).map_batches(
+                _side("user"), batch_format="pyarrow"
+            ),
+            left_cols={"turn_idx": "turn_idx"},
+            right_cols={"user_ts": "ts", "user_turn": "turn_idx"},
+            right_order=("user_turn",),
+        )
+        res.write_parquet(args.out)
+        summary["rows"] = res.count()
     elif args.pipeline == "wavelets":
         from condor_ray.engine.ordered import (
             build_windowed_wavelets_from_fragments,

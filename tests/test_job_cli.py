@@ -80,6 +80,36 @@ class TestJobCli:
         want = ts.groupby((ts // 5_000_000) * 5_000_000).count()
         assert got.sort_index().tolist() == want.sort_index().tolist()
 
+    def test_asof_pipeline_end_to_end(self, ray_session, fragments, tmp_path):
+        from condor_ray.job import main
+
+        out = str(tmp_path / "asof_out")
+        summary = main(
+            ["--pipeline", "asof", "--input", fragments, "--out", out]
+        )
+        files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+        assert files
+        got = pd.concat(
+            [pq.read_table(os.path.join(out, f)).to_pandas() for f in files]
+        )
+        assert summary["rows"] == len(got) == 3000  # every 5th row is a tool turn
+        # brute-force check on one conversation
+        src = pd.concat(
+            pq.read_table(os.path.join(fragments, f)).to_pandas()
+            for f in sorted(os.listdir(fragments))
+        )
+        src["ts_us"] = src["ts"].astype("int64")
+        conv = got["conv_id"].iloc[0]
+        mine = got[got["conv_id"] == conv]
+        s = src[src["conv_id"] == conv]
+        for _, row in mine.iterrows():
+            cand = s[(s["role"] == "user") & (s["ts_us"] <= row["ts_us"])]
+            if cand.empty:
+                assert np.isnan(row["user_ts"])
+            else:
+                best = cand.sort_values(["ts_us", "turn_idx"]).iloc[-1]
+                assert int(row["user_ts"]) == int(best["ts_us"])
+
     def test_missing_input_errors(self, ray_session, tmp_path):
         from condor_ray.job import main
 
