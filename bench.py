@@ -549,6 +549,61 @@ def scaling_job(name: str, ncpu: int) -> dict:
             "queries_per_s_per_core": round(n_q / sec / ncpu),
         }
 
+    if name == "qtimestamped":
+        # end-to-end queryTimestamped at amortizing scale: 50M timestamped
+        # point queries routed across 20 CM windows (searchsorted window
+        # routing + per-window batched evaluation, bounded archive)
+        import pandas as pd
+        import ray.data as rd
+
+        from condor_ray.evaluate.queries import query_count_min, query_timestamped
+        from condor_ray.synopses import CountMinSketch
+
+        rng = np.random.default_rng(7)
+        n_win, w_us = 20, 60_000_000
+        payloads = []
+        for w in range(n_win):
+            cm = CountMinSketch(65536, 5, 7 + w)
+            cm.update_batch(rng.integers(0, 2**31 - 1, 50_000).astype(np.int32))
+            payloads.append(cm.to_bytes())
+        syn_df = pd.DataFrame(
+            {
+                "window_start": np.arange(n_win, dtype=np.int64) * w_us,
+                "window_end": (np.arange(n_win, dtype=np.int64) + 1) * w_us,
+                "payload": payloads,
+            }
+        )
+        n_q = 50_000_000
+
+        def make_q(batch):
+            import pyarrow as pa
+
+            i = batch["id"].to_numpy().astype(np.uint64)
+            h = (i ^ np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
+            return pa.table(
+                {
+                    "query_key": pa.array((h >> np.uint64(33)).astype(np.int32)),
+                    "query_ts": pa.array(
+                        ((h >> np.uint64(13)) % np.uint64(n_win * w_us)).astype(
+                            np.int64
+                        )
+                    ),
+                }
+            )
+
+        q_ds = (
+            rd.range(n_q, override_num_blocks=4 * ncpu)
+            .map_batches(make_q, batch_format="pyarrow")
+            .materialize()
+        )
+        t0 = time.perf_counter()
+        query_timestamped(q_ds, syn_df, query_count_min).materialize()
+        sec = time.perf_counter() - t0
+        return {
+            "job": name, "ncpu": ncpu, "sec": round(sec, 2), "rows": n_q,
+            "queries_per_s_per_core": round(n_q / sec / ncpu),
+        }
+
     if name == "ann":
         import pyarrow as pa
         import pyarrow.parquet as pq
