@@ -279,6 +279,12 @@ def _q_session_interval_join(sf_dir: str):
     return out.map_batches(finalize, batch_format="pandas")
 
 
+def _q_streaming_asof_user_context(sf_dir: str):
+    from condor_ray.pipelines.core import streaming_asof_user_context
+
+    return streaming_asof_user_context(sf_dir)
+
+
 def _q_streaming_turns_join(sf_dir: str):
     from condor_ray.pipelines.core import streaming_turns_join
 
@@ -903,7 +909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     row inside the cap; positions 51+ hold the rows-only entries (LSH pair
     sets, HLL estimates — no SQL oracle by nature) and streaming twins whose
     family already has both a batch oracle row and another streaming oracle
-    row in-gate.  All 64 still run under ``tools/check_correctness.py``."""
+    row in-gate.  All 65 still run under ``tools/check_correctness.py``."""
     return {
         # --- transcripts + tumbling/sliding/stratified windows -------------
         "transcripts_derivation": _q_transcripts,
@@ -974,6 +980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_neardup": _q_simhash_neardup,
         "embedding_neardup": _q_embedding_neardup,
         # oracle-backed streaming twins; family keeps batch + streaming rows in-gate
+        "streaming_asof_user_context": _q_streaming_asof_user_context,
         "streaming_cm_asof": _q_streaming_cm_asof,
         "query_latest_stratified": _mk_synopsis_query("query_latest_stratified_cm"),
         "streaming_windowed_topk": _q_streaming_windowed_topk,
@@ -1072,6 +1079,7 @@ LEFT JOIN LATERAL (
   ORDER BY u.ts DESC, u.turn_idx DESC LIMIT 1
 ) u ON TRUE
 WHERE t.tool IS NOT NULL"""
+    out["streaming_asof_user_context"] = out["asof_user_context"]
     from condor_ray.pipelines.sessions import session_sql
 
     out["session_interval_join"] = f"""WITH sessions AS (

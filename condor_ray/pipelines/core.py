@@ -426,6 +426,30 @@ def streaming_turns_join(sf_dir: str, bound_ms: int = 5_000, parallelism: int = 
     )
 
 
+def streaming_asof_user_context(sf_dir: str, parallelism: int = 4):
+    """As-of join through the STREAMING engine (temporal-table join): tool
+    turns continuously attach their conversation's latest user turn as the
+    watermark advances, bounded to (watermark lag + one current version per
+    conversation).  Ts-ordered replay => no late rows => the emitted row set
+    equals the batch ``asof_join`` — shares `asof_user_context`'s oracle."""
+    import tempfile
+
+    from ..engine.streaming_asof import StreamingAsofJob
+
+    frags = cached_event_stream_fragments(sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="condor_sasof_")
+    job = StreamingAsofJob(parallelism=parallelism, out_dir=out_dir)
+    job.run(frags, columns=["conv_id", "turn_idx", "role", "tool", "ts"])
+    out = job.result_dataset().to_pandas()
+    job.shutdown()
+    return (
+        out[["conv_id", "ts_us", "turn_idx", "user_ts", "user_turn"]]
+        .astype({c: np.int64 for c in ["ts_us", "turn_idx", "user_ts", "user_turn"]})
+        .sort_values(["conv_id", "ts_us", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+
 def streaming_sessions(sf_dir: str, gap_ms: int, parallelism: int = 4):
     """Session windows through the STREAMING engine (per-key gap-merge in the
     state actors, watermark-driven close, exactly-once emission) — the same
