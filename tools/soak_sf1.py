@@ -226,6 +226,43 @@ def main() -> None:
     print("components:", results["jobs"]["connected_components_50m_edges"],
           flush=True)
 
+    # 7) generic as-of join at 600M rows: every tool turn attaches its
+    # conversation's latest user turn (task-exchange + per-bucket
+    # merge_asof; the thin fixture has no `tool` column, so probes select
+    # on role — identical plan shape)
+    import pyarrow.compute as pc
+
+    from condor_ray.pipelines.temporal_join import asof_join
+
+    def _role_is(role):
+        def f(b):
+            if b.num_rows == 0 or "role" not in b.schema.names:
+                return b
+            return b.filter(pc.equal(b["role"], role))
+
+        return f
+
+    cols4 = ["conv_id", "turn_idx", "role", "ts"]
+    t0 = time.perf_counter()
+    out = asof_join(
+        read_transcripts(fixture, columns=cols4).map_batches(
+            _role_is("tool"), batch_format="pyarrow"
+        ),
+        read_transcripts(fixture, columns=cols4).map_batches(
+            _role_is("user"), batch_format="pyarrow"
+        ),
+        left_cols={"turn_idx": "turn_idx"},
+        right_cols={"user_ts": "ts", "user_turn": "turn_idx"},
+        right_order=("user_turn",),
+    ).materialize()
+    wall = time.perf_counter() - t0
+    results["jobs"]["asof_tool_user_600m"] = {
+        "wall_s": round(wall, 2),
+        "probe_rows": out.count(),
+        "input_rows_per_s": round(total_rows / wall),
+    }
+    print("asof:", results["jobs"]["asof_tool_user_600m"], flush=True)
+
     with open(
         os.path.join(os.path.dirname(__file__), "..", "BENCH_soak_sf1.json"), "w"
     ) as f:
