@@ -55,9 +55,15 @@ def asof_join(
     tolerance_us: int | None = None,
     n_buckets: int | None = None,
     broadcast: bool = False,
+    direction: str = "backward",
 ):
     """Left as-of join: one output row per left row; right columns are null
     when no right row of the key precedes it (within tolerance).
+
+    ``direction``: "backward" (default — LATEST right row with ts <=
+    left ts; ties resolve to the GREATEST (ts, *right_order)) or
+    "forward" (EARLIEST right row with ts >= left ts; ties resolve to
+    the LEAST (ts, *right_order)).
 
     ``left_cols`` / ``right_cols``: ``{output_name: source_column}``
     projections (output names must be disjoint; ``ts`` columns surface as
@@ -73,6 +79,8 @@ def asof_join(
     an exchange.  Identical output to the partitioned path."""
     import pyarrow as pa
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     n_buckets = n_buckets or default_n_parts()
     right_ts = right_ts or ts
     left_cols = dict(left_cols or {})
@@ -97,7 +105,7 @@ def asof_join(
     if broadcast:
         return _asof_broadcast(
             left_ds, right_ds, key, ts, right_ts, left_cols, right_cols,
-            right_order, tolerance_us, out_cols, all_types,
+            right_order, tolerance_us, out_cols, all_types, direction,
         )
 
     from ..engine.exchange import two_sided_hash_exchange
@@ -113,7 +121,7 @@ def asof_join(
     def _combine(n_left, *tables):
         return _asof_bucket_join(
             n_left, key, list(left_cols), list(right_cols),
-            list(right_order), tolerance_us, *tables,
+            list(right_order), tolerance_us, direction, *tables,
         )
 
     return two_sided_hash_exchange(
@@ -159,6 +167,7 @@ def _asof_bucket_join(
     right_names: list,
     right_order: list,
     tolerance_us,
+    direction: str,
     *tables,
 ):
     """Per-bucket conquer: concat the bucket's left + right shards, ONE
@@ -211,14 +220,15 @@ def _asof_bucket_join(
     )  # merge_asof needs ts order; mergesort keeps determinism
     right = right.sort_values(
         ["ts_us", *right_order], kind="mergesort"
-    )  # among ts ties merge_asof picks the LAST -> greatest right_order
+    )  # ts ties: backward picks the LAST (greatest right_order), forward
+    # picks the FIRST (least right_order) -- both deterministic
     merged = pd.merge_asof(
         left,
         right.rename(columns={"ts_us": "_r_ts"}),
         left_on="ts_us",
         right_on="_r_ts",
         by=key,
-        direction="backward",
+        direction=direction,
         tolerance=tolerance_us,
     )
     return _stabilize(merged.reset_index(drop=True))
@@ -226,7 +236,7 @@ def _asof_bucket_join(
 
 def _asof_broadcast(
     left_ds, right_ds, key, ts, right_ts, left_cols, right_cols,
-    right_order, tolerance_us, out_cols, all_types,
+    right_order, tolerance_us, out_cols, all_types, direction="backward",
 ):
     """Broadcast binding of ``asof_join``: small right side materializes to
     one ts-sorted frame in plasma (``ray.put``), an actor pool reads it ONCE
@@ -274,7 +284,7 @@ def _asof_broadcast(
                 left_on="ts_us",
                 right_on="_r_ts",
                 by=key,
-                direction="backward",
+                direction=direction,
                 tolerance=tolerance_us,
             )
             return merged[out_cols].reset_index(drop=True)

@@ -90,6 +90,57 @@ class TestAsofJoin:
         b = _run_asof(left, right, n_buckets=17)
         pd.testing.assert_frame_equal(a, b)
 
+    def test_forward_direction(self, ray_session, sides):
+        import ray.data as rd
+
+        from condor_ray.pipelines.temporal_join import asof_join
+
+        left, right = sides
+        got = (
+            asof_join(
+                rd.from_pandas(left),
+                rd.from_pandas(right),
+                key="k",
+                ts="ts",
+                left_cols={"lv": "lv"},
+                right_cols={"r_ts": "ts", "rv": "rv"},
+                right_order=("rv",),
+                direction="forward",
+            )
+            .to_pandas()
+            .sort_values(["k", "ts_us", "lv"])
+            .reset_index(drop=True)
+        )
+        # brute force: earliest right at-or-after; ties -> least (ts, rv)
+        rows = []
+        for _, l in left.iterrows():
+            cand = right[(right["k"] == l["k"]) & (right["ts"] >= l["ts"])]
+            if cand.empty:
+                rows.append((l["k"], l["ts"], l["lv"], np.nan, np.nan))
+            else:
+                best = cand.sort_values(["ts", "rv"]).iloc[0]
+                rows.append((l["k"], l["ts"], l["lv"], best["ts"], best["rv"]))
+        want = (
+            pd.DataFrame(rows, columns=["k", "ts_us", "lv", "r_ts", "rv"])
+            .sort_values(["k", "ts_us", "lv"])
+            .reset_index(drop=True)
+        )
+        for c in ["r_ts", "rv"]:
+            a, b = got[c].to_numpy(float), want[c].to_numpy(float)
+            assert ((a == b) | (np.isnan(a) & np.isnan(b))).all()
+
+    def test_bad_direction_raises(self, ray_session, sides):
+        import ray.data as rd
+
+        from condor_ray.pipelines.temporal_join import asof_join
+
+        left, right = sides
+        with pytest.raises(ValueError, match="direction"):
+            asof_join(
+                rd.from_pandas(left), rd.from_pandas(right),
+                key="k", ts="ts", direction="sideways",
+            )
+
     def test_broadcast_matches_partitioned(self, ray_session, sides):
         import ray.data as rd
 
