@@ -320,30 +320,46 @@ def write_time_ordered_fragments(ds, out_dir: str, n_frag: int,
     lo, hi = int(stats["lo"].min()), int(stats["hi"].max())
     bounds = np.linspace(lo, hi + 1, n_frag + 1)[1:-1]
 
-    def tag(batch: pa.Table) -> pa.Table:
-        frag = np.searchsorted(bounds, ts_to_us(batch["ts"]), side="right")
-        return batch.append_column("frag", pa.array(frag.astype(np.int64)))
-
     cols = sort_cols or ["ts", "conv_id", "turn_idx"]
 
-    def write_frag(g: pd.DataFrame) -> pd.DataFrame:
+    # routed through the task exchange (never the sort-based groupby): one
+    # shard task per input block splits by time-range fragment id, one
+    # writer task per fragment sorts + writes its file atomically
+    from ..engine.exchange import hash_exchange, split_by_partition
+
+    def shard(block, n_buckets: int):
+        if isinstance(block, pd.DataFrame):
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        if block.num_rows == 0 or "ts" not in block.schema.names:
+            # schemaless zero-row guard: route nothing (writer tasks treat
+            # missing shards as empty via num_rows checks)
+            empty = pa.table({"ts": pa.array([], pa.timestamp("us"))})
+            return tuple(empty for _ in range(n_buckets))
+        frag = np.searchsorted(bounds, ts_to_us(block["ts"]), side="right")
+        return split_by_partition(
+            block.combine_chunks(), frag.astype(np.int64), n_buckets
+        )
+
+    def write_frag(*tables):
+        tables = [
+            t for t in tables if t.num_rows and "ts" in t.schema.names
+        ]
+        manifest_schema = pa.schema([("frag", pa.int64()), ("rows", pa.int64())])
+        if not tables:
+            return manifest_schema.empty_table()
+        g = pa.concat_tables(tables).to_pandas()
         g = g.sort_values(cols, kind="mergesort")
-        frag = int(g["frag"].iloc[0])
+        frag = int(
+            np.searchsorted(bounds, int(ts_to_us(tables[0]["ts"]).min()), side="right")
+        )
         path = os.path.join(out_dir, f"fragment-{frag:05d}.parquet")
         tmp = path + f".tmp-{os.getpid()}"
-        _pq.write_table(
-            pa.Table.from_pandas(g.drop(columns=["frag"]), preserve_index=False), tmp
-        )
+        _pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp)
         os.replace(tmp, path)
-        return pd.DataFrame({"frag": [frag], "rows": [len(g)]})
+        return pa.table({"frag": pa.array([frag]), "rows": pa.array([len(g)])})
 
-    manifest = (
-        ds.map_batches(tag, batch_format="pyarrow")
-        .groupby("frag")
-        .map_groups(write_frag, batch_format="pandas")
-        .to_pandas()  # tiny: one row per fragment; consuming executes the writes
-    )
-    return manifest
+    # tiny: one row per fragment; consuming executes the writes
+    return hash_exchange(ds, n_frag, shard, write_frag).to_pandas()
 
 
 def cached_event_stream_fragments(sf_dir: str) -> list[str]:

@@ -114,3 +114,47 @@ class TestHashExchange:
         # every even k < 50 joins exactly once: rv = (k/2)*10
         assert got["k"].tolist() == list(range(0, 50, 2))
         assert (got["rv"].to_numpy() == got["k"].to_numpy() // 2 * 10).all()
+
+
+class TestFragmentWriterOnExchange:
+    def test_time_ordered_fragments(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from condor_ray.pipelines.core import write_time_ordered_fragments
+
+        rng = np.random.default_rng(4)
+        n = 8000
+        df = pd.DataFrame(
+            {
+                "conv_id": [f"c{i}" for i in rng.integers(0, 50, n)],
+                "turn_idx": rng.integers(0, 100, n).astype(np.int32),
+                "ts": rng.integers(0, 10_000_000, n).astype(np.int64),
+            }
+        )
+        src = pa.Table.from_pandas(df, preserve_index=False)
+        src = src.set_column(
+            src.schema.get_field_index("ts"), "ts", src["ts"].cast(pa.timestamp("us"))
+        )
+        out = str(tmp_path / "frags")
+        import os
+
+        os.makedirs(out)
+        manifest = write_time_ordered_fragments(
+            rd.from_arrow(src).repartition(6), out, n_frag=5
+        )
+        assert manifest["rows"].sum() == n
+        files = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+        assert 1 <= len(files) <= 5
+        import pyarrow.parquet as pq
+
+        ranges, total = [], 0
+        for f in files:
+            t = pq.read_table(os.path.join(out, f))
+            total += t.num_rows
+            ts = t["ts"].cast(pa.int64()).to_numpy()
+            assert (np.diff(ts) >= 0).all()  # ts-sorted within fragment
+            ranges.append((ts.min(), ts.max()))
+        assert total == n
+        # fragments are disjoint, ordered time ranges
+        for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+            assert a_hi < b_lo
