@@ -88,3 +88,32 @@ def load_wavelet_native() -> ctypes.CDLL | None:
     except Exception:
         _wavelet_lib = None
     return _wavelet_lib
+
+
+_png_lib: ctypes.CDLL | None = None
+_png_tried = False
+
+
+def load_png_native() -> ctypes.CDLL | None:
+    """dlopen (compiling if needed) the PNG unfilter kernel, or None."""
+    global _png_lib, _png_tried
+    if os.environ.get("CONDOR_RAY_NO_NATIVE"):
+        return None
+    if _png_tried:
+        return _png_lib
+    _png_tried = True
+    try:
+        src = os.path.join(os.path.dirname(__file__), "png.c")
+        lib = ctypes.CDLL(_compile_cached(src, "png"))
+        lib.png_unfilter.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_long,
+            ctypes.c_long,
+            ctypes.c_long,
+        ]
+        lib.png_unfilter.restype = ctypes.c_int
+        _png_lib = lib
+    except Exception:
+        _png_lib = None
+    return _png_lib

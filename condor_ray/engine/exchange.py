@@ -9,12 +9,32 @@ its left + right shards.  Rows cross the wire exactly once, carry only the
 caller's projection, and never touch a range-sampled sort exchange (which
 measured 25 s for a 4 M-row join this plan does in ~2 s of task time).
 
-At 100 TB both sides stream block-by-block through the shard tasks with
-ordinary Ray backpressure; per-bucket state is bounded by that bucket's
-rows, and B scales with the cluster (`default_n_parts`).
+Scale contract (honest version): an all-to-all exchange MATERIALIZES — the
+projected stream's bytes live in the object store (spilling when needed)
+between shard and combine; that floor is inherent to hash partitioning.
+What IS bounded here:
+
+- **driver submission / in-flight shard tasks** — blocks shard in waves of
+  ``O(cluster CPUs)`` with a barrier per wave (the ``_build_wavelets_waved``
+  pattern), so neither the driver's task queue nor the un-consumed shard
+  fan-out grows with the stream;
+- **live object refs** — each wave's ``wave × B`` small shard objects are
+  folded into ``B`` compacted per-bucket tables and freed, so the driver
+  holds ``O(B × waves)`` refs, not ``O(blocks × B)``;
+- **combine memory** — ``O(bucket) = O(N / B)`` per task, with B scaling
+  with the cluster (`default_n_parts`).
+
+Every exchange records its measured footprint in ``LAST_EXCHANGE_STATS``
+(``live_bytes_hwm`` = peak folded bytes resident, ``waves``,
+``shard_tasks``, ``tail_blocks``); jobs copy it into their manifest.
 """
 
 from __future__ import annotations
+
+# Footprint of the most recent exchange on this driver (see module
+# docstring).  Read it right after the returned Dataset is consumed;
+# jobs / benches copy it into their manifests.
+LAST_EXCHANGE_STATS: dict = {}
 
 
 def split_by_partition(tbl, part, n_parts: int):
@@ -32,6 +52,103 @@ def split_by_partition(tbl, part, n_parts: int):
     )
 
 
+def _wave_blocks() -> int:
+    import ray
+
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    return max(16, 2 * ncpu)
+
+
+def _fold_shards(*shards):
+    """Compact one wave's shards for one bucket into a single table and
+    report its size (the wave barrier reads the size, freeing the wave's
+    ``wave × B`` small shard objects).  Zero-row shards are dropped before
+    the concat: schemaless-block guards may pin a reduced empty-face schema
+    (e.g. ``write_time_ordered_fragments``), and every combine filters
+    ``num_rows == 0`` tables anyway."""
+    import pyarrow as pa
+
+    nonempty = [t for t in shards if t.num_rows]
+    if not nonempty:
+        return shards[0], 0
+    out = pa.concat_tables(nonempty).combine_chunks()
+    return out, out.nbytes
+
+
+def _waved_shard(sides, n_buckets: int):
+    """Shard every block of every side, wave-bounded.
+
+    ``sides``: list of ``(dataset, shard_fn)``.  Returns (per-side
+    per-bucket lists of table refs in row order, stats dict).  Blocks are
+    submitted in waves of ``_wave_blocks()``; each full wave's shards are
+    folded per bucket and the fold sizes act as the wave barrier (ordinary
+    backpressure for the upstream dataset iteration).  The final partial
+    wave skips the fold — a single-wave exchange (tests, small inputs)
+    therefore takes the exact zero-extra-copy path the pre-wave code took.
+    """
+    import ray
+
+    wave = _wave_blocks()
+    fold_task = ray.remote(num_returns=2)(_fold_shards)
+    per: list[list[list]] = [[[] for _ in range(n_buckets)] for _ in sides]
+    stats = {
+        "n_buckets": n_buckets,
+        "wave_blocks": wave,
+        "waves": 0,
+        "shard_tasks": 0,
+        "tail_blocks": 0,
+        "live_bytes_hwm": 0,
+        "folded_bytes": 0,
+    }
+    live = 0
+
+    def flush(buf):
+        nonlocal live
+        size_refs = []
+        for s in range(len(sides)):
+            for q in range(n_buckets):
+                shard_refs = [refs[q] for si, refs in buf if si == s]
+                if shard_refs:
+                    tref, nref = fold_task.remote(*shard_refs)
+                    per[s][q].append(tref)
+                    size_refs.append(nref)
+        live += sum(ray.get(size_refs)) if size_refs else 0
+        stats["live_bytes_hwm"] = max(stats["live_bytes_hwm"], live)
+        stats["folded_bytes"] = live
+        stats["waves"] += 1
+
+    buf: list[tuple[int, list]] = []
+    for s, (ds_, shard_fn) in enumerate(sides):
+        if n_buckets == 1:
+            # num_returns=1 would hand back ONE ref to the whole shard
+            # tuple; unwrap so refs[0] is a ref to the (only) table
+            def _one(block, nb, _fn=shard_fn):
+                return _fn(block, nb)[0]
+
+            shard_task = ray.remote(_one)
+        else:
+            shard_task = ray.remote(num_returns=n_buckets)(shard_fn)
+        for bundle in ds_.iter_internal_ref_bundles():
+            for bref in bundle.block_refs:
+                refs = shard_task.remote(bref, n_buckets)
+                if n_buckets == 1:
+                    refs = [refs]
+                stats["shard_tasks"] += 1
+                buf.append((s, refs))
+                if len(buf) >= wave:
+                    flush(buf)
+                    buf = []
+    # tail: pass raw shard refs straight to the combines (no fold copy)
+    stats["tail_blocks"] = len(buf)
+    for s, refs in buf:
+        for q in range(n_buckets):
+            per[s][q].append(refs[q])
+    return per, stats
+
+
 def hash_exchange(ds, n_buckets: int, shard, combine):
     """One-sided variant: ``shard(block, n_buckets)`` routes each input
     block into schema-stable per-bucket tables; ``combine(*tables)`` fuses
@@ -41,17 +158,13 @@ def hash_exchange(ds, n_buckets: int, shard, combine):
     import ray
     import ray.data as rd
 
-    shard_task = ray.remote(num_returns=n_buckets)(shard)
-    parts: list[list] = [[] for _ in range(n_buckets)]
-    for bundle in ds.iter_internal_ref_bundles():
-        for bref in bundle.block_refs:
-            refs = shard_task.remote(bref, n_buckets)
-            for q in range(n_buckets):
-                parts[q].append(refs[q])
+    per, stats = _waved_shard([(ds, shard)], n_buckets)
     combine_task = ray.remote(combine)
-    out_refs = [combine_task.remote(*parts[q]) for q in range(n_buckets) if parts[q]]
+    out_refs = [combine_task.remote(*per[0][q]) for q in range(n_buckets) if per[0][q]]
     if not out_refs:
         out_refs = [combine_task.remote()]
+    LAST_EXCHANGE_STATS.clear()
+    LAST_EXCHANGE_STATS.update(stats)
     return rd.from_arrow_refs(out_refs)
 
 
@@ -66,27 +179,23 @@ def two_sided_hash_exchange(
     """``shard_*(block, n_buckets) -> tuple[pa.Table] * n_buckets`` (must
     return schema-stable tables, including for zero-row/schemaless blocks);
     ``combine(n_left, *tables) -> pa.Table`` receives the bucket's left
-    shards followed by its right shards.  Returns a Dataset of the combined
-    blocks."""
+    shards followed by its right shards (each side possibly pre-compacted
+    by the wave fold — same rows, same order, fewer tables).  Returns a
+    Dataset of the combined blocks."""
     import ray
     import ray.data as rd
 
-    shard_l = ray.remote(num_returns=n_buckets)(shard_left)
-    shard_r = ray.remote(num_returns=n_buckets)(shard_right)
-    per_l: list[list] = [[] for _ in range(n_buckets)]
-    per_r: list[list] = [[] for _ in range(n_buckets)]
-    for ds_, task, parts in ((left_ds, shard_l, per_l), (right_ds, shard_r, per_r)):
-        for bundle in ds_.iter_internal_ref_bundles():
-            for bref in bundle.block_refs:
-                refs = task.remote(bref, n_buckets)
-                for q in range(n_buckets):
-                    parts[q].append(refs[q])
+    per, stats = _waved_shard(
+        [(left_ds, shard_left), (right_ds, shard_right)], n_buckets
+    )
     combine_task = ray.remote(combine)
     out_refs = [
-        combine_task.remote(len(per_l[q]), *per_l[q], *per_r[q])
+        combine_task.remote(len(per[0][q]), *per[0][q], *per[1][q])
         for q in range(n_buckets)
-        if per_l[q] or per_r[q]
+        if per[0][q] or per[1][q]
     ]
     if not out_refs:
         out_refs = [combine_task.remote(0)]
+    LAST_EXCHANGE_STATS.clear()
+    LAST_EXCHANGE_STATS.update(stats)
     return rd.from_arrow_refs(out_refs)

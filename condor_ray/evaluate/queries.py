@@ -41,28 +41,29 @@ def _collect_synopses(synopsis_ds) -> pd.DataFrame:
 # from_bytes by (broadcast-ref hex, window key) turns the per-batch
 # synopsis rebuild (1.3 MB of numpy allocation per batch for a
 # CM{65536,5} — it dominated the 50M-query run) into a once-per-worker
-# cost, the same pattern as the process-cached H3 tables.  Bounded two
-# ways: a new broadcast generation evicts prior generations, and within a
-# generation at most _SYN_CACHE_CAP entries live (FIFO eviction) — a
+# cost, the same pattern as the process-cached H3 tables.  Keyed by
+# (broadcast generation, window key) so two evaluator jobs sharing a
+# worker pool (e.g. latest + timestamped interleaved) coexist instead of
+# evicting each other's whole generation on every task; bounded at
+# _SYN_CACHE_CAP entries across ALL generations (LRU eviction) — a
 # timestamped run spreading queries over up to max_synopsis_count=1e6
 # windows must not pin every synopsis it ever touched in worker memory.
-_SYN_CACHE: dict = {"gen": None, "syn": {}}
+_SYN_CACHE: dict = {}
 _SYN_CACHE_CAP = 256
 
 
 def _cached_synopsis(gen_key, sub_key, fetch_payload) -> Synopsis:
     """``fetch_payload`` is a thunk so cache hits skip even the broadcast
     ray.get / bytes copy."""
-    if _SYN_CACHE["gen"] != gen_key:
-        _SYN_CACHE["gen"] = gen_key
-        _SYN_CACHE["syn"] = {}
-    syn = _SYN_CACHE["syn"].get(sub_key)
-    if syn is None:
-        syn = Synopsis.from_bytes(fetch_payload())
-        cache = _SYN_CACHE["syn"]
-        while len(cache) >= _SYN_CACHE_CAP:
-            cache.pop(next(iter(cache)))  # FIFO: dict preserves insertion
-        cache[sub_key] = syn
+    full_key = (gen_key, sub_key)
+    syn = _SYN_CACHE.get(full_key)
+    if syn is not None:
+        _SYN_CACHE[full_key] = _SYN_CACHE.pop(full_key)  # refresh LRU slot
+        return syn
+    syn = Synopsis.from_bytes(fetch_payload())
+    while len(_SYN_CACHE) >= _SYN_CACHE_CAP:
+        _SYN_CACHE.pop(next(iter(_SYN_CACHE)))  # LRU: dict keeps use order
+    _SYN_CACHE[full_key] = syn
     return syn
 
 

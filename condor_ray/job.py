@@ -201,6 +201,10 @@ def main(argv: list[str] | None = None) -> dict:
         )
         res.write_parquet(args.out)
         summary["rows"] = res.count()
+        # exchange footprint (live_bytes_hwm, waves, …) into the manifest
+        from condor_ray.engine.exchange import LAST_EXCHANGE_STATS
+
+        summary["exchange"] = dict(LAST_EXCHANGE_STATS)
     elif args.pipeline == "wavelets":
         from condor_ray.engine.ordered import (
             build_windowed_wavelets_from_fragments,

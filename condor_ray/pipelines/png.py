@@ -13,12 +13,14 @@ covers what any sane data pipeline emits; exotic PNGs (palette, 16-bit,
 Adam7) raise ``NotImplementedError`` so they surface instead of decoding
 wrong.
 
-Performance note: Sub/Average/Paeth filters carry a horizontal data
-dependency, so those rows decode with a per-pixel loop (filters
-None/Sub/Up are fully vectorized — Sub via a wrapping per-channel
-cumsum).  Fine for metadata/feature extraction at test scale; a real
-deployment swaps in Pillow through the same ``ImageDecoder.__init__``
-slot.
+Performance: the unfilter runs as ONE C pass over the whole image via the
+``_native/png.c`` ctypes kernel (same compile-once-per-host plumbing as
+``_native/wavelet.c``), because Sub/Average/Paeth filters carry a
+horizontal byte-to-byte data dependency numpy cannot vectorize.  When no C
+compiler is available (or ``CONDOR_RAY_NO_NATIVE`` is set) the pure-numpy
+fallback runs: None/Sub/Up rows vectorized (Sub via a wrapping per-channel
+cumsum), Average/Paeth rows in a per-pixel loop.  A real deployment may
+still swap in Pillow through the same ``ImageDecoder.__init__`` slot.
 """
 
 from __future__ import annotations
@@ -72,6 +74,24 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("PNG IDAT length mismatch")
     rows = raw.reshape(height, stride + 1)
     filters = rows[:, 0]
+    if (filters > 4).any():
+        raise ValueError(f"bad PNG filter byte {int(filters.max())}")
+
+    from .._native import load_png_native
+
+    lib = load_png_native()
+    if lib is not None:
+        # one C pass over the whole image (Sub/Average/Paeth rows carry a
+        # horizontal data dependency numpy can't vectorize)
+        filt_c = np.ascontiguousarray(filters)
+        scan_c = np.ascontiguousarray(rows[:, 1:])  # copy: unfilters in place
+        rc = lib.png_unfilter(
+            filt_c.ctypes.data, scan_c.ctypes.data, height, stride, ch
+        )
+        if rc != 0:
+            raise ValueError("bad PNG filter byte")
+        return scan_c.reshape(height, width, ch)
+
     scan = rows[:, 1:].astype(np.int64)  # room for wrapping arithmetic
     out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int64)

@@ -668,6 +668,15 @@ def ivf_search(
         )
 
     def search_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # zero-row blocks can arrive (even schemaless)
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
+                    "part": pa.array([], type=pa.int32()),
+                }
+            )
         q, ids_, c2q = ray.get(bc_ref)
         cells = batch["cell_id"].to_numpy()
         m = _normalize(_vec_matrix(batch))
@@ -679,8 +688,10 @@ def ivf_search(
         )
         for b in range(len(bounds) - 1):
             sel = order[bounds[b] : bounds[b + 1]]
+            if not len(sel):
+                continue
             q_idx = c2q.get(int(cells[sel[0]]))
-            if q_idx is None or not len(sel):
+            if q_idx is None:
                 continue
             sub = m[sel]
             sims = q[q_idx] @ sub.T

@@ -96,6 +96,20 @@ def asof_join(
     # the union needs one schema: null columns for the absent side carry the
     # OWNING side's real type (timestamps surface as int64 µs)
     lschema, rschema = left_ds.schema(), right_ds.schema()
+    for side, schema in (("left", lschema), ("right", rschema)):
+        kt = dict(zip(schema.names, schema.types)).get(key)
+        # pandas-backed datasets surface Python types (e.g. ``object``)
+        # instead of Arrow types — only Arrow-typed keys are checkable here
+        if isinstance(kt, pa.DataType) and not (
+            pa.types.is_string(kt) or pa.types.is_large_string(kt)
+        ):
+            # the shard path hashes the key with the Java string hash and
+            # pins the empty-shard face to pa.string(); a non-string key
+            # would drift schemas between empty and non-empty shards
+            raise TypeError(
+                f"asof_join key {key!r} must be a string column; the "
+                f"{side} side has {kt} (cast it before joining)"
+            )
     left_types = {n: _arrow_type(lschema, s) for n, s in left_cols.items()}
     right_types = {n: _arrow_type(rschema, s) for n, s in right_cols.items()}
 

@@ -218,6 +218,28 @@ class TestMultimodal:
             payload = encode_png(arr, row_filters=rng.integers(0, 5, 13))
             assert (decode_png(payload) == arr).all()
 
+    def test_png_native_kernel_matches_pure_python(self, monkeypatch):
+        """The C unfilter kernel and the numpy fallback must reconstruct
+        identical bytes for every filter / color-type combination."""
+        import numpy as np
+
+        from condor_ray._native import load_png_native
+        from condor_ray.pipelines.png import decode_png, encode_png
+
+        if load_png_native() is None:
+            pytest.skip("no C compiler available to build the PNG kernel")
+        rng = np.random.default_rng(11)
+        payloads = []
+        for ch in (1, 2, 3, 4):
+            arr = rng.integers(0, 256, (17, 23, ch), dtype=np.uint8)
+            payloads.append((arr, encode_png(arr, rng.integers(0, 5, 17))))
+        native = [decode_png(p) for _, p in payloads]
+        monkeypatch.setenv("CONDOR_RAY_NO_NATIVE", "1")
+        fallback = [decode_png(p) for _, p in payloads]
+        for (arr, _), n, f in zip(payloads, native, fallback):
+            assert (n == arr).all()
+            assert (n == f).all()
+
     def test_png_decoder_runs_in_ray_pipeline(self, ray_session):
         """End-to-end: a binary PNG column through the actor-pool decode
         stage produces exact (width, height, mean) features."""

@@ -158,3 +158,130 @@ class TestFragmentWriterOnExchange:
         # fragments are disjoint, ordered time ranges
         for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
             assert a_hi < b_lo
+
+
+class TestWaveBoundedExchange:
+    def test_multi_wave_folds_match_single_wave(self, ray_session, monkeypatch):
+        """Force a tiny wave so the fold path runs (>=2 waves + raw tail)
+        and verify the result is identical to the unfolded computation."""
+        import ray.data as rd
+
+        import condor_ray.engine.exchange as ex
+
+        monkeypatch.setattr(ex, "_wave_blocks", lambda: 3)
+        rng = np.random.default_rng(7)
+        df = pd.DataFrame(
+            {
+                "k": rng.integers(0, 40, 4000).astype(np.int64),
+                "v": rng.integers(0, 10, 4000).astype(np.int64),
+            }
+        )
+
+        def combine(*tables):
+            tables = [t for t in tables if t.num_rows]
+            schema = pa.schema([("k", pa.int64()), ("s", pa.int64())])
+            if not tables:
+                return schema.empty_table()
+            g = pa.concat_tables(tables).to_pandas().groupby("k", as_index=False)["v"].sum()
+            return pa.table({"k": g["k"].astype(np.int64), "s": g["v"].astype(np.int64)})
+
+        got = (
+            ex.hash_exchange(rd.from_pandas(df).repartition(10), 4, _make_shard_by_mod(), combine)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        stats = dict(ex.LAST_EXCHANGE_STATS)
+        want = (
+            df.groupby("k", as_index=False)["v"].sum()
+            .rename(columns={"v": "s"})
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+        # 10 blocks at wave=3 -> 3 folded waves + 1 raw tail block
+        assert stats["shard_tasks"] == 10
+        assert stats["waves"] == 3
+        assert stats["tail_blocks"] == 1
+        assert stats["live_bytes_hwm"] > 0
+
+    def test_single_wave_takes_raw_tail_path(self, ray_session):
+        """Small inputs (fewer blocks than one wave) must skip the fold
+        copy entirely — the pre-wave zero-extra-copy path."""
+        import ray.data as rd
+
+        import condor_ray.engine.exchange as ex
+
+        df = pd.DataFrame({"k": np.arange(100, dtype=np.int64), "v": np.ones(100, dtype=np.int64)})
+
+        def combine(*tables):
+            tables = [t for t in tables if t.num_rows]
+            if not tables:
+                return pa.schema([("k", pa.int64()), ("v", pa.int64())]).empty_table()
+            return pa.concat_tables(tables)
+
+        got = ex.hash_exchange(
+            rd.from_pandas(df).repartition(4), 3, _make_shard_by_mod(), combine
+        ).to_pandas()
+        assert sorted(got["k"].tolist()) == list(range(100))
+        stats = dict(ex.LAST_EXCHANGE_STATS)
+        assert stats["waves"] == 0
+        assert stats["tail_blocks"] == 4
+        assert stats["live_bytes_hwm"] == 0
+
+    def test_n_buckets_one(self, ray_session):
+        """num_returns=1 returns a bare ref; the exchange must still work
+        (asof_join(n_buckets=1), write_time_ordered_fragments(n_frag=1))."""
+        import ray.data as rd
+
+        from condor_ray.engine.exchange import hash_exchange
+
+        df = pd.DataFrame({"k": np.arange(20, dtype=np.int64), "v": np.ones(20, dtype=np.int64)})
+
+        def combine(*tables):
+            tables = [t for t in tables if t.num_rows]
+            if not tables:
+                return pa.schema([("k", pa.int64()), ("v", pa.int64())]).empty_table()
+            return pa.concat_tables(tables)
+
+        got = hash_exchange(
+            rd.from_pandas(df).repartition(3), 1, _make_shard_by_mod(), combine
+        ).to_pandas()
+        assert sorted(got["k"].tolist()) == list(range(20))
+
+    def test_two_sided_multi_wave(self, ray_session, monkeypatch):
+        import ray.data as rd
+
+        import condor_ray.engine.exchange as ex
+
+        monkeypatch.setattr(ex, "_wave_blocks", lambda: 2)
+        left = pd.DataFrame({"k": np.arange(60, dtype=np.int64), "v": np.arange(60, dtype=np.int64)})
+        right = pd.DataFrame({"k": np.arange(0, 120, 2, dtype=np.int64), "v": np.arange(60, dtype=np.int64) * 10})
+
+        def combine(n_left, *tables):
+            lefts = [t for t in tables[:n_left] if t.num_rows]
+            rights = [t for t in tables[n_left:] if t.num_rows]
+            schema = pa.schema([("k", pa.int64()), ("lv", pa.int64()), ("rv", pa.int64())])
+            if not lefts or not rights:
+                return schema.empty_table()
+            lf = pa.concat_tables(lefts).to_pandas().rename(columns={"v": "lv"})
+            rf = pa.concat_tables(rights).to_pandas().rename(columns={"v": "rv"})
+            m = lf.merge(rf, on="k", how="inner")
+            return pa.table(
+                {"k": m["k"].astype(np.int64), "lv": m["lv"].astype(np.int64),
+                 "rv": m["rv"].astype(np.int64)}
+            )
+
+        got = (
+            ex.two_sided_hash_exchange(
+                rd.from_pandas(left).repartition(5),
+                rd.from_pandas(right).repartition(4),
+                6, _make_shard_by_mod(), _make_shard_by_mod(), combine,
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert got["k"].tolist() == list(range(0, 60, 2))
+        assert (got["rv"].to_numpy() == got["k"].to_numpy() // 2 * 10).all()
+        assert ex.LAST_EXCHANGE_STATS["waves"] >= 3

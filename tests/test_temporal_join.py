@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 
@@ -257,3 +258,25 @@ class TestIntervalJoin:
         assert got["pid"].tolist() == [0, 1, 2, 4]
         assert got["iid"].astype(int).tolist() == [0, 0, 1, 2]
         assert got["lo"].dtype == np.int64 and got["hi"].dtype == np.int64
+
+
+class TestAsofKeyValidation:
+    def test_non_string_key_raises(self, ray_session):
+        import ray.data as rd
+
+        from condor_ray.pipelines.temporal_join import asof_join
+
+        left = pa.table(
+            {
+                "conv_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array([10, 20], pa.timestamp("us")),
+                "v": pa.array([1.0, 2.0]),
+            }
+        )
+        with pytest.raises(TypeError, match="must be a string column"):
+            asof_join(
+                rd.from_arrow(left),
+                rd.from_arrow(left),
+                left_cols={"v": "v"},
+                right_cols={"rv": "v"},
+            )
