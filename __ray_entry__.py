@@ -307,6 +307,23 @@ def _q_streaming_ten_windows(sf_dir: str):
     return streaming_n_window_counts(sf_dir, WINDOW_MS, n_windows=10)
 
 
+def _q_streaming_concurrent_windows(sf_dir: str):
+    """One gate row for concurrent-window support: the n=3 mixed-kind run
+    (tumbling + sliding + session sharing one pass) UNION the n=10 sliding
+    stress run — distinct ``window_kind`` labels keep the two result sets
+    disjoint, so one UNION ALL oracle checks both."""
+    import pandas as pd
+
+    def frame(res):
+        return res.to_pandas() if hasattr(res, "to_pandas") else res
+
+    return pd.concat(
+        [frame(_q_streaming_multi_window(sf_dir)),
+         frame(_q_streaming_ten_windows(sf_dir))],
+        ignore_index=True,
+    )
+
+
 def _q_cm_asof_queries(sf_dir: str):
     """queryTimestamped evaluation: every tool turn queries its own tool's
     frequency at its own timestamp; collision-free CM => exact counts."""
@@ -902,47 +919,102 @@ def _q_audio_features(sf_dir: str):
     return decode_audio(synthesize_audio_table(docs))
 
 
+def _canon_frame(res):
+    """The driver gate's canonical form: pandas, columns sorted by NAME,
+    rows sorted by all values."""
+    import pandas as pd
+
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    if not isinstance(df, pd.DataFrame):
+        df = df.to_pandas()  # pyarrow.Table
+    df = df[sorted(df.columns)].copy()
+    if len(df):
+        df = df.sort_values(list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def _twin(batch_fn: Callable[[str], Any], streaming_fn: Callable[[str], Any]):
+    """Fuse a batch/streaming pair that shares one SQL oracle into ONE gate
+    row: run BOTH engines, assert they produce identical canonical frames
+    (so a streaming-path regression turns the row red even though only the
+    batch result is hashed), and return the batch result.  This is how all
+    60 distinct oracles fit inside the driver gate's 50-row cap while every
+    engine path stays officially verified."""
+
+    def run(sf_dir: str):
+        import pandas as pd
+
+        batch = batch_fn(sf_dir)
+        streaming = streaming_fn(sf_dir)
+        a, b = _canon_frame(batch), _canon_frame(streaming)
+        if list(a.columns) != list(b.columns):
+            raise AssertionError(
+                f"batch/streaming column mismatch: {list(a.columns)} vs "
+                f"{list(b.columns)}"
+            )
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        return batch
+
+    return run
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
-    """Registry order matters: the driver's correctness gate records the FIRST
-    50 entries only (round-3 file stopped at entry #50).  The first 50 are
-    therefore ordered so every operator family keeps at least one oracle-backed
-    row inside the cap; positions 51+ hold the rows-only entries (LSH pair
-    sets, HLL estimates — no SQL oracle by nature) and streaming twins whose
-    family already has both a batch oracle row and another streaming oracle
-    row in-gate.  All 65 still run under ``tools/check_correctness.py``."""
+    """Exactly 50 entries — the driver's correctness gate records the first
+    50 only, so the registry is sized to it.  Every batch/streaming pair
+    that shares a SQL oracle is fused into one dual-engine row via
+    ``_twin`` (both engines run; bit-equality asserted; shared oracle
+    hashes the result), so all 50 rows are officially gated and the
+    14 streaming twins remain verified INSIDE their rows.  The five
+    rows-only entries (LSH pair sets, HLL estimates — no SQL oracle by
+    nature) now also fit in-gate and get official rows-only checks."""
     return {
         # --- transcripts + tumbling/sliding/stratified windows -------------
         "transcripts_derivation": _q_transcripts,
-        "windowed_counts": _q_windowed_counts,
+        "windowed_counts": _twin(_q_windowed_counts, _q_streaming_windowed_counts),
         "sliding_windowed_counts": _q_sliding_windowed_counts,
         "windowed_counts_by_role": _q_windowed_counts_by_role,
         "windowed_distinct_convs": _q_windowed_distinct,
         "cm_tool_frequencies": _q_cm_tool_frequencies,
-        "windowed_topk_tools": _q_windowed_topk_tools,
-        "streaming_windowed_counts": _q_streaming_windowed_counts,
+        "windowed_topk_tools": _twin(_q_windowed_topk_tools, _q_streaming_windowed_topk),
         # --- session + count windows ---------------------------------------
-        "sessions_30m": _q_sessions,
+        "sessions_30m": _twin(_q_sessions, _q_streaming_sessions),
         "session_synopses": _q_session_synopses,
-        "streaming_sessions": _q_streaming_sessions,
         "count_window_distinct": _q_count_window_distinct,
+        "count_window_tool_freq": _twin(
+            _q_count_window_tool_freq, _q_streaming_count_window
+        ),
         # --- CEP ------------------------------------------------------------
-        "pattern_matches": _q_pattern_matches,
-        "pattern_matches_relaxed": _q_pattern_matches_relaxed,
-        "streaming_pattern_matches": _q_streaming_pattern_matches,
+        "pattern_matches": _twin(_q_pattern_matches, _q_streaming_pattern_matches),
+        "pattern_matches_relaxed": _twin(
+            _q_pattern_matches_relaxed, _q_streaming_pattern_matches_relaxed
+        ),
         # --- joins + concurrent windows --------------------------------------
-        "turns_join_tool_calls": _q_turns_join_tool_calls,
-        "streaming_turns_join": _q_streaming_turns_join,
-        "asof_user_context": _q_asof_user_context,
+        "turns_join_tool_calls": _twin(
+            _q_turns_join_tool_calls, _q_streaming_turns_join
+        ),
+        "asof_user_context": _twin(
+            _q_asof_user_context, _q_streaming_asof_user_context
+        ),
         "session_interval_join": _q_session_interval_join,
-        "streaming_multi_window": _q_streaming_multi_window,
+        # n=3 mixed-kind windows + n=10 sliding windows in one row (UNION
+        # oracle; distinct window_kind labels keep the result sets disjoint)
+        "streaming_multi_window": _q_streaming_concurrent_windows,
         # --- evaluators (queryLatest / queryTimestamped, batch + continuous) -
-        "cm_asof_queries": _q_cm_asof_queries,
-        "cm_asof_stratified": _q_cm_asof_stratified,
-        "query_latest_cm": _mk_synopsis_query("query_latest_cm"),
-        "streaming_query_latest": _q_streaming_query_latest,
+        "cm_asof_queries": _twin(_q_cm_asof_queries, _q_streaming_cm_asof),
+        "cm_asof_stratified": _twin(
+            _q_cm_asof_stratified, _q_streaming_cm_asof_stratified
+        ),
+        "query_latest_cm": _twin(
+            _mk_synopsis_query("query_latest_cm"), _q_streaming_query_latest
+        ),
+        "query_latest_stratified": _twin(
+            _mk_synopsis_query("query_latest_stratified_cm"),
+            _q_streaming_query_latest_stratified,
+        ),
         # --- wavelets (order-based) ------------------------------------------
-        "wavelet_window_sums": _q_wavelet_window_sums,
-        "streaming_wavelet_sums": _q_streaming_wavelet_sums,
+        "wavelet_window_sums": _twin(
+            _q_wavelet_window_sums, _q_streaming_wavelet_sums
+        ),
         # --- the twelve synopses ---------------------------------------------
         "fifo_newest_ts": _q_fifo_newest_ts,
         "equiwidth_hist": _mk_synopsis_query("equiwidth_hist_buckets"),
@@ -969,26 +1041,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": _q_image_features,
         "frame_samples": _q_frame_samples,
         "audio_features": _q_audio_features,
-        # ===== gate cap boundary (entry #50 above) ===========================
-        # oracle-backed; family (count windows) keeps count_window_distinct
-        # in-gate plus streaming_count_window below
-        "count_window_tool_freq": _q_count_window_tool_freq,
-        # rows-only by nature (no SQL oracle): estimates / LSH pair sets
+        # --- rows-only by nature (no SQL oracle): estimates / LSH pair sets --
         "flagship_hll": _q_flagship_hll,
-        "minhash_neardup": _q_minhash_neardup,
+        # minhash_dedup_keep runs the pairs pipeline internally (pairs ->
+        # components -> keep list), so the former minhash_neardup row is
+        # covered end-to-end inside this one
         "minhash_dedup_keep": _q_minhash_dedup_keep,
         "simhash_neardup": _q_simhash_neardup,
         "embedding_neardup": _q_embedding_neardup,
-        # oracle-backed streaming twins; family keeps batch + streaming rows in-gate
-        "streaming_asof_user_context": _q_streaming_asof_user_context,
-        "streaming_cm_asof": _q_streaming_cm_asof,
-        "query_latest_stratified": _mk_synopsis_query("query_latest_stratified_cm"),
-        "streaming_windowed_topk": _q_streaming_windowed_topk,
-        "streaming_pattern_matches_relaxed": _q_streaming_pattern_matches_relaxed,
-        "streaming_ten_windows": _q_streaming_ten_windows,
-        "streaming_cm_asof_stratified": _q_streaming_cm_asof_stratified,
-        "streaming_count_window": _q_streaming_count_window,
-        "streaming_query_latest_stratified": _q_streaming_query_latest_stratified,
     }
 
 
@@ -1017,11 +1077,6 @@ SELECT (epoch_us(ts) // {_W_US}) * {_W_US} AS window_start,
        role AS stratum,
        count(*) AS n_rows
 FROM transcripts GROUP BY 1, 2, 3""",
-        "streaming_windowed_counts": f"""{cte}
-SELECT (epoch_us(ts) // {_W_US}) * {_W_US} AS window_start,
-       (epoch_us(ts) // {_W_US}) * {_W_US} + {_W_US} AS window_end,
-       count(*) AS n_rows
-FROM transcripts GROUP BY 1, 2""",
         "windowed_distinct_convs": f"""{cte}
 SELECT (epoch_us(ts) // {_W_US}) * {_W_US} AS window_start,
        count(DISTINCT conv_id) AS n_convs
@@ -1036,11 +1091,9 @@ FROM transcripts WHERE tool IS NOT NULL GROUP BY 1, 2""",
 
     out["windowed_topk_tools"] = _wtk(cte, _W_US, 5)
     # exact per-(window, tool) counts at streaming close == batch counts
-    out["streaming_windowed_topk"] = out["windowed_topk_tools"]
     out["sessions_30m"] = __import__(
         "condor_ray.pipelines.sessions", fromlist=["session_sql"]
     ).session_sql(cte, SESSION_GAP_MS)
-    out["streaming_sessions"] = out["sessions_30m"]
     out["session_synopses"] = __import__(
         "condor_ray.pipelines.sessions", fromlist=["session_synopsis_sql"]
     ).session_synopsis_sql(cte, SESSION_GAP_MS)
@@ -1064,7 +1117,6 @@ JOIN tool_calls c
   ON t.conv_id = c.conv_id AND t.tool = c.tool
  AND epoch_us(c.ts) BETWEEN epoch_us(t.ts) AND epoch_us(t.ts) + 5000000
 WHERE t.tool IS NOT NULL"""
-    out["streaming_turns_join"] = out["turns_join_tool_calls"]
     out["asof_user_context"] = f"""{cte}
 SELECT t.conv_id, CAST(epoch_us(t.ts) AS BIGINT) AS ts_us,
        CAST(t.turn_idx AS BIGINT) AS turn_idx,
@@ -1079,7 +1131,6 @@ LEFT JOIN LATERAL (
   ORDER BY u.ts DESC, u.turn_idx DESC LIMIT 1
 ) u ON TRUE
 WHERE t.tool IS NOT NULL"""
-    out["streaming_asof_user_context"] = out["asof_user_context"]
     from condor_ray.pipelines.sessions import session_sql
 
     out["session_interval_join"] = f"""WITH sessions AS (
@@ -1106,16 +1157,17 @@ WHERE t.tool IS NOT NULL"""
     )
     # ts-ordered fragments => incremental relaxed matching over the
     # watermark frontier emits exactly the batch followedBy match set
-    out["streaming_pattern_matches_relaxed"] = out["pattern_matches_relaxed"]
     # ts-ordered fragments => no late rows; incremental matching over the
     # watermark frontier emits exactly the batch match set
-    out["streaming_pattern_matches"] = out["pattern_matches"]
     from condor_ray.pipelines.core import multi_window_sql as _mwsql
-
-    out["streaming_multi_window"] = _mwsql(cte, _W_US)
     from condor_ray.pipelines.core import n_window_sql as _nwsql
 
-    out["streaming_ten_windows"] = _nwsql(cte, _W_US, 10)
+    # fused row: n=3 mixed-kind UNION n=10 sliding (disjoint window_kind)
+    out["streaming_multi_window"] = (
+        f"SELECT * FROM ({_mwsql(cte, _W_US)}) "
+        f"UNION ALL SELECT * FROM ({_nwsql(cte, _W_US, 10)})"
+    )
+
     out["cm_asof_queries"] = f"""{cte},
 counts AS (
   SELECT (epoch_us(ts) // {_W_US}) * {_W_US} AS window_start, tool,
@@ -1132,7 +1184,6 @@ JOIN counts c
 WHERE t.tool IS NOT NULL"""
     # continuous timestamped evaluation converges to batch as-of on bounded
     # input (unbounded archive, all windows closed at end of stream)
-    out["streaming_cm_asof"] = out["cm_asof_queries"]
     out["cm_asof_stratified"] = f"""{cte},
 counts AS (
   SELECT (epoch_us(ts) // {_W_US}) * {_W_US} AS window_start, role,
@@ -1151,7 +1202,6 @@ JOIN counts c
  AND c.turn_probe = t.turn_idx
 WHERE t.turn_idx < 20"""
     # continuous stratified timestamped evaluation converges to batch as-of
-    out["streaming_cm_asof_stratified"] = out["cm_asof_stratified"]
     out["fifo_newest_ts"] = f"""{cte},
 win_ts AS (
   SELECT DISTINCT (epoch_us(ts) // {_W_US}) * {_W_US} AS window_start,
@@ -1171,7 +1221,6 @@ SELECT (event_id // {COUNT_WINDOW}) AS window_id,
 FROM events
 WHERE event_type NOT IN ('view', 'signup', 'click', 'purchase')
 GROUP BY 1, 2"""
-    out["streaming_count_window"] = out["count_window_tool_freq"]
     from condor_ray.pipelines import synopsis_queries as _sq
 
     out["equiwidth_hist"] = _sq.equiwidth_sql(cte, _W_US)
@@ -1186,16 +1235,8 @@ GROUP BY 1, 2"""
     from condor_ray.pipelines.core import wavelet_sum_sql as _wsql
 
     out["wavelet_window_sums"] = _wsql(cte, _W_US)
-    out["streaming_wavelet_sums"] = _wsql(cte, _W_US)
     out["query_latest_cm"] = _sq.query_latest_sql(cte, _W_US)
-    # continuous evaluation converges to batch queryLatest on bounded input
-    out["streaming_query_latest"] = _sq.query_latest_sql(cte, _W_US)
     out["query_latest_stratified"] = _sq.query_latest_stratified_sql(cte, _W_US)
-    # continuous stratified evaluation converges to the batch result on
-    # bounded input (per-stratum latest == per-stratum max window)
-    out["streaming_query_latest_stratified"] = _sq.query_latest_stratified_sql(
-        cte, _W_US
-    )
     out["exact_dedup"] = """
 WITH docs2 AS (
   SELECT doc_id, text FROM documents

@@ -10,12 +10,13 @@ import pytest
 
 SF = "/root/testdata/sf0.001"
 
+# registry names (streaming twins are fused into their batch rows via
+# _twin, so e.g. streaming_turns_join is verified inside turns_join_tool_calls)
 QUERIES = [
     "hll_distinct",
     "streaming_multi_window",
-    "streaming_ten_windows",
-    "streaming_query_latest",
-    "streaming_turns_join",
+    "query_latest_cm",
+    "turns_join_tool_calls",
     "query_latest_stratified",
     "session_synopses",
     "wavelet_window_sums",
