@@ -53,8 +53,15 @@ _OUT_SCHEMA = pa.schema(
 
 @ray.remote(num_cpus=0.5)
 class AsofStateStore:
-    def __init__(self, partition_id: int):
+    def __init__(
+        self,
+        partition_id: int,
+        direction: str = "backward",
+        tolerance_us: int | None = None,
+    ):
         self.partition_id = partition_id
+        self.direction = direction
+        self.tolerance_us = tolerance_us
         self._probes: list[pd.DataFrame] = []
         self._builds: list[pd.DataFrame] = []
         self.late_dropped = 0
@@ -96,10 +103,14 @@ class AsofStateStore:
         return n_late
 
     def emit(self, watermark_us: int) -> pa.Table:
-        """Join + emit every probe with ts STRICTLY below the watermark (a
-        build row tied at ts == wm may still arrive — fragment ranges are
-        disjoint, so once wm passes T nothing at or below T can appear);
-        purge emitted probes and superseded build versions."""
+        """Join + emit every probe whose match is DETERMINED by the
+        watermark, then purge emitted probes and superseded build versions.
+
+        backward: a probe at T is ready once ts-strictly-below-wm covers T
+        (a build tied at ts == wm may still arrive — fragment ranges are
+        disjoint, so once wm passes T nothing at or below T can appear).
+        forward: the earliest build in [T, T + tolerance] decides the
+        match, so the probe is ready once wm passes T + tolerance."""
         self._hwm()
         probes = (
             pd.concat(self._probes, ignore_index=True)
@@ -112,7 +123,10 @@ class AsofStateStore:
             else pd.DataFrame(columns=["conv_id", "turn_idx", "ts"])
         )
         if len(probes):
-            ready = (probes["ts"] < watermark_us).to_numpy()
+            if self.direction == "forward":
+                ready = (probes["ts"] + self.tolerance_us < watermark_us).to_numpy()
+            else:
+                ready = (probes["ts"] < watermark_us).to_numpy()
             out = probes[ready]
             self._probes = [probes[~ready].reset_index(drop=True)]
         else:
@@ -132,7 +146,8 @@ class AsofStateStore:
                 left_on="ts",
                 right_on="user_ts",
                 by="conv_id",
-                direction="backward",
+                direction=self.direction,
+                tolerance=self.tolerance_us,
             )
         else:
             merged = left.copy()
@@ -154,10 +169,20 @@ class AsofStateStore:
         )
 
     def _purge_builds(self, builds: pd.DataFrame, watermark_us: int) -> None:
-        """Keep rows newer than the watermark + each key's latest row
-        at-or-below it (the temporal table's current version)."""
+        """backward: keep rows newer than the watermark + each key's latest
+        row at-or-below it (the temporal table's current version; with a
+        tolerance the current version is also droppable once it falls out
+        of every remaining probe's lookback window).  forward: every
+        remaining probe has ts >= wm - tolerance, so only builds at
+        ts >= wm - tolerance can still match — state is O(tolerance
+        window), no per-key version needed."""
         if not len(builds):
             self._builds = []
+            return
+        if self.direction == "forward":
+            keep_df = builds[builds["ts"] >= watermark_us - self.tolerance_us]
+            self._builds = [keep_df.reset_index(drop=True)]
+            self._hwm()
             return
         b = builds.sort_values(["conv_id", "ts", "turn_idx"], kind="mergesort")
         conv = b["conv_id"].to_numpy()
@@ -169,6 +194,10 @@ class AsofStateStore:
         nxt_diff[:-1] = (conv[1:] != conv[:-1]) | ~at_or_below[1:]
         nxt_diff[-1] = True
         keep = ~at_or_below | (at_or_below & nxt_diff)
+        if self.tolerance_us is not None:
+            # remaining (unemitted) probes have ts >= wm, so a current
+            # version older than wm - tolerance can never win again
+            keep &= ts >= watermark_us - self.tolerance_us
         self._builds = [b[keep].reset_index(drop=True)]
         self._hwm()
 
@@ -180,13 +209,39 @@ class AsofStateStore:
 
 
 class StreamingAsofJob:
-    """Continuous as-of join over a ts-ordered fragment stream."""
+    """Continuous as-of join over a ts-ordered fragment stream.
 
-    def __init__(self, parallelism: int = 4, out_dir: str = "/tmp/asof_out"):
+    ``direction="backward"`` (default) matches the latest build row at or
+    before each probe, optionally within ``tolerance_us``.
+    ``direction="forward"`` matches the earliest build row at or after each
+    probe and REQUIRES ``tolerance_us``: a forward probe's match is only
+    determined once the watermark passes ``ts + tolerance``, so an
+    unbounded forward join would buffer probes until end-of-stream (the
+    batch ``asof_join`` handles that case; a stream needs the bound).
+    Both directions are parity-tested against the batch operator."""
+
+    def __init__(
+        self,
+        parallelism: int = 4,
+        out_dir: str = "/tmp/asof_out",
+        direction: str = "backward",
+        tolerance_us: int | None = None,
+    ):
+        if direction not in ("backward", "forward"):
+            raise ValueError(f"direction must be backward|forward, got {direction!r}")
+        if direction == "forward" and tolerance_us is None:
+            raise ValueError(
+                "streaming forward as-of requires tolerance_us (bounded "
+                "wait window); use the batch asof_join for an unbounded "
+                "forward join"
+            )
         self.parallelism = parallelism
         self.out_dir = out_dir
         os.makedirs(out_dir, exist_ok=True)
-        self.stores = [AsofStateStore.remote(p) for p in range(parallelism)]
+        self.stores = [
+            AsofStateStore.remote(p, direction, tolerance_us)
+            for p in range(parallelism)
+        ]
 
     def run(self, fragments: list[str], columns: list[str] | None = None) -> dict:
         columns = columns or ["conv_id", "turn_idx", "role", "tool", "ts"]

@@ -131,3 +131,115 @@ class TestStreamingAsof:
         assert summary["late_dropped"] == 1
         # both tool turns matched the on-time user turn at ts=1000
         assert got["user_ts"].tolist() == [1000, 1000]
+
+
+def _expected_directional(df: pd.DataFrame, direction: str, tol: int) -> pd.DataFrame:
+    """Brute-force as-of with direction + tolerance (matches the batch
+    operator's documented tie-breaks)."""
+    rows = []
+    tools = df[df["tool"].notna()]
+    users = df[df["role"] == "user"]
+    for _, t in tools.iterrows():
+        cu = users[users["conv_id"] == t["conv_id"]]
+        if direction == "forward":
+            cand = cu[(cu["ts"] >= t["ts"]) & (cu["ts"] <= t["ts"] + tol)]
+            pick = cand.sort_values(["ts", "turn_idx"]).head(1)
+        else:
+            cand = cu[(cu["ts"] <= t["ts"]) & (cu["ts"] >= t["ts"] - tol)]
+            pick = cand.sort_values(["ts", "turn_idx"]).tail(1)
+        if pick.empty:
+            u_ts, u_turn = -1, -1
+        else:
+            u_ts, u_turn = int(pick["ts"].iloc[0]), int(pick["turn_idx"].iloc[0])
+        rows.append((t["conv_id"], int(t["ts"]), int(t["turn_idx"]), u_ts, u_turn))
+    return (
+        pd.DataFrame(rows, columns=["conv_id", "ts_us", "turn_idx", "user_ts", "user_turn"])
+        .sort_values(["conv_id", "ts_us", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+
+class TestStreamingAsofDirections:
+    TOL = 5_000_000  # 5 s
+
+    def _run(self, paths, tmp_path, direction, tol, tag):
+        from condor_ray.engine.streaming_asof import StreamingAsofJob
+
+        job = StreamingAsofJob(
+            parallelism=3,
+            out_dir=str(tmp_path / tag),
+            direction=direction,
+            tolerance_us=tol,
+        )
+        summary = job.run(paths)
+        got = (
+            job.result_dataset()
+            .to_pandas()
+            .sort_values(["conv_id", "ts_us", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        job.shutdown()
+        return got, summary
+
+    @pytest.mark.parametrize("direction", ["forward", "backward"])
+    def test_direction_with_tolerance_matches_brute_force_and_batch(
+        self, ray_session, asof_fragments, tmp_path, direction
+    ):
+        import ray.data as rd
+
+        from condor_ray.pipelines.temporal_join import asof_join
+
+        paths, df = asof_fragments
+        got, summary = self._run(paths, tmp_path, direction, self.TOL, direction)
+        want = _expected_directional(df, direction, self.TOL)
+        assert summary["late_dropped"] == 0
+        assert len(got) == len(want)
+        for c in want.columns:
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+        # three-way: the batch asof_join with the same params agrees
+        src = pa.Table.from_pandas(df, preserve_index=False)
+        src = src.set_column(
+            src.schema.get_field_index("ts"), "ts", src["ts"].cast(pa.timestamp("us"))
+        )
+        full = rd.from_arrow(src)
+        import pyarrow.compute as pc
+
+        batch = asof_join(
+            full.map_batches(
+                lambda b: b.filter(pc.is_valid(b["tool"])), batch_format="pyarrow"
+            ),
+            full.map_batches(
+                lambda b: b.filter(pc.equal(b["role"], "user")), batch_format="pyarrow"
+            ),
+            left_cols={"turn_idx": "turn_idx"},
+            right_cols={"user_ts": "ts", "user_turn": "turn_idx"},
+            right_order=("user_turn",),
+            tolerance_us=self.TOL,
+            direction=direction,
+        ).to_pandas()
+        batch["user_ts"] = batch["user_ts"].fillna(-1).astype(np.int64)
+        batch["user_turn"] = batch["user_turn"].fillna(-1).astype(np.int64)
+        batch = (
+            batch[["conv_id", "ts_us", "turn_idx", "user_ts", "user_turn"]]
+            .sort_values(["conv_id", "ts_us", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        assert len(batch) == len(got)
+        for c in want.columns:
+            assert (batch[c].to_numpy() == got[c].to_numpy()).all(), c
+
+    def test_forward_requires_tolerance(self, ray_session, tmp_path):
+        from condor_ray.engine.streaming_asof import StreamingAsofJob
+
+        with pytest.raises(ValueError, match="tolerance_us"):
+            StreamingAsofJob(out_dir=str(tmp_path / "x"), direction="forward")
+
+    def test_forward_state_bounded_by_tolerance_window(
+        self, ray_session, asof_fragments, tmp_path
+    ):
+        """Forward purge keeps only builds inside the tolerance window, so
+        the high-water mark must stay well under the stream length."""
+        paths, df = asof_fragments
+        got, summary = self._run(paths, tmp_path, "forward", self.TOL, "fbound")
+        assert summary["max_buffered_rows"] < len(df)
