@@ -256,12 +256,75 @@ def main() -> None:
         right_order=("user_turn",),
     ).materialize()
     wall = time.perf_counter() - t0
+    from condor_ray.engine.exchange import LAST_EXCHANGE_STATS
+
     results["jobs"]["asof_tool_user_600m"] = {
         "wall_s": round(wall, 2),
         "probe_rows": out.count(),
         "input_rows_per_s": round(total_rows / wall),
+        # the exchange's measured object-store footprint: peak folded bytes
+        # resident (the projected two-sided stream), waves, shard tasks —
+        # the manifest evidence for the wave-bounded exchange
+        "exchange": dict(LAST_EXCHANGE_STATS),
     }
     print("asof:", results["jobs"]["asof_tool_user_600m"], flush=True)
+
+    # 8) MinHash-LSH near-dup dedup at 2M docs (10x the bench corpus):
+    # the sf0.1 documents table deterministically inflated to 2M docs with
+    # the bench's planted-near-dup scheme (rep 1 keeps every 50th rep-0
+    # text + a short tail), so the row reports docs/s AND planted-pair
+    # recall at scale
+    import polars as pl
+    import pyarrow.parquet as _pq
+
+    from condor_ray.pipelines.dedup import minhash_lsh_pairs
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    docs = _pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    base = pl.from_arrow(docs)
+    doc_step = int(base["doc_id"].max()) + 1
+    n_reps = max(2, 2_000_000 // len(base))
+    reps = []
+    for r in range(n_reps):
+        if r == 0:
+            reps.append(base)
+            continue
+        src = base.filter(pl.col("doc_id") % 50 != 0) if r == 1 else base
+        mutated = src.with_columns(
+            (pl.col("doc_id") + r * doc_step).alias("doc_id"),
+            pl.col("text").str.replace_all(r"(\S+)", "${1}_" + str(r)).alias("text"),
+        )
+        if r == 1:
+            near = base.filter(pl.col("doc_id") % 50 == 0).with_columns(
+                (pl.col("doc_id") + doc_step).alias("doc_id"),
+                (pl.col("text") + " planted tail").alias("text"),
+            )
+            mutated = pl.concat([mutated, near])
+        reps.append(mutated)
+    corpus = (
+        rd.from_arrow(pl.concat(reps).to_arrow()).repartition(2 * ncpu).materialize()
+    )
+    n_docs = corpus.count()
+    planted = set(int(d) for d in base["doc_id"] if d % 50 == 0)
+    t0 = time.perf_counter()
+    pairs = minhash_lsh_pairs(corpus, concurrency=max(2, ncpu // 2)).to_pandas()
+    wall = time.perf_counter() - t0
+    lo = np.minimum(pairs["doc_a"], pairs["doc_b"])
+    hi = np.maximum(pairs["doc_a"], pairs["doc_b"])
+    found = set(
+        int(a) for a, b in zip(lo, hi) if b - a == doc_step and a in planted
+    )
+    results["jobs"]["minhash_dedup_2m_docs"] = {
+        "wall_s": round(wall, 2),
+        "docs": n_docs,
+        "pairs": len(pairs),
+        "docs_per_s": round(n_docs / wall),
+        "planted_pairs": len(planted),
+        "planted_recall": round(len(found) / max(1, len(planted)), 4),
+    }
+    print("minhash:", results["jobs"]["minhash_dedup_2m_docs"], flush=True)
 
     with open(
         os.path.join(os.path.dirname(__file__), "..", "BENCH_soak_sf1.json"), "w"
