@@ -117,3 +117,36 @@ def load_png_native() -> ctypes.CDLL | None:
     except Exception:
         _png_lib = None
     return _png_lib
+
+
+_cm_lib: ctypes.CDLL | None = None
+_cm_tried = False
+
+
+def load_cm_native() -> ctypes.CDLL | None:
+    """dlopen (compiling if needed) the fused CM query/update kernel."""
+    global _cm_lib, _cm_tried
+    if os.environ.get("CONDOR_RAY_NO_NATIVE"):
+        return None
+    if _cm_tried:
+        return _cm_lib
+    _cm_tried = True
+    try:
+        src = os.path.join(os.path.dirname(__file__), "cmquery.c")
+        lib = ctypes.CDLL(_compile_cached(src, "cmquery"))
+        for fn in (lib.cm_query_dense, lib.cm_update_dense):
+            fn.restype = None
+        lib.cm_query_dense.argtypes = [
+            ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.cm_update_dense.argtypes = [
+            ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_int32,
+        ]
+        _cm_lib = lib
+    except Exception:
+        _cm_lib = None
+    return _cm_lib

@@ -96,8 +96,28 @@ class CountMinSketch(Synopsis):
         offs = (np.arange(self.height, dtype=np.int64) * self.width)[None, :]
         return (idx.astype(np.int64) + offs).ravel()
 
+    def _native_cm(self):
+        """Fused C kernel for the DENSE representation (sparse stays numpy);
+        ``None`` when no compiler / CONDOR_RAY_NO_NATIVE."""
+        from .._native import load_cm_native
+
+        return load_cm_native()
+
     # -- updates -----------------------------------------------------------
     def _apply(self, values: np.ndarray, sign: int) -> None:
+        if self._dense is not None and len(values):
+            lib = self._native_cm()
+            if lib is not None:
+                if not self._dense.flags.c_contiguous:
+                    self._dense = np.ascontiguousarray(self._dense)
+                v = np.ascontiguousarray(values, dtype=np.int32)
+                lib.cm_update_dense(
+                    v.ctypes.data, len(v),
+                    self.hash_functions._lut.ctypes.data,
+                    self.height, self.width,
+                    self._dense.ctypes.data, sign,
+                )
+                return
         flat = self._flat_indices(values)
         with np.errstate(over="ignore"):
             if self._dense is not None:
@@ -166,6 +186,20 @@ class CountMinSketch(Synopsis):
 
     # -- queries -----------------------------------------------------------
     def query_batch(self, values: np.ndarray) -> np.ndarray:
+        if self._dense is not None and len(values):
+            lib = self._native_cm()
+            if lib is not None:
+                if not self._dense.flags.c_contiguous:
+                    self._dense = np.ascontiguousarray(self._dense)
+                v = np.ascontiguousarray(values, dtype=np.int32)
+                out = np.empty(len(v), dtype=np.int32)
+                lib.cm_query_dense(
+                    v.ctypes.data, len(v),
+                    self.hash_functions._lut.ctypes.data,
+                    self.height, self.width,
+                    self._dense.ctypes.data, out.ctypes.data,
+                )
+                return out
         flat = self._flat_indices(values).reshape(len(values), self.height)
         if self._dense is not None:
             ests = self._dense.ravel()[flat]

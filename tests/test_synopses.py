@@ -802,3 +802,43 @@ class TestCountMinWeighted:
         _ = c2.array  # force dense representation up front
         c2.update_weighted(keys, counts)
         assert np.array_equal(c.array, c2.array)
+
+
+class TestCountMinNativeKernel:
+    def test_native_matches_numpy_bit_exact(self, monkeypatch):
+        """The fused C query/update kernel and the numpy path must produce
+        identical dense arrays and identical query results, including the
+        adversarial keys (0, -1, INT32_MIN where Java -MIN == MIN)."""
+        import numpy as np
+
+        from condor_ray._native import load_cm_native
+        from condor_ray.synopses import CountMinSketch
+
+        if load_cm_native() is None:
+            pytest.skip("no C compiler available to build the CM kernel")
+        rng = np.random.default_rng(5)
+        keys = np.concatenate(
+            [
+                rng.integers(-(2**31), 2**31, 50_000).astype(np.int32),
+                np.array([0, -1, 1, 2**31 - 1, -(2**31)], dtype=np.int32),
+            ]
+        )
+        q = rng.integers(-(2**31), 2**31, 20_000).astype(np.int32)
+
+        def build(w, h, seed):
+            cm = CountMinSketch(w, h, seed)
+            cm._densify()  # force the dense representation
+            cm.update_batch(keys)
+            cm._apply(keys[:500], -1)  # exercise the invert sign
+            return cm
+
+        for w, h, seed in [(65536, 5, 7), (1024, 3, 11), (7, 4, 42)]:
+            cm_native = build(w, h, seed)
+            res_native = cm_native.query_batch(q)
+            monkeypatch.setenv("CONDOR_RAY_NO_NATIVE", "1")
+            cm_numpy = build(w, h, seed)
+            res_numpy = cm_numpy.query_batch(q)
+            monkeypatch.delenv("CONDOR_RAY_NO_NATIVE")
+            assert (cm_native.array == cm_numpy.array).all(), (w, h)
+            assert (np.asarray(res_native) == np.asarray(res_numpy)).all(), (w, h)
+            assert res_native.dtype == res_numpy.dtype
