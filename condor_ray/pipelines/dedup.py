@@ -323,7 +323,9 @@ def shingle_hash_csr(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 class MinHasher:
-    """Actor-pool stage: word-shingle MinHash signatures, fully vectorized.
+    """Word-shingle MinHash signatures, fully vectorized (runs as plain
+    tasks via ``_minhash_stage``'s process-level instance cache — the
+    seed-table state costs microseconds, not an actor pool).
 
     No per-document Python: tokenization is one polars regex extract over the
     whole batch, word hashing is polars xxhash64 over the exploded word
@@ -396,6 +398,36 @@ class MinHasher:
         )
 
 
+# Hasher state (seed tables) costs microseconds to build, so the signature
+# stages run as plain TASKS with a process-level instance cache instead of
+# an actor pool: Ray reuses worker processes, the cache makes setup
+# once-per-worker, and the stage parallelism is no longer capped at
+# ``concurrency`` actors (16 fresh actor processes cost seconds of spawn +
+# import wall — the old fixed cost of every dedup run).
+_HASHER_CACHE: dict = {}
+
+
+def _minhash_stage(num_perm: int, shingle: int):
+    def fn(batch):
+        key = ("minhash", num_perm, shingle)
+        mh = _HASHER_CACHE.get(key)
+        if mh is None:
+            mh = _HASHER_CACHE[key] = MinHasher(num_perm, shingle)
+        return mh(batch)
+
+    return fn
+
+
+def _simhash_stage():
+    def fn(batch):
+        sh = _HASHER_CACHE.get("simhash")
+        if sh is None:
+            sh = _HASHER_CACHE["simhash"] = SimHasher()
+        return sh(batch)
+
+    return fn
+
+
 def minhash_lsh_pairs(
     ds,
     num_perm: int = 64,
@@ -438,10 +470,8 @@ def minhash_lsh_pairs(
     # page faults at that size measurably serialize on fresh worker heaps;
     # ~2k docs keeps per-call temporaries ~10 MB so the arena is reused
     sigs = ds.map_batches(
-        MinHasher,
+        _minhash_stage(num_perm, shingle),
         batch_format="pyarrow",
-        fn_constructor_args=(num_perm, shingle),
-        concurrency=concurrency,
         batch_size=2048,
     ).materialize()
 
@@ -621,7 +651,7 @@ def simhash_pairs(
     width = 64 // bands
     mask = np.uint64((1 << width) - 1)
     fps = ds.map_batches(
-        SimHasher, batch_format="pyarrow", concurrency=concurrency, batch_size=4096
+        _simhash_stage(), batch_format="pyarrow", batch_size=4096
     )
 
     def explode(batch: pa.Table) -> pa.Table:
