@@ -335,17 +335,26 @@ def windowed_counts(
     window: TumblingWindow,
     stratify_by: str | None = None,
     concurrency: int = 4,
+    combine_parts: int = 8,
 ):
     """Exact row counts per tumbling window (optionally per stratum).
 
     Pre-aggregates per batch (one row per window per batch) before the
-    groupby, so the shuffle moves partial counts, not rows."""
+    groupby, so the shuffle moves partial counts, not rows.  The partials
+    are coalesced to ``combine_parts`` blocks before the groupby: the
+    sort-shuffle otherwise inherits the INPUT's block count and pays one
+    reduce task per input block for a near-empty table (measured 2x on a
+    60M-row/256-block stream).  Partial volume is O(windows x strata),
+    independent of row count; raise ``combine_parts`` only when that
+    product itself is huge (years of 60s windows x high-card strata)."""
     from ray.data.aggregate import Sum
 
     # stateless stage: plain tasks, NOT an actor pool — a pool sized to the
     # CPU budget would starve the read stage and deadlock a small cluster
     counter = _PartialCounts(window, stratify_by)
-    partials = ds.map_batches(lambda b: counter(b), batch_format="pyarrow")
+    partials = ds.map_batches(
+        lambda b: counter(b), batch_format="pyarrow"
+    ).repartition(combine_parts)
     keys = ["window_id"] if stratify_by is None else ["window_id", "stratum"]
     out = partials.groupby(keys).aggregate(Sum("partial", alias_name="n_rows"))
 

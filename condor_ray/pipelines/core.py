@@ -747,6 +747,10 @@ def _exact_window_turn_sums(ds, size_us: int) -> pd.DataFrame:
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
+        # coalesce before the groupby: partials are O(windows) rows, but the
+        # sort-shuffle would inherit the input's block count (one reduce
+        # task per input block for a near-empty table)
+        .repartition(8)
         .groupby("window_start")
         .aggregate(Sum("s", alias_name="turn_sum"))
         .to_pandas()

@@ -72,6 +72,9 @@ def _window_tool_counts(ds, window: TumblingWindow) -> pd.DataFrame:
 
     out = (
         ds.map_batches(pairs, batch_format="pyarrow")
+        # coalesce the O(windows x tools)-row partials before the groupby so
+        # the sort-shuffle doesn't pay one reduce task per input block
+        .repartition(8)
         .groupby(["window_start", "tool"])
         .aggregate(Sum("cnt", alias_name="cnt"))
         .to_pandas()
@@ -339,6 +342,8 @@ def ddsketch_quantile_check(ds, window: TumblingWindow):
 
     exact = (
         ds.map_batches(pairs, batch_format="pyarrow")
+        # same partials-coalesce as the tool-frequency path above
+        .repartition(8)
         .groupby(["window_start", "len"])
         .aggregate(Sum("cnt", alias_name="cnt"))
         .to_pandas()
