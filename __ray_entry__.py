@@ -308,8 +308,8 @@ def _q_streaming_ten_windows(sf_dir: str):
 
 
 def _q_streaming_concurrent_windows(sf_dir: str):
-    """One gate row for concurrent-window support: the n=3 mixed-kind run
-    (tumbling + sliding + session sharing one pass) UNION the n=10 sliding
+    """One gate row for concurrent-window support: the mixed-kind run
+    (tumbling + sliding sharing one slice store) UNION the n=10 sliding
     stress run — distinct ``window_kind`` labels keep the two result sets
     disjoint, so one UNION ALL oracle checks both."""
     import pandas as pd
@@ -944,7 +944,12 @@ def _twin(batch_fn: Callable[[str], Any], streaming_fn: Callable[[str], Any]):
     def run(sf_dir: str):
         import pandas as pd
 
+        # materialize the batch result ONCE: returning the lazy Dataset
+        # would make the gate re-execute the whole batch plan a second
+        # time when it hashes the row
         batch = batch_fn(sf_dir)
+        if hasattr(batch, "to_pandas") and not isinstance(batch, pd.DataFrame):
+            batch = batch.to_pandas()
         streaming = streaming_fn(sf_dir)
         a, b = _canon_frame(batch), _canon_frame(streaming)
         if list(a.columns) != list(b.columns):
@@ -964,7 +969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     that shares a SQL oracle is fused into one dual-engine row via
     ``_twin`` (both engines run; bit-equality asserted; shared oracle
     hashes the result), so all 50 rows are officially gated and the
-    14 streaming twins remain verified INSIDE their rows.  The five
+    13 streaming twins remain verified INSIDE their rows.  The four
     rows-only entries (LSH pair sets, HLL estimates — no SQL oracle by
     nature) now also fit in-gate and get official rows-only checks."""
     return {
@@ -996,7 +1001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _q_asof_user_context, _q_streaming_asof_user_context
         ),
         "session_interval_join": _q_session_interval_join,
-        # n=3 mixed-kind windows + n=10 sliding windows in one row (UNION
+        # mixed-kind (tumbling+sliding) + n=10 sliding windows in one row (UNION
         # oracle; distinct window_kind labels keep the result sets disjoint)
         "streaming_multi_window": _q_streaming_concurrent_windows,
         # --- evaluators (queryLatest / queryTimestamped, batch + continuous) -
@@ -1162,7 +1167,7 @@ WHERE t.tool IS NOT NULL"""
     from condor_ray.pipelines.core import multi_window_sql as _mwsql
     from condor_ray.pipelines.core import n_window_sql as _nwsql
 
-    # fused row: n=3 mixed-kind UNION n=10 sliding (disjoint window_kind)
+    # fused row: mixed-kind (tumbling+sliding) UNION n=10 sliding (disjoint window_kind)
     out["streaming_multi_window"] = (
         f"SELECT * FROM ({_mwsql(cte, _W_US)}) "
         f"UNION ALL SELECT * FROM ({_nwsql(cte, _W_US, 10)})"

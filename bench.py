@@ -298,7 +298,7 @@ def run_bench() -> dict:
     corpus = _rd.from_arrow(pl.concat(reps).to_arrow()).repartition(ncpu).materialize()
     n_docs = corpus.count()
     t0 = time.perf_counter()
-    n_pairs = minhash_lsh_pairs(corpus, concurrency=max(2, ncpu // 2)).count()
+    n_pairs = minhash_lsh_pairs(corpus).count()
     queries["minhash_dedup_docs"] = time.perf_counter() - t0
     dedup_tput = n_docs / queries["minhash_dedup_docs"]
 

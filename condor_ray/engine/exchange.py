@@ -25,8 +25,9 @@ What IS bounded here:
   with the cluster (`default_n_parts`).
 
 Every exchange records its measured footprint in ``LAST_EXCHANGE_STATS``
-(``live_bytes_hwm`` = peak folded bytes resident, ``waves``,
-``shard_tasks``, ``tail_blocks``); jobs copy it into their manifest.
+(``live_bytes_hwm`` = peak exchange bytes resident — folded waves plus
+the raw tail the combines consume directly — ``waves``, ``shard_tasks``,
+``tail_blocks``); jobs copy it into their manifest.
 """
 
 from __future__ import annotations
@@ -141,12 +142,35 @@ def _waved_shard(sides, n_buckets: int):
                 if len(buf) >= wave:
                     flush(buf)
                     buf = []
-    # tail: pass raw shard refs straight to the combines (no fold copy)
+    # tail: pass raw shard refs straight to the combines (no fold copy).
+    # The tail's bytes are still resident until the combines consume them,
+    # so they belong in live_bytes_hwm — a single-wave exchange otherwise
+    # reports 0 while the whole projected stream sits in the object store.
+    # Size-only tasks read the shards zero-copy; the refs are resolved by
+    # the caller AFTER the combines are submitted (no extra barrier).
     stats["tail_blocks"] = len(buf)
+    size_task = ray.remote(lambda *t: sum(x.nbytes for x in t))
+    tail_size_refs = []
     for s, refs in buf:
         for q in range(n_buckets):
             per[s][q].append(refs[q])
+        tail_size_refs.append(size_task.remote(*refs))
+    stats["_tail_size_refs"] = tail_size_refs
+    stats["_live_pre_tail"] = live
     return per, stats
+
+
+def _finalize_stats(stats: dict) -> dict:
+    """Resolve the tail-size refs (call after submitting the combines) and
+    fold them into the footprint numbers."""
+    import ray
+
+    refs = stats.pop("_tail_size_refs", [])
+    live = stats.pop("_live_pre_tail", 0)
+    live += sum(ray.get(refs)) if refs else 0
+    stats["live_bytes_hwm"] = max(stats["live_bytes_hwm"], live)
+    stats["folded_bytes"] = live
+    return stats
 
 
 def hash_exchange(ds, n_buckets: int, shard, combine):
@@ -164,7 +188,7 @@ def hash_exchange(ds, n_buckets: int, shard, combine):
     if not out_refs:
         out_refs = [combine_task.remote()]
     LAST_EXCHANGE_STATS.clear()
-    LAST_EXCHANGE_STATS.update(stats)
+    LAST_EXCHANGE_STATS.update(_finalize_stats(stats))
     return rd.from_arrow_refs(out_refs)
 
 
@@ -197,5 +221,5 @@ def two_sided_hash_exchange(
     if not out_refs:
         out_refs = [combine_task.remote(0)]
     LAST_EXCHANGE_STATS.clear()
-    LAST_EXCHANGE_STATS.update(stats)
+    LAST_EXCHANGE_STATS.update(_finalize_stats(stats))
     return rd.from_arrow_refs(out_refs)

@@ -92,6 +92,13 @@ def query_latest(query_ds, synopsis_ds, query_fn: QueryFn):
         # pandas formatting did
         res = query_fn(synopsis, col.to_numpy(zero_copy_only=False))
         n = batch.num_rows
+        # overwrite semantics (as the old pandas path had): a query stream
+        # that already carries output-named columns (e.g. one evaluator's
+        # output chained as another's queries) gets them replaced, not
+        # duplicated — append_column alone would create duplicate names
+        for c in ("result", "window_start", "window_end"):
+            if c in batch.schema.names:
+                batch = batch.drop_columns([c])
         return (
             batch.append_column("result", pa.array(res))
             .append_column(
@@ -141,6 +148,10 @@ def query_timestamped(query_ds, synopsis_ds, query_fn: QueryFn, max_synopsis_cou
             )
             m = idx == w
             results[m] = query_fn(syn_w, keys[m])
+        # overwrite semantics — see query_latest
+        for c in ("result", "window_start", "window_end"):
+            if c in batch.schema.names:
+                batch = batch.drop_columns([c])
         return (
             batch.append_column("result", pa.array(results))
             .append_column("window_start", pa.array(starts[idx]))

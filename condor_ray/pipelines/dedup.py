@@ -434,7 +434,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle: int = 3,
     jaccard_threshold: float = 0.6,
-    concurrency: int = 2,
+    concurrency: int | None = None,
     bucket_cap: int = 500,
     chain_keep_threshold: float | None = None,
 ):
@@ -469,10 +469,14 @@ def minhash_lsh_pairs(
     # temporaries per actor (perm_chunk x n_shingles expansion) — first-touch
     # page faults at that size measurably serialize on fresh worker heaps;
     # ~2k docs keeps per-call temporaries ~10 MB so the arena is reused
+    # concurrency=None lets Ray Data size the task pool (the signature
+    # stage is plain tasks since round 5); pass a value only to CAP the
+    # concurrent signature tasks (memory guard for very large documents)
     sigs = ds.map_batches(
         _minhash_stage(num_perm, shingle),
         batch_format="pyarrow",
         batch_size=2048,
+        **({} if concurrency is None else {"concurrency": concurrency}),
     ).materialize()
 
     def explode_bands(batch: pa.Table) -> pa.Table:
@@ -635,7 +639,7 @@ class SimHasher:
 def simhash_pairs(
     ds,
     max_hamming: int = 3,
-    concurrency: int = 2,
+    concurrency: int | None = None,
     bands: int = 4,
     bucket_cap: int = 500,
 ):
@@ -650,8 +654,12 @@ def simhash_pairs(
         raise ValueError("bands must divide 64")
     width = 64 // bands
     mask = np.uint64((1 << width) - 1)
+    # see minhash_lsh_pairs: None = Ray-sized task pool, value = cap
     fps = ds.map_batches(
-        _simhash_stage(), batch_format="pyarrow", batch_size=4096
+        _simhash_stage(),
+        batch_format="pyarrow",
+        batch_size=4096,
+        **({} if concurrency is None else {"concurrency": concurrency}),
     )
 
     def explode(batch: pa.Table) -> pa.Table:

@@ -85,6 +85,32 @@ class TestQueryTimestamped:
         out = query_timestamped(rd.from_pandas(q), syn_stream, query_count_min).to_pandas()
         assert len(out) == 0
 
+    def test_output_columns_overwritten_not_duplicated(self, ray_session, syn_stream):
+        """Chaining one evaluator's output as another's query stream must
+        REPLACE result/window_start/window_end (old pandas semantics), not
+        append duplicate column names."""
+        q = pd.DataFrame(
+            {
+                "query_key": np.asarray([1, 2, 3], dtype=np.int32),
+                "result": np.zeros(3),        # stale columns from a prior
+                "window_start": np.zeros(3),  # evaluator pass
+            }
+        )
+        out = query_latest(rd.from_pandas(q), syn_stream, query_count_min).to_pandas()
+        assert sorted(out.columns) == sorted(
+            ["query_key", "result", "window_start", "window_end"]
+        )
+        assert (out["window_start"] == syn_stream["window_start"].max()).all()
+
+        q["query_ts"] = pd.to_datetime(
+            [syn_stream["window_start"].min()] * 3, unit="us"
+        ).astype("datetime64[us]")
+        out = query_timestamped(
+            rd.from_pandas(q), syn_stream, query_count_min
+        ).to_pandas()
+        assert out.columns.is_unique
+        assert (out["window_start"] == syn_stream["window_start"].min()).all()
+
 
 class TestQueryLatestStratified:
     def test_per_stratum(self, ray_session, tiny_fixture):

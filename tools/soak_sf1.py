@@ -309,7 +309,7 @@ def main() -> None:
     n_docs = corpus.count()
     planted = set(int(d) for d in base["doc_id"] if d % 50 == 0)
     t0 = time.perf_counter()
-    pairs = minhash_lsh_pairs(corpus, concurrency=max(2, ncpu // 2)).to_pandas()
+    pairs = minhash_lsh_pairs(corpus).to_pandas()
     wall = time.perf_counter() - t0
     lo = np.minimum(pairs["doc_a"], pairs["doc_b"])
     hi = np.maximum(pairs["doc_a"], pairs["doc_b"])
