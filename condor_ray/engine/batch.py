@@ -196,8 +196,9 @@ def build_windowed_synopses(
     """ds (transcripts schema) -> Dataset of windowed synopses (see module
     docstring for the physical plan and output schema).
 
-    ``concurrency`` is retained for API compatibility but unused: the
-    partial stage runs as plain tasks (see the comment at the call)."""
+    The partial stage runs as plain tasks (see the comment at the call);
+    ``concurrency`` now only sets the width the partials coalesce to
+    before the slice-merge groupby."""
     windows = list(config.windows)
     if not windows:
         raise ValueError("config.windows must contain at least one window")
@@ -215,9 +216,18 @@ def build_windowed_synopses(
         batch_size=batch_size,
     )
 
-    # conquer step 1: one merged synopsis per (slice, stratum)
-    slices = partials.groupby(["slice_id", "stratum"]).map_groups(
-        _merge_payload_group, batch_format="pandas"
+    # conquer step 1: one merged synopsis per (slice, stratum).  Coalesce
+    # the partials first: they are O(slices x strata) payload rows, but the
+    # sort-based groupby otherwise inherits the INPUT's block count and
+    # pays a near-empty sort + reduce task per input block (measured ~2x
+    # on a 60M-row/256-block build).  Partial volume is independent of row
+    # count; the coalesce width only matters when slices x strata x
+    # payload_bytes itself is huge — then raise concurrency, which also
+    # widens the merge fan-in here.
+    slices = (
+        partials.repartition(max(8, concurrency))
+        .groupby(["slice_id", "stratum"])
+        .map_groups(_merge_payload_group, batch_format="pandas")
     )
 
     # fan each slice out to every window definition covering it (vectorized
