@@ -44,39 +44,54 @@ def windowed_distinct_convs(ds, window: TumblingWindow):
 
     # distinct (window, conv) per conv-hash partition (vectorized polars),
     # then a tiny window_id Sum — never one Ray aggregate group per
-    # (window, conv) pair (~50 us/group dispatch, fatal at windows x convs)
+    # (window, conv) pair (~50 us/group dispatch, fatal at windows x convs).
+    # The pair stream rides the task-based hash exchange (shard-by-conv +
+    # per-bucket combine), not a sort-based groupby: the range-sample +
+    # per-block sort over windows x convs pairs is the exact exchange the
+    # engine's other distinct/session ops already replaced.
     from ray.data.aggregate import Sum
+
+    from ..engine.exchange import hash_exchange, split_by_partition
 
     n_parts = default_n_parts()
 
-    def add_part(batch: pa.Table) -> pa.Table:
+    def shard(block, n_buckets: int):
+        if isinstance(block, pd.DataFrame):
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        empty = pa.table(
+            {
+                "window_id": pa.array([], pa.int64()),
+                "conv_id": pa.array([], pa.string()),
+            }
+        )
+        if block.num_rows == 0 or "conv_id" not in block.schema.names:
+            return tuple(empty for _ in range(n_buckets))  # schemaless guard
         pl = worker_polars()
-
-        conv = batch["conv_id"]
+        conv = block["conv_id"]
         if isinstance(conv, pa.ChunkedArray):
             conv = conv.combine_chunks()
-        h = pl.from_arrow(conv).hash(seed=9).to_numpy()
-        return batch.append_column(
-            "part", pa.array((h % n_parts).astype(np.int32))
+        part = (pl.from_arrow(conv).hash(seed=9).to_numpy() % n_buckets).astype(
+            np.int64
         )
+        return split_by_partition(block.combine_chunks(), part, n_buckets)
 
-    def partial_counts(g: pd.DataFrame) -> pd.DataFrame:
+    def partial_counts(*tables):
+        tables = [t for t in tables if t.num_rows]
+        schema = pa.schema([("window_id", pa.int64()), ("c", pa.int64())])
+        if not tables:
+            return schema.empty_table()
         pl = worker_polars()
-
-        out = (
-            pl.from_pandas(g[["window_id", "conv_id"]])
+        return (
+            pl.from_arrow(pa.concat_tables(tables))
             .unique()
             .group_by("window_id")
             .agg(pl.len().cast(pl.Int64).alias("c"))
+            .to_arrow()
+            .cast(schema)
         )
-        return out.to_pandas()
 
     p = ds.map_batches(pairs, batch_format="pyarrow")
-    partials = (
-        p.map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(partial_counts, batch_format="pandas")
-    )
+    partials = hash_exchange(p, n_parts, shard, partial_counts)
     out = partials.groupby("window_id").aggregate(Sum("c", alias_name="n_convs"))
 
     def bounds(df: pd.DataFrame) -> pd.DataFrame:
