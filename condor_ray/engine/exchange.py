@@ -167,9 +167,11 @@ def _finalize_stats(stats: dict) -> dict:
 
     refs = stats.pop("_tail_size_refs", [])
     live = stats.pop("_live_pre_tail", 0)
-    live += sum(ray.get(refs)) if refs else 0
-    stats["live_bytes_hwm"] = max(stats["live_bytes_hwm"], live)
-    stats["folded_bytes"] = live
+    tail = sum(ray.get(refs)) if refs else 0
+    # tail bytes were never folded — they stay out of folded_bytes (which
+    # reports fold-copy volume only) but count toward the resident peak
+    stats["tail_bytes"] = tail
+    stats["live_bytes_hwm"] = max(stats["live_bytes_hwm"], live + tail)
     return stats
 
 
@@ -223,3 +225,67 @@ def two_sided_hash_exchange(
     LAST_EXCHANGE_STATS.clear()
     LAST_EXCHANGE_STATS.update(_finalize_stats(stats))
     return rd.from_arrow_refs(out_refs)
+
+
+def distinct_count_exchange(pair_ds, group_col: str, key_col, n_parts: int, out_name: str = "c"):
+    """Distinct-``(group, key)`` count per group over a pair stream.
+
+    Shards by ``hash(key) % n_parts`` so every ``(group, key)`` pair lands
+    in exactly ONE bucket; each bucket dedupes + counts with one vectorized
+    polars pass.  Returns a small Dataset ``(group_col, out_name)`` of
+    per-bucket partials — the caller finishes with a tiny groupby-sum over
+    ~``n_parts`` blocks.  ``key_col`` is ``(name, pa_type)`` with
+    ``pa_type`` one of ``pa.string()`` / ``pa.int64()`` (the empty-shard
+    face and the hash kernel derive from it).  Shared by
+    ``windowed_distinct_convs`` and ``session_stats`` — keep the
+    schemaless-block guard and hash choices HERE, not in per-site copies.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..runtime import worker_polars
+
+    key, key_type = key_col
+    is_str = pa.types.is_string(key_type)
+
+    def shard(block, n_buckets: int):
+        if isinstance(block, pd.DataFrame):
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        empty = pa.table(
+            {
+                group_col: pa.array([], pa.int64()),
+                key: pa.array([], key_type),
+            }
+        )
+        if block.num_rows == 0 or key not in block.schema.names:
+            return tuple(empty for _ in range(n_buckets))  # schemaless guard
+        if is_str:
+            pl = worker_polars()
+            col = block[key]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            part = (pl.from_arrow(col).hash(seed=9).to_numpy() % n_buckets).astype(
+                np.int64
+            )
+        else:
+            u = block[key].to_numpy().astype(np.int64)
+            part = (((u * 0x9E3779B9) >> 16) % n_buckets).astype(np.int64)
+        return split_by_partition(block.combine_chunks(), part, n_buckets)
+
+    def partial_counts(*tables):
+        tables = [t for t in tables if t.num_rows]
+        schema = pa.schema([(group_col, pa.int64()), (out_name, pa.int64())])
+        if not tables:
+            return schema.empty_table()
+        pl = worker_polars()
+        return (
+            pl.from_arrow(pa.concat_tables(tables))
+            .unique()
+            .group_by(group_col)
+            .agg(pl.len().cast(pl.Int64).alias(out_name))
+            .to_arrow()
+            .cast(schema)
+        )
+
+    return hash_exchange(pair_ds, n_parts, shard, partial_counts)

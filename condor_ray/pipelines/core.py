@@ -51,47 +51,12 @@ def windowed_distinct_convs(ds, window: TumblingWindow):
     # engine's other distinct/session ops already replaced.
     from ray.data.aggregate import Sum
 
-    from ..engine.exchange import hash_exchange, split_by_partition
-
-    n_parts = default_n_parts()
-
-    def shard(block, n_buckets: int):
-        if isinstance(block, pd.DataFrame):
-            block = pa.Table.from_pandas(block, preserve_index=False)
-        empty = pa.table(
-            {
-                "window_id": pa.array([], pa.int64()),
-                "conv_id": pa.array([], pa.string()),
-            }
-        )
-        if block.num_rows == 0 or "conv_id" not in block.schema.names:
-            return tuple(empty for _ in range(n_buckets))  # schemaless guard
-        pl = worker_polars()
-        conv = block["conv_id"]
-        if isinstance(conv, pa.ChunkedArray):
-            conv = conv.combine_chunks()
-        part = (pl.from_arrow(conv).hash(seed=9).to_numpy() % n_buckets).astype(
-            np.int64
-        )
-        return split_by_partition(block.combine_chunks(), part, n_buckets)
-
-    def partial_counts(*tables):
-        tables = [t for t in tables if t.num_rows]
-        schema = pa.schema([("window_id", pa.int64()), ("c", pa.int64())])
-        if not tables:
-            return schema.empty_table()
-        pl = worker_polars()
-        return (
-            pl.from_arrow(pa.concat_tables(tables))
-            .unique()
-            .group_by("window_id")
-            .agg(pl.len().cast(pl.Int64).alias("c"))
-            .to_arrow()
-            .cast(schema)
-        )
+    from ..engine.exchange import distinct_count_exchange
 
     p = ds.map_batches(pairs, batch_format="pyarrow")
-    partials = hash_exchange(p, n_parts, shard, partial_counts)
+    partials = distinct_count_exchange(
+        p, "window_id", ("conv_id", pa.string()), default_n_parts()
+    )
     out = partials.groupby("window_id").aggregate(Sum("c", alias_name="n_convs"))
 
     def bounds(df: pd.DataFrame) -> pd.DataFrame:

@@ -84,7 +84,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         # one C pass over the whole image (Sub/Average/Paeth rows carry a
         # horizontal data dependency numpy can't vectorize)
         filt_c = np.ascontiguousarray(filters)
-        scan_c = np.ascontiguousarray(rows[:, 1:])  # copy: unfilters in place
+        # explicit copy, not ascontiguousarray: a 1-row image's slice is
+        # already contiguous and would come back as a read-only view over
+        # the decompressed bytes — the C kernel unfilters in place
+        scan_c = rows[:, 1:].copy()
         rc = lib.png_unfilter(
             filt_c.ctypes.data, scan_c.ctypes.data, height, stride, ch
         )

@@ -252,42 +252,12 @@ def count_window_distinct(sf_dir: str, size: int):
             }
         )
 
-    n_parts = default_n_parts()
-
-    from ..engine.exchange import hash_exchange, split_by_partition
-
-    def shard(block, n_buckets: int):
-        if isinstance(block, pd.DataFrame):
-            block = pa.Table.from_pandas(block, preserve_index=False)
-        empty = pa.table(
-            {
-                "window_id": pa.array([], pa.int64()),
-                "user_id": pa.array([], pa.int64()),
-            }
-        )
-        if block.num_rows == 0 or "user_id" not in block.schema.names:
-            return tuple(empty for _ in range(n_buckets))  # schemaless guard
-        u = block["user_id"].to_numpy().astype(np.int64)
-        part = (((u * 0x9E3779B9) >> 16) % n_buckets).astype(np.int64)
-        return split_by_partition(block.combine_chunks(), part, n_buckets)
-
-    def partial_counts(*tables):
-        tables = [t for t in tables if t.num_rows]
-        schema = pa.schema([("window_id", pa.int64()), ("c", pa.int64())])
-        if not tables:
-            return schema.empty_table()
-        pl = worker_polars()
-        return (
-            pl.from_arrow(pa.concat_tables(tables))
-            .unique()
-            .group_by("window_id")
-            .agg(pl.len().cast(pl.Int64).alias("c"))
-            .to_arrow()
-            .cast(schema)
-        )
+    from ..engine.exchange import distinct_count_exchange
 
     p = ds.map_batches(pairs, batch_format="pyarrow")
-    partials = hash_exchange(p, n_parts, shard, partial_counts)
+    partials = distinct_count_exchange(
+        p, "window_id", ("user_id", pa.int64()), default_n_parts()
+    )
     out = partials.groupby("window_id").aggregate(Sum("c", alias_name="n_convs"))
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:

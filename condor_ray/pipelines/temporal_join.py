@@ -101,7 +101,15 @@ def asof_join(
         # pandas-backed datasets surface Python types (e.g. ``object``)
         # instead of Arrow types — only Arrow-typed keys are checkable here
         if isinstance(kt, pa.DataType) and not (
-            pa.types.is_string(kt) or pa.types.is_large_string(kt)
+            pa.types.is_string(kt)
+            or pa.types.is_large_string(kt)
+            or (
+                pa.types.is_dictionary(kt)
+                and (
+                    pa.types.is_string(kt.value_type)
+                    or pa.types.is_large_string(kt.value_type)
+                )
+            )
         ):
             # the shard path hashes the key with the Java string hash and
             # pins the empty-shard face to pa.string(); a non-string key
@@ -161,7 +169,12 @@ def _shard_asof_side(tbl, n_parts: int, key: str, ts_col: str, cols: dict, types
     if tbl.num_rows == 0 or key not in tbl.schema.names:
         # zero-row blocks can arrive SCHEMALESS from long plans
         return tuple(empty for _ in range(n_parts))
-    proj = {key: tbl[key], "ts_us": tbl[ts_col].cast(pa.int64())}
+    # normalize the key to plain string: dictionary<string> and large_string
+    # inputs must not drift schemas against the pa.string() empty face
+    kcol = tbl[key]
+    if kcol.type != pa.string():
+        kcol = kcol.cast(pa.string())
+    proj = {key: kcol, "ts_us": tbl[ts_col].cast(pa.int64())}
     for name, src in cols.items():
         col = tbl[src]
         if pa.types.is_timestamp(col.type):
@@ -260,7 +273,10 @@ def _asof_broadcast(
     import ray
 
     def _proj(batch: pa.Table, ts_col: str, cols: dict) -> pd.DataFrame:
-        out = {key: batch[key].to_pandas(), "ts_us": batch[ts_col].cast(pa.int64()).to_pandas()}
+        kcol = batch[key]
+        if kcol.type != pa.string():  # dictionary<string>/large_string keys
+            kcol = kcol.cast(pa.string())
+        out = {key: kcol.to_pandas(), "ts_us": batch[ts_col].cast(pa.int64()).to_pandas()}
         for name, src in cols.items():
             col = batch[src]
             if pa.types.is_timestamp(col.type):

@@ -218,6 +218,22 @@ class TestMultimodal:
             payload = encode_png(arr, row_filters=rng.integers(0, 5, 13))
             assert (decode_png(payload) == arr).all()
 
+    def test_png_single_row_image_is_writable(self):
+        """A 1-row image's scanline slice is already contiguous, so the
+        decoder must force a writable copy before the in-place C unfilter
+        (a read-only view would alias the decompressed bytes object)."""
+        import numpy as np
+
+        from condor_ray.pipelines.png import decode_png, encode_png
+
+        rng = np.random.default_rng(3)
+        for f in range(5):  # every filter, incl. the C-kernel Sub/Avg/Paeth
+            arr = rng.integers(0, 256, (1, 31, 3), dtype=np.uint8)
+            out = decode_png(encode_png(arr, row_filters=np.array([f])))
+            assert (out == arr).all(), f
+            assert out.flags.writeable
+            out[0, 0, 0] ^= 0xFF  # callers may mutate the decoded image
+
     def test_png_native_kernel_matches_pure_python(self, monkeypatch):
         """The C unfilter kernel and the numpy fallback must reconstruct
         identical bytes for every filter / color-type combination."""

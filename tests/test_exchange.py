@@ -204,6 +204,11 @@ class TestWaveBoundedExchange:
         assert stats["waves"] == 3
         assert stats["tail_blocks"] == 1
         assert stats["live_bytes_hwm"] > 0
+        # folded_bytes reports FOLD-COPY volume only (3 folded waves here);
+        # the raw tail block's bytes go to tail_bytes, not folded_bytes
+        assert stats["folded_bytes"] > 0
+        assert stats["tail_bytes"] > 0
+        assert stats["live_bytes_hwm"] >= stats["folded_bytes"]
 
     def test_single_wave_takes_raw_tail_path(self, ray_session):
         """Small inputs (fewer blocks than one wave) must skip the fold
@@ -231,6 +236,9 @@ class TestWaveBoundedExchange:
         # no fold copy, but the raw tail is resident until the combines
         # consume it — the footprint must say so, not report 0
         assert stats["live_bytes_hwm"] > 0
+        # ...and a zero-fold exchange must not claim its tail was folded
+        assert stats["folded_bytes"] == 0
+        assert stats["tail_bytes"] == stats["live_bytes_hwm"]
 
     def test_n_buckets_one(self, ray_session):
         """num_returns=1 returns a bare ref; the exchange must still work

@@ -280,3 +280,45 @@ class TestAsofKeyValidation:
                 left_cols={"v": "v"},
                 right_cols={"rv": "v"},
             )
+
+    def test_dictionary_string_key_matches_plain(self, ray_session, sides):
+        """dictionary<string> keys (parquet read_dictionary, upstream
+        dictionary_encode) must validate AND join identically to plain
+        string keys — the shard path normalizes them to pa.string()."""
+        import ray.data as rd
+
+        from condor_ray.pipelines.temporal_join import asof_join
+
+        left, right = sides
+
+        def dict_encoded(df):
+            t = pa.Table.from_pandas(df, preserve_index=False)
+            return t.set_column(
+                t.schema.get_field_index("k"),
+                "k",
+                t["k"].combine_chunks().dictionary_encode(),
+            )
+
+        def run(make_left, make_right, broadcast=False):
+            out = asof_join(
+                rd.from_arrow(make_left),
+                rd.from_arrow(make_right),
+                key="k",
+                ts="ts",
+                left_cols={"lv": "lv"},
+                right_cols={"r_ts": "ts", "rv": "rv"},
+                right_order=("rv",),
+                n_buckets=4,
+                broadcast=broadcast,
+            ).to_pandas()
+            return out.sort_values(["k", "ts_us", "lv"]).reset_index(drop=True)
+
+        plain = run(
+            pa.Table.from_pandas(left, preserve_index=False),
+            pa.Table.from_pandas(right, preserve_index=False),
+        )
+        dicted = run(dict_encoded(left), dict_encoded(right))
+        pd.testing.assert_frame_equal(plain, dicted)
+        # broadcast binding takes a different projection path — cover it too
+        bcast = run(dict_encoded(left), dict_encoded(right), broadcast=True)
+        pd.testing.assert_frame_equal(plain, bcast)
