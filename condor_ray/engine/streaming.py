@@ -44,11 +44,9 @@ from __future__ import annotations
 
 import json
 import os
-import pickle
 import shutil
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
@@ -62,6 +60,13 @@ from ..windows import SlidingWindow, TumblingWindow, slices_of_window
 from .batch import _common_slice_us, _window_kind
 
 _NEG_INF = -(2**62)
+
+
+def _cluster_cpus() -> int:
+    try:
+        return int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        return 8
 
 
 def _murmur_mix_array(codes: np.ndarray) -> np.ndarray:
@@ -131,7 +136,16 @@ def _partition_fragment(
     dic = conv.dictionary_encode()
     hashes = java_string_hash_arrow(dic.dictionary)
     lut = _murmur_mix_array(hashes) % parallelism
-    codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    idx_arr = dic.indices
+    if idx_arr.null_count:
+        # null conv_id rows hash to 0 like every other path (hashing.py:
+        # "nulls hash to 0"); a raw NaN index would astype to INT64_MIN
+        # and blow up the lut lookup
+        lut = np.append(
+            lut, _murmur_mix_array(np.zeros(1, dtype=np.int64)) % parallelism
+        )
+        idx_arr = idx_arr.fill_null(len(dic.dictionary))
+    codes = idx_arr.to_numpy(zero_copy_only=False).astype(np.int64)
     part = lut[codes]
 
     if hot_key_threshold is not None and len(dic.dictionary):
@@ -522,11 +536,14 @@ class StreamingSynopsisJob:
             if meta["frag_min_ts"] < self.min_ts:
                 self.min_ts = meta["frag_min_ts"]
             self.watermark = max(self.watermark, meta["frag_max_ts"])
-            emit_ref = self._close_windows(k)
-            if emit_ref is not None:
-                # checkpointed (sequential) mode: emission must be durable
-                # before the checkpoint that assumes it happened
-                ray.get(emit_ref)
+            # same close cadence as the pipelined path (close_every was
+            # silently dead here, breaking the cross-mode file equivalence)
+            if (k + 1) % self.close_every == 0 or k == len(fragment_paths) - 1:
+                emit_ref = self._close_windows(k)
+                if emit_ref is not None:
+                    # checkpointed (sequential) mode: emission must be durable
+                    # before the checkpoint that assumes it happened
+                    ray.get(emit_ref)
             with open(manifest_path, "a") as f:
                 f.write(
                     json.dumps(
@@ -552,16 +569,20 @@ class StreamingSynopsisJob:
             ref = self._close_windows(len(fragment_paths))
             if ref is not None:
                 ray.get(ref)
-        part_stats = ray.get([s.stats.remote() for s in self.stores])
-        with open(manifest_path, "a") as f:
-            f.write(
-                json.dumps(
-                    {"summary": True, "rows": self.total_rows,
-                     "late_dropped": self.total_late,
-                     "partitions": part_stats}
+        if final_flush:
+            # end-of-input only: continuous evaluators call run() once per
+            # cycle with final_flush=False — a summary line (plus a full
+            # actor-stats poll) per fragment would pollute the manifest
+            part_stats = ray.get([s.stats.remote() for s in self.stores])
+            with open(manifest_path, "a") as f:
+                f.write(
+                    json.dumps(
+                        {"summary": True, "rows": self.total_rows,
+                         "late_dropped": self.total_late,
+                         "partitions": part_stats}
+                    )
+                    + "\n"
                 )
-                + "\n"
-            )
         return {
             "rows": self.total_rows,
             "late_dropped": self.total_late,
@@ -581,11 +602,8 @@ class StreamingSynopsisJob:
         # submitted and consumed in bounded waves: at 100 TB (>=1e5
         # fragments) a single list comprehension would put 1e5 simultaneous
         # driver submissions and one giant ray.get in flight
-        try:
-            _ncpu = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            _ncpu = 8
-        wave = max(64, 4 * _ncpu)
+        ncpu = _cluster_cpus()
+        wave = max(64, 4 * ncpu)
         stats = []
         pending = [_fragment_ts_stats.remote(p) for p in paths[:wave]]
         for j in range(len(paths)):
@@ -605,10 +623,6 @@ class StreamingSynopsisJob:
         # bounded lookahead, so in-flight slice state stays O(lookahead
         # fragment span) instead of the whole stream span
         split = ray.remote(num_returns=1 + self.parallelism)(_partition_fragment)
-        try:
-            ncpu = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            ncpu = 8
         # enough fragments in flight to saturate the CPU budget; bounded so
         # in-flight slice state stays proportional to the budget, not the
         # stream length

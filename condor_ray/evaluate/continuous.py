@@ -31,6 +31,24 @@ import pandas as pd
 import pyarrow.parquet as pq
 
 from ..synopses.base import Synopsis
+from .queries import asof_route
+
+
+def _flush_first_synopsis(cycle, buffered_frames, query_fn, payload, ws, we, results):
+    """First-synopsis flush shared by the timestamped evaluators: answer the
+    buffered queries that land inside the first archived window
+    (QueryTimestampedFunction.java:74-84); the rest are dropped by callers."""
+    synopsis = Synopsis.from_bytes(payload)
+    for q in buffered_frames:
+        ts = q["query_ts"].to_numpy()
+        hit = q[(ts >= ws) & (ts <= we)]
+        if len(hit):
+            out = hit.copy()
+            out["result"] = query_fn(synopsis, hit["query_key"].to_numpy())
+            out["window_start"] = ws
+            out["window_end"] = we
+            out.insert(0, "cycle", cycle)
+            results.append(out)
 
 
 def _new_emit_tables(out_dir: str, seen: set, columns: list[str]):
@@ -179,19 +197,9 @@ class ContinuousQueryTimestamped:
         self.ends.insert(i, we)
         self.payloads.insert(i, payload)
         if first and self.buffered:
-            synopsis = Synopsis.from_bytes(payload)
-            for q in self.buffered:
-                ts = q["query_ts"].to_numpy()
-                hit = q[(ts >= ws) & (ts <= we)]
-                if len(hit):
-                    out = hit.copy()
-                    out["result"] = self.query_fn(
-                        synopsis, hit["query_key"].to_numpy()
-                    )
-                    out["window_start"] = ws
-                    out["window_end"] = we
-                    out.insert(0, "cycle", cycle)
-                    self.results.append(out)
+            _flush_first_synopsis(
+                cycle, self.buffered, self.query_fn, payload, ws, we, self.results
+            )
             self.buffered = []  # unmatched buffered queries are lost (:64-66)
 
     def _refresh_archive(self, cycle: int) -> None:
@@ -222,8 +230,7 @@ class ContinuousQueryTimestamped:
         starts = np.asarray(self.starts, dtype=np.int64)
         ends = np.asarray(self.ends, dtype=np.int64)
         ts = queries["query_ts"].to_numpy().astype(np.int64)
-        idx = np.searchsorted(starts, ts, side="right") - 1
-        ok = (idx >= 0) & (ends[np.clip(idx, 0, len(ends) - 1)] >= ts)
+        idx, ok = asof_route(starts, ends, ts)
         if not ok.any():
             return  # all outside the archive: dropped (:57-62)
         hit = queries[ok]
@@ -307,19 +314,10 @@ class ContinuousQueryTimestampedStratified:
         ends.insert(i, we)
         payloads.insert(i, payload)
         if first and stratum in self.buffered:
-            synopsis = Synopsis.from_bytes(payload)
-            for q in self.buffered.pop(stratum):
-                ts = q["query_ts"].to_numpy()
-                hit = q[(ts >= ws) & (ts <= we)]
-                if len(hit):
-                    out = hit.copy()
-                    out["result"] = self.query_fn(
-                        synopsis, hit["query_key"].to_numpy()
-                    )
-                    out["window_start"] = ws
-                    out["window_end"] = we
-                    out.insert(0, "cycle", cycle)
-                    self.results.append(out)
+            _flush_first_synopsis(
+                cycle, self.buffered.pop(stratum), self.query_fn,
+                payload, ws, we, self.results,
+            )
 
     def _refresh_archive(self, cycle: int) -> None:
         rows: list[tuple[int, str, int, bytes]] = []
@@ -351,8 +349,7 @@ class ContinuousQueryTimestampedStratified:
             starts = np.asarray(starts_l, dtype=np.int64)
             ends = np.asarray(ends_l, dtype=np.int64)
             ts = g["query_ts"].to_numpy().astype(np.int64)
-            idx = np.searchsorted(starts, ts, side="right") - 1
-            ok = (idx >= 0) & (ends[np.clip(idx, 0, len(ends) - 1)] >= ts)
+            idx, ok = asof_route(starts, ends, ts)
             if not ok.any():
                 continue
             hit = g[ok]

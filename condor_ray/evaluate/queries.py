@@ -31,6 +31,17 @@ QueryFn = Callable[[Synopsis, np.ndarray], np.ndarray]
 """(synopsis, query_keys) -> result array (vectorized QueryFunction.java:17-19)."""
 
 
+def asof_route(starts: np.ndarray, ends: np.ndarray, ts: np.ndarray):
+    """The timestamped-query routing rule, single-sourced: floor lookup by
+    window start, answered only when that window also covers ts with an
+    INCLUSIVE end (windowEnd >= ts, QueryTimestampedFunction.java:53-62).
+    Returns (window_idx, ok_mask); callers drop the ~ok rows (the reference
+    emits nothing for them)."""
+    idx = np.searchsorted(starts, ts, side="right") - 1
+    ok = (idx >= 0) & (ts <= ends[np.clip(idx, 0, len(ends) - 1)])
+    return idx, ok
+
+
 def _collect_synopses(synopsis_ds) -> pd.DataFrame:
     df = synopsis_ds.to_pandas() if hasattr(synopsis_ds, "to_pandas") else synopsis_ds
     return df.sort_values(["window_start", "window_end"]).reset_index(drop=True)
@@ -67,6 +78,48 @@ def _cached_synopsis(gen_key, sub_key, fetch_payload) -> Synopsis:
     return syn
 
 
+# Per-worker cache of the DESERIALIZED broadcast payload (the archive list /
+# stratum table).  ray.get re-unpickles the whole object on every call, so
+# without this an evaluator pays the O(archive-bytes) deserialize once per
+# batch (stratified variants) or once per synopsis-cache miss (timestamped)
+# instead of once per worker per generation.  Tiny cap: a worker pool only
+# ever interleaves a handful of evaluator jobs.
+_BCAST_CACHE: dict = {}
+_BCAST_CACHE_CAP = 4
+
+
+def _cached_broadcast(gen_key, ref):
+    obj = _BCAST_CACHE.get(gen_key)
+    if obj is None:
+        import ray
+
+        obj = ray.get(ref)
+        while len(_BCAST_CACHE) >= _BCAST_CACHE_CAP:
+            _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
+        _BCAST_CACHE[gen_key] = obj
+    return obj
+
+
+def _empty_result_evaluator(query_ds):
+    """No synopses were emitted (all-late / empty stream): the reference
+    buffers such queries forever and emits nothing — return the empty typed
+    result instead of crashing on the missing archive."""
+    import pyarrow as pa
+
+    def evaluate(batch: pa.Table) -> pa.Table:
+        batch = batch.slice(0, 0)
+        for c in ("result", "window_start", "window_end"):
+            if c in batch.schema.names:
+                batch = batch.drop_columns([c])
+        return (
+            batch.append_column("result", pa.array([], pa.float64()))
+            .append_column("window_start", pa.array([], pa.int64()))
+            .append_column("window_end", pa.array([], pa.int64()))
+        )
+
+    return query_ds.map_batches(evaluate, batch_format="pyarrow", batch_size=None)
+
+
 def query_latest(query_ds, synopsis_ds, query_fn: QueryFn):
     """Evaluate every query against the latest (max window_start) synopsis.
 
@@ -75,6 +128,8 @@ def query_latest(query_ds, synopsis_ds, query_fn: QueryFn):
     import ray
 
     syn = _collect_synopses(synopsis_ds)
+    if syn.empty:
+        return _empty_result_evaluator(query_ds)
     latest = syn.iloc[-1]
     payload_ref = ray.put(latest["payload"])
     gen = payload_ref.hex()
@@ -124,6 +179,8 @@ def query_timestamped(query_ds, synopsis_ds, query_fn: QueryFn, max_synopsis_cou
     import ray
 
     syn = _collect_synopses(synopsis_ds).tail(max_synopsis_count).reset_index(drop=True)
+    if syn.empty:
+        return _empty_result_evaluator(query_ds)
     starts = syn["window_start"].to_numpy(np.int64)
     ends = syn["window_end"].to_numpy(np.int64)
     payloads_ref = ray.put(list(syn["payload"]))
@@ -133,8 +190,7 @@ def query_timestamped(query_ds, synopsis_ds, query_fn: QueryFn, max_synopsis_cou
 
     def evaluate(batch: pa.Table) -> pa.Table:
         q_ts = batch["query_ts"].cast(pa.int64()).to_numpy()
-        idx = np.searchsorted(starts, q_ts, side="right") - 1
-        valid = (idx >= 0) & (q_ts < ends[np.clip(idx, 0, len(ends) - 1)])
+        idx, valid = asof_route(starts, ends, q_ts)
         batch = batch.filter(pa.array(valid))
         idx = idx[valid]
         col = batch["query_key"]
@@ -144,7 +200,7 @@ def query_timestamped(query_ds, synopsis_ds, query_fn: QueryFn, max_synopsis_cou
         results = np.empty(batch.num_rows, dtype=np.float64)
         for w in np.unique(idx):
             syn_w = _cached_synopsis(
-                gen, int(w), lambda: ray.get(payloads_ref)[int(w)]
+                gen, int(w), lambda: _cached_broadcast(gen, payloads_ref)[int(w)]
             )
             m = idx == w
             results[m] = query_fn(syn_w, keys[m])
@@ -181,7 +237,7 @@ def query_latest_stratified(query_ds, synopsis_ds, query_fn: QueryFn):
     gen = ref.hex()
 
     def evaluate(batch: pd.DataFrame) -> pd.DataFrame:
-        tbl = ray.get(ref)
+        tbl = _cached_broadcast(gen, ref)
         out = []
         for stratum, grp in batch.groupby("stratum", dropna=True):
             entry = tbl.get(stratum)
@@ -220,7 +276,7 @@ def query_timestamped_stratified(query_ds, synopsis_ds, query_fn: QueryFn):
     gen = ref.hex()
 
     def evaluate(batch: pd.DataFrame) -> pd.DataFrame:
-        tbl = ray.get(ref)
+        tbl = _cached_broadcast(gen, ref)
         out = []
         for stratum, grp in batch.groupby("stratum", dropna=True):
             entry = tbl.get(stratum)
@@ -228,8 +284,7 @@ def query_timestamped_stratified(query_ds, synopsis_ds, query_fn: QueryFn):
                 continue
             starts, ends, payloads = entry
             q_ts = grp["query_ts"].astype("int64").to_numpy()
-            idx = np.searchsorted(starts, q_ts, side="right") - 1
-            valid = (idx >= 0) & (q_ts < ends[np.clip(idx, 0, len(ends) - 1)])
+            idx, valid = asof_route(starts, ends, q_ts)
             g = grp[valid].copy()
             gi = idx[valid]
             results = np.empty(len(g), dtype=np.float64)

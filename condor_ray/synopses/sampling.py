@@ -293,6 +293,11 @@ class BiasedReservoirSampler(Synopsis):
         ):
             raise ValueError("Reservoir Samplers to merge have to be the same size")
         result = BiasedReservoirSampler(self.sample_size, self.seed)
+        # reference quirk (BiasedReservoirSampler.java:106-108): the merge
+        # result takes OTHER's partition value only — self's stratum tag is
+        # dropped (unlike ReservoirSampler/FiFoSampler, whose merges return
+        # self and keep self's tag).  Preserved for parity; in practice the
+        # distributed build only merges same-stratum partials.
         if other.partition_value is not None:
             result.set_partition_value(other.partition_value)
         result.merged = self.merged + other.merged

@@ -468,13 +468,14 @@ class FastAGMS(Synopsis):
     invertible = True
     commutative = True
 
-    def __init__(self, width: int, height: int, seed: int | None = None):
+    def __init__(self, width: int, height: int, seed: int = 7):
+        # Deterministic default seed like every other sketch here (the
+        # reference draws from an unseeded XORShiftRandom, FastAGMS.java:75-77,
+        # and never compares seeds at merge).  A per-instance random seed
+        # would make the distributed build's per-partition partials
+        # UNMERGEABLE — _check raises at the first window close — so an
+        # unseeded BuildConfiguration must still produce one shared seed.
         super().__init__()
-        if seed is None:
-            # reference draws from an unseeded XORShiftRandom (FastAGMS.java:75-77);
-            # we require determinism, so derive from numpy's global RNG only when
-            # explicitly unseeded.
-            seed = int(np.random.default_rng().integers(-(2**63), 2**63 - 1))
         self.width = int(width)
         self.height = int(height)
         self.seed = int(seed)

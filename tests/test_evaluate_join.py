@@ -279,3 +279,54 @@ class TestStreamingJoin:
             )
             pair_mult = got.groupby(["conv_id", "turn_idx", "call_id", "call_ts"]).size()
             assert pair_mult.max() <= call_mult.max()
+
+
+class TestEvaluatorEdgeCases:
+    def test_boundary_ts_answered_inclusive_end(self, ray_session, syn_stream):
+        """The reference answers when windowEnd >= ts
+        (QueryTimestampedFunction.java:57): a query at EXACTLY the last
+        window's end routes to that window instead of being dropped."""
+        last = syn_stream.sort_values("window_start").iloc[-1]
+        q = pd.DataFrame(
+            {
+                "query_key": np.asarray([1], dtype=np.int32),
+                "query_ts": pd.to_datetime(
+                    [int(last["window_end"])], unit="us"
+                ).astype("datetime64[us]"),
+            }
+        )
+        out = query_timestamped(
+            rd.from_pandas(q), syn_stream, query_count_min
+        ).to_pandas()
+        assert len(out) == 1
+        assert out["window_start"].iloc[0] == last["window_start"]
+        # one past the end is still dropped
+        q["query_ts"] = pd.to_datetime(
+            [int(last["window_end"]) + 1], unit="us"
+        ).astype("datetime64[us]")
+        out = query_timestamped(
+            rd.from_pandas(q), syn_stream, query_count_min
+        ).to_pandas()
+        assert len(out) == 0
+
+    def test_empty_synopsis_stream_returns_empty_result(
+        self, ray_session, syn_stream
+    ):
+        """An all-late/empty stream emits no synopses; the evaluators must
+        return the empty typed result (reference buffers forever), not
+        crash on the missing archive."""
+        empty = syn_stream.iloc[0:0]
+        q = pd.DataFrame(
+            {
+                "query_key": np.asarray([1, 2], dtype=np.int32),
+                "query_ts": pd.to_datetime([0, 1], unit="us").astype(
+                    "datetime64[us]"
+                ),
+            }
+        )
+        for fn in (query_latest, query_timestamped):
+            ds = fn(rd.from_pandas(q), empty, query_count_min)
+            assert {"result", "window_start", "window_end"} <= set(
+                ds.schema().names
+            )
+            assert len(ds.to_pandas()) == 0

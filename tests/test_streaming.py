@@ -252,3 +252,69 @@ class TestFragmentationInvariance:
         assert states[0].keys() == states[1].keys() == states[2].keys()
         for w in states[0]:
             assert states[0][w] == states[1][w] == states[2][w], w
+
+
+class TestPartitionFragmentEdgeCases:
+    def test_null_conv_id_rows_do_not_crash(self, ray_session, tmp_path):
+        """Null conv_id rows hash to 0 (the hashing.py convention) instead
+        of turning into NaN dictionary indices that explode the partition
+        lookup."""
+        import pyarrow as pa
+
+        from condor_ray.engine.streaming import _partition_fragment
+
+        tbl = pa.table(
+            {
+                "conv_id": pa.array(["c1", None, "c2", None, "c1"]),
+                "role": pa.array(["user"] * 5),
+                "tool": pa.array([None] * 5, pa.string()),
+                "text": pa.array(["x"] * 5),
+                "ts": pa.array(
+                    np.arange(5, dtype=np.int64) * 1_000_000
+                ).cast(pa.timestamp("us")),
+            }
+        )
+        path = str(tmp_path / "nulls.parquet")
+        pq.write_table(tbl, path)
+        meta, *shards = _partition_fragment(
+            path, 3, 1_000_000, -(2**62), None, None, None
+        )
+        assert meta["n_rows"] == 5 and meta["n_late"] == 0
+        assert sum(s.num_rows for s in shards) == 5
+        # both null rows land in ONE partition (they share the hash-0 route)
+        null_counts = [
+            sum(1 for v in s["conv_id"].to_pylist() if v is None) for s in shards
+        ]
+        assert sorted(null_counts)[-1] == 2 and sum(null_counts) == 2
+        # hot-key path tolerates the null sentinel too
+        meta2, *shards2 = _partition_fragment(
+            path, 3, 1_000_000, -(2**62), 1, None, None
+        )
+        assert sum(s.num_rows for s in shards2) == 5
+
+    def test_close_every_respected_in_sequential_mode(
+        self, ray_session, tiny_fixture, tmp_path
+    ):
+        """close_every must govern BOTH run modes: the sequential path
+        (forced by checkpointing) emits the same files as the pipelined
+        path for the same cadence."""
+        frags = transcript_fragments(tiny_fixture)[:4]
+        cfg = BuildConfiguration(
+            synopsis="CountMinSketch",
+            params=(128, 3, 7),
+            windows=[TumblingWindow(W_MS)],
+            parallelism=2,
+        )
+        outs = {}
+        for mode, pipelined in (("seq", False), ("pipe", True)):
+            out = str(tmp_path / mode)
+            job = StreamingSynopsisJob(cfg, out, close_every=3)
+            job.run(frags, pipelined=pipelined)
+            job.shutdown()
+            outs[mode] = sorted(
+                f for f in os.listdir(out) if f.startswith("emit-")
+            )
+        assert outs["seq"] == outs["pipe"]
+        # cadence 3 over 4 fragments + final flush: only f00002 / f00003 /
+        # final may close — f00000/f00001 must NOT have emitted
+        assert not any("f00000" in f or "f00001" in f for f in outs["seq"])

@@ -842,3 +842,22 @@ class TestCountMinNativeKernel:
             assert (cm_native.array == cm_numpy.array).all(), (w, h)
             assert (np.asarray(res_native) == np.asarray(res_numpy)).all(), (w, h)
             assert res_native.dtype == res_numpy.dtype
+
+
+def test_fast_agms_default_seed_mergeable_and_deterministic():
+    """Unseeded FastAGMS instances (BuildConfiguration params without a
+    seed) must share ONE deterministic default — a per-instance random
+    seed would make the distributed build's partials unmergeable (merge
+    raises on seed mismatch)."""
+    import numpy as np
+
+    from condor_ray.synopses.sketches import FastAGMS
+
+    a, b = FastAGMS(1024, 5), FastAGMS(1024, 5)
+    a.update_batch(np.arange(100, dtype=np.int64))
+    b.update_batch(np.arange(100, 200, dtype=np.int64))
+    a.merge(b)  # must not raise
+    c = FastAGMS(1024, 5)
+    c.update_batch(np.arange(200, dtype=np.int64))
+    assert a.estimate_f2() == c.estimate_f2()
+    assert (a.array == c.array).all()
