@@ -97,7 +97,11 @@ class PartialSynopsisBuilder:
             raw = dic.indices.to_numpy(zero_copy_only=False)
             null_mask = np.isnan(raw) if raw.dtype.kind == "f" else (raw < 0)
             codes = np.where(null_mask, len(strat_values), raw).astype(np.int64)
-            strat_values = strat_values + ["<null>"]  # null stratum bucket
+            # null stratum bucket; a GENUINE empty-string stratum escapes
+            # to "<empty>" — "" is the internal no-stratum sentinel (it
+            # must survive Ray Data's groupby, which drops null keys)
+            strat_values = [v if v != "" else "<empty>" for v in strat_values]
+            strat_values = strat_values + ["<null>"]
             gkey = sid * (len(strat_values) + 1) + codes
         else:
             strat_values = None
@@ -325,6 +329,7 @@ class _PartialCounts:
         raw = dic.indices.to_numpy(zero_copy_only=False)
         null_mask = np.isnan(raw) if raw.dtype.kind == "f" else (raw < 0)
         codes = np.where(null_mask, len(svals), raw).astype(np.int64)
+        svals = [v if v != "" else "<empty>" for v in svals]
         svals = svals + ["<null>"]
         gkey = wid * (len(svals) + 1) + codes
         uniq, counts = np.unique(gkey, return_counts=True)

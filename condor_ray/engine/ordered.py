@@ -25,6 +25,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..config import KeySpec
+from ..runtime import cluster_cpus
 from ..stages.extract import KeyExtractor, ts_to_us
 from ..synopses.base import Synopsis
 from ..synopses.wavelets import DistributedWaveletsManager, WaveletSynopsis
@@ -125,10 +126,7 @@ def build_windowed_wavelets_from_fragments(
 
     key = key or KeySpec("text", "length")
     size_us = window.size_us
-    ncpu = (
-        int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    )
-    n_parts = max(2, 2 * ncpu)
+    n_parts = max(2, 2 * cluster_cpus())
     shard = ray.remote(num_returns=n_parts)(_shard_wavelet_fragment)
     if wave_fragments == "auto":
         wave_fragments = 4 * ncpu
@@ -376,12 +374,7 @@ def build_windowed_wavelets(
         import ray
         import ray.data as rd
 
-        ncpu = (
-            int(ray.cluster_resources().get("CPU", 8))
-            if ray.is_initialized()
-            else 8
-        )
-        n_parts = max(2, 2 * ncpu)
+        n_parts = max(2, 2 * cluster_cpus())
         shard = ray.remote(num_returns=n_parts)(_shard_wavelet_block)
         per_part: list[list] = [[] for _ in range(n_parts)]
         for bundle in ds.iter_internal_ref_bundles():
@@ -481,8 +474,7 @@ def build_windowed_wavelets(
     # straggler tail they removed)
     import ray
 
-    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    built = substreams.repartition(4 * ncpu).map_batches(
+    built = substreams.repartition(4 * cluster_cpus()).map_batches(
         build_subs, batch_format="pandas", batch_size=1
     )
 

@@ -62,11 +62,7 @@ from .batch import _common_slice_us, _window_kind
 _NEG_INF = -(2**62)
 
 
-def _cluster_cpus() -> int:
-    try:
-        return int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        return 8
+from ..runtime import cluster_cpus as _cluster_cpus
 
 
 def _murmur_mix_array(codes: np.ndarray) -> np.ndarray:
@@ -96,6 +92,29 @@ def _murmur_mix_array(codes: np.ndarray) -> np.ndarray:
     s = np.where(s >= 1 << 31, s - (1 << 32), s)
     out = np.where(s >= 0, s, np.where(s != -(1 << 31), -s, 0))
     return out.astype(np.int64)
+
+
+def conv_partition_ids(conv_col, parallelism: int):
+    """Hash-route a (possibly chunked, possibly null-bearing) conv_id string
+    column: ``murmur(java_hash(conv)) % P`` with nulls on the hash-0 route
+    (the hashing.py convention).  Shared by every streaming splitter — the
+    NaN-dictionary-index crash was fixed here once; keep it single-sourced.
+    Returns ``(part, codes, dic)``: per-row partition ids, per-row
+    dictionary codes (null rows = len(dic.dictionary)), and the encoded
+    column for callers that inspect key frequencies."""
+    if isinstance(conv_col, pa.ChunkedArray):
+        conv_col = conv_col.combine_chunks()
+    dic = conv_col.dictionary_encode()
+    hashes = java_string_hash_arrow(dic.dictionary)
+    lut = _murmur_mix_array(hashes) % parallelism
+    idx_arr = dic.indices
+    if idx_arr.null_count:
+        lut = np.append(
+            lut, _murmur_mix_array(np.zeros(1, dtype=np.int64)) % parallelism
+        )
+        idx_arr = idx_arr.fill_null(len(dic.dictionary))
+    codes = idx_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+    return lut[codes], codes, dic
 
 
 def _partition_fragment(
@@ -130,23 +149,7 @@ def _partition_fragment(
         table = table.filter(pa.array(~late))
         ts = ts[~late]
 
-    conv = table["conv_id"]
-    if isinstance(conv, pa.ChunkedArray):
-        conv = conv.combine_chunks()
-    dic = conv.dictionary_encode()
-    hashes = java_string_hash_arrow(dic.dictionary)
-    lut = _murmur_mix_array(hashes) % parallelism
-    idx_arr = dic.indices
-    if idx_arr.null_count:
-        # null conv_id rows hash to 0 like every other path (hashing.py:
-        # "nulls hash to 0"); a raw NaN index would astype to INT64_MIN
-        # and blow up the lut lookup
-        lut = np.append(
-            lut, _murmur_mix_array(np.zeros(1, dtype=np.int64)) % parallelism
-        )
-        idx_arr = idx_arr.fill_null(len(dic.dictionary))
-    codes = idx_arr.to_numpy(zero_copy_only=False).astype(np.int64)
-    part = lut[codes]
+    part, codes, dic = conv_partition_ids(table["conv_id"], parallelism)
 
     if hot_key_threshold is not None and len(dic.dictionary):
         counts = np.bincount(codes, minlength=len(dic.dictionary))

@@ -33,7 +33,7 @@ from ..hashing import java_string_hash_arrow
 from ..pipelines.cep import Step, find_match_starts, find_relaxed_matches
 from ..stages.extract import ts_to_us
 from .emit import atomic_emit
-from .streaming import _NEG_INF, _murmur_mix_array
+from .streaming import _NEG_INF, conv_partition_ids
 
 _FAR_FUTURE = 2**62
 
@@ -59,14 +59,7 @@ def _partition_cep_fragment(
     n = table.num_rows
     ts = ts_to_us(table["ts"])
     frag_max = int(ts.max()) if n else _NEG_INF
-    conv = table["conv_id"]
-    if isinstance(conv, pa.ChunkedArray):
-        conv = conv.combine_chunks()
-    dic = conv.dictionary_encode()
-    hashes = java_string_hash_arrow(dic.dictionary)
-    lut = _murmur_mix_array(hashes) % parallelism
-    codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    part = lut[codes]
+    part, _, _ = conv_partition_ids(table["conv_id"], parallelism)
     order = np.argsort(part, kind="stable")
     sorted_tbl = table.take(pa.array(order))
     counts = np.bincount(part, minlength=parallelism)
@@ -140,7 +133,18 @@ class PatternStateStore:
                 self.conv_ids[nm] = code
                 self.conv_names.append(nm)
             lut[i] = code
-        idx = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        idx_arr = dic.indices
+        if idx_arr.null_count:
+            # null conv_id rows intern under the None name (a NaN index
+            # would astype to INT64_MIN and corrupt the lookup)
+            code = get(None)
+            if code is None:
+                code = len(self.conv_names)
+                self.conv_ids[None] = code
+                self.conv_names.append(None)
+            lut = np.append(lut, code)
+            idx_arr = idx_arr.fill_null(len(names))
+        idx = idx_arr.to_numpy(zero_copy_only=False).astype(np.int64)
         return lut[idx]
 
     def ingest(self, batch: pa.Table, watermark_us: int) -> int:
@@ -268,8 +272,36 @@ class PatternStateStore:
             return empty
         return self._emit_table(c_conv, c_ts, c_turn, starts, ends)
 
+    def _compact_interning(self) -> None:
+        """conv_ids/conv_names grow with every distinct conversation EVER
+        seen, while tails/pending reference only live codes.  When the
+        intern table is >4x the live set (and big enough to matter), remap
+        the live codes densely and drop dead names, keeping actor state and
+        checkpoint size O(live convs) instead of O(stream-lifetime convs)."""
+        total = len(self.conv_names)
+        if total < 4096:
+            return
+        live_arrays = [self.tails[0]] if self.tails is not None else []
+        live_arrays.extend(c[0] for c in self.pending)
+        live = (
+            np.unique(np.concatenate(live_arrays))
+            if live_arrays
+            else np.empty(0, dtype=np.int64)
+        )
+        if len(live) * 4 > total:
+            return
+        names = [self.conv_names[int(c)] for c in live]
+        remap = np.full(total, -1, dtype=np.int64)
+        remap[live] = np.arange(len(live), dtype=np.int64)
+        if self.tails is not None:
+            self.tails = (remap[self.tails[0]],) + self.tails[1:]
+        self.pending = [(remap[p[0]],) + p[1:] for p in self.pending]
+        self.conv_names = names
+        self.conv_ids = {nm: i for i, nm in enumerate(names)}
+
     def close(self, watermark_us: int) -> pa.Table:
         """Match + emit over rows that became stable (ts < watermark)."""
+        self._compact_interning()
         if self.contiguity == "relaxed":
             return self._close_relaxed(watermark_us)
         empty = pa.table(
@@ -343,6 +375,18 @@ class PatternStateStore:
             self.tails = self._take(merged, o)
         else:
             self.tails = new_tails if new_tails is not None else keep_tails
+        if self.tails is not None and self.within_us is not None:
+            # time-bound the strict tails like the relaxed path: a tail row
+            # with ts < wm - within can only appear in a match whose future
+            # end makes the span exceed within (future rows have ts >= wm),
+            # and pruning a PREFIX of a conv's rows cannot create new
+            # adjacencies — without this, tails retain k-1 rows of every
+            # conversation ever seen
+            alive = self.tails[1] >= watermark_us - self.within_us
+            if not alive.all():
+                self.tails = (
+                    self._take(self.tails, alive) if alive.any() else None
+                )
 
         if len(starts) == 0:
             return empty
@@ -353,6 +397,7 @@ class PatternStateStore:
             "rows_ingested": self.rows_ingested,
             "peak_pending_rows": self.peak_pending_rows,
             "open_tails": 0 if self.tails is None else len(self.tails[0]),
+            "interned_convs": len(self.conv_names),
         }
 
     # -- checkpoint ---------------------------------------------------------

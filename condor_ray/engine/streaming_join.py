@@ -20,7 +20,7 @@ import ray
 from ..hashing import java_string_hash_arrow
 from .emit import atomic_emit
 from ..state.join_store import JoinStateStore
-from .streaming import _NEG_INF, _murmur_mix_array
+from .streaming import _NEG_INF, conv_partition_ids
 
 
 def _split_by_conv(path: str, parallelism: int, columns: list[str] | None):
@@ -28,12 +28,7 @@ def _split_by_conv(path: str, parallelism: int, columns: list[str] | None):
     ``num_returns=1 + P`` so shards stay in the object store — actors pull
     their shard directly, nothing round-trips through the driver."""
     table = pq.read_table(path, columns=columns)
-    conv = table["conv_id"]
-    if isinstance(conv, pa.ChunkedArray):
-        conv = conv.combine_chunks()
-    dic = conv.dictionary_encode()
-    lut = _murmur_mix_array(java_string_hash_arrow(dic.dictionary)) % parallelism
-    part = lut[dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+    part, _, _ = conv_partition_ids(table["conv_id"], parallelism)
     order = np.argsort(part, kind="stable")
     sorted_tbl = table.take(pa.array(order))
     counts = np.bincount(part, minlength=parallelism)

@@ -46,7 +46,7 @@ from ..synopses.base import Synopsis
 from ..synopses.registry import make_synopsis
 from ..windows import SessionWindow
 from .emit import atomic_emit
-from .streaming import _NEG_INF, _murmur_mix_array
+from .streaming import _NEG_INF, conv_partition_ids
 from ..hashing import java_string_hash_arrow
 
 _EMPTY_SCHEMA = {
@@ -76,14 +76,7 @@ def _partition_session_fragment(
     frag_max = int(ts.max()) if n else _NEG_INF
     frag_min = int(ts.min()) if n else 2**62
 
-    conv = table["conv_id"]
-    if isinstance(conv, pa.ChunkedArray):
-        conv = conv.combine_chunks()
-    dic = conv.dictionary_encode()
-    hashes = java_string_hash_arrow(dic.dictionary)
-    lut = _murmur_mix_array(hashes) % parallelism
-    codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    part = lut[codes]
+    part, _, _ = conv_partition_ids(table["conv_id"], parallelism)
     order = np.argsort(part, kind="stable")
     sorted_tbl = table.take(pa.array(order))
     counts = np.bincount(part, minlength=parallelism)
@@ -149,8 +142,13 @@ class SessionStateStore:
         if isinstance(conv, pa.ChunkedArray):
             conv = conv.combine_chunks()
         dic = conv.dictionary_encode()
-        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         convs = dic.dictionary.to_pylist()
+        idx_arr = dic.indices
+        if idx_arr.null_count:
+            # null conv_id rows form their own (None-keyed) conversation
+            idx_arr = idx_arr.fill_null(len(convs))
+            convs = convs + [None]
+        codes = idx_arr.to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((ts, codes))
         codes_s, ts_s, values_s = codes[order], ts[order], values[order]
         bounds = np.concatenate(
@@ -171,9 +169,6 @@ class SessionStateStore:
         intervals."""
         gap = self.gap_us
         items: list = list(self.sessions.get(cid, ()))
-        # new rows enter as pending singletons [ts, ts, None(values buffered)]
-        starts = [it[0] for it in items]
-        idx = np.searchsorted(np.asarray(starts, dtype=np.int64), ts)
         # simple merge: combine sorted streams of sessions and rows
         merged: list = []
         ri, si = 0, 0
@@ -222,6 +217,17 @@ class SessionStateStore:
 
     def close_sessions(self, watermark_us: int) -> pa.Table:
         """Emit + evict every session with last_ts + gap <= watermark.
+
+        Deliberately Flink's merging-session semantics with allowed
+        lateness 0 (what the reference gets from Flink 1.8): a session
+        window [start, last+gap) fires and purges once the watermark
+        passes its end, and a NON-late row arriving afterwards (its own
+        singleton window end ts+gap > watermark) opens a NEW session.
+        Under late data this legitimately diverges from the batch
+        gaps-and-islands form — the sequential-replay oracle in
+        tests/test_streaming_sessions.py pins exactly this rule; do not
+        "fix" the close bound to last_ts + 2*gap (that would deviate
+        from the reference).
 
         Heap-indexed: pops only convs whose earliest session is due (plus
         stale lazy entries), so a close cycle is O(closing + stale), not
@@ -322,7 +328,10 @@ class StreamingSessionJob:
         self.out_dir = out_dir
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
-        self.columns = columns
+        # prune the fragment read to what ingest touches (the text column
+        # usually dominates bytes); same derivation as StreamingPatternJob
+        need = {"conv_id", "ts", config.key.field}
+        self.columns = sorted(need) if columns is None else columns
         os.makedirs(out_dir, exist_ok=True)
         if checkpoint_dir:
             os.makedirs(checkpoint_dir, exist_ok=True)
@@ -456,12 +465,15 @@ class StreamingSessionJob:
             elif len(emit_futs) >= 32:
                 emitted += _drain_emits()
         if final_flush and self.watermark > _NEG_INF:
-            self.watermark += self.gap_us + 1
+            # end-of-input close with a LOCAL watermark: mutating
+            # self.watermark here would make a continuation run() late-drop
+            # rows up to gap+1 us behind the true watermark
+            flush_wm = self.watermark + self.gap_us + 1
             emit_futs.append(
                 atomic_emit.remote(
                     self.out_dir, "emit", n_frag, _EMIT_SORT,
                     *[
-                        s.close_sessions.remote(self.watermark)
+                        s.close_sessions.remote(flush_wm)
                         for s in self.stores
                     ],
                 )

@@ -71,3 +71,18 @@ def worker_polars():
 
 
 _warned_oversubscribed = False
+
+
+def cluster_cpus(default: int = 8) -> int:
+    """CPU count of the connected Ray cluster; ``default`` when Ray is not
+    initialized or unreachable.  Single-sourced here — the streaming engine,
+    the ordered (wavelet) engine, and sizing heuristics all used their own
+    inline copies with slightly different failure guards."""
+    try:
+        import ray
+
+        if not ray.is_initialized():
+            return default
+        return int(ray.cluster_resources().get("CPU", default))
+    except Exception:
+        return default

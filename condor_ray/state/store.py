@@ -82,7 +82,10 @@ class PartitionStateStore:
             raw = dic.indices.to_numpy(zero_copy_only=False)
             null_mask = np.isnan(raw) if raw.dtype.kind == "f" else (raw < 0)
             codes = np.where(null_mask, len(svals), raw).astype(np.int64)
-            svals = svals + ["<null>"]  # null stratum bucket
+            # null bucket; genuine "" escapes to "<empty>" ("" is the
+            # internal no-stratum sentinel — see engine/batch.py)
+            svals = [v if v != "" else "<empty>" for v in svals]
+            svals = svals + ["<null>"]
             gkey = sid * (len(svals) + 1) + codes
         else:
             svals = None

@@ -573,3 +573,88 @@ def test_streaming_relaxed_checkpoint_resume(ray_session, tmp_path):
     )
     job2.shutdown()
     pd.testing.assert_frame_equal(resumed, full)
+
+
+def test_intern_table_compacts_with_conversation_churn(ray_session, tmp_path):
+    """conv_ids/conv_names must stay O(live conversations), not
+    O(stream-lifetime conversations): with millions of short-lived convs
+    the intern table (and every checkpoint) would otherwise grow without
+    bound."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from condor_ray.engine.streaming_cep import StreamingPatternJob
+
+    frag_dir = tmp_path / "frags"
+    frag_dir.mkdir()
+    paths = []
+    n_frag, per_frag = 12, 1500  # 18k distinct convs, all short-lived
+    for k in range(n_frag):
+        base = k * per_frag
+        tbl = pa.table(
+            {
+                "conv_id": pa.array([f"conv{base + i}" for i in range(per_frag)]),
+                "turn_idx": pa.array(np.zeros(per_frag, dtype=np.int64)),
+                "role": pa.array(["user"] * per_frag),
+                "ts": pa.array(
+                    (k * per_frag + np.arange(per_frag, dtype=np.int64))
+                    * 1_000_000
+                ).cast(pa.timestamp("us")),
+            }
+        )
+        p = str(frag_dir / f"f{k:03d}.parquet")
+        pq.write_table(tbl, p)
+        paths.append(p)
+    job = StreamingPatternJob(
+        [Step("role", "eq", "user"), Step("role", "eq", "user")],
+        str(tmp_path / "out"),
+        within_ms=2_000,
+        parallelism=2,
+    )
+    job.run(paths)
+    interned = sum(
+        s["interned_convs"] for s in __import__("ray").get(
+            [st.stats.remote() for st in job.stores]
+        )
+    )
+    total = n_frag * per_frag
+    # every conv was seen once; compaction must have dropped the dead ones
+    assert interned < total / 2, (interned, total)
+    n_matches = job.result_dataset().count()
+    job.shutdown()
+    assert n_matches == 0  # single-row convs can't match a 2-step pattern
+
+
+def test_null_conv_id_rows_survive_streaming(ray_session, tmp_path):
+    """Null conv_id rows intern under the None name; the split task and the
+    pattern store must not crash on the null dictionary index."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from condor_ray.engine.streaming_cep import StreamingPatternJob
+
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["a", None, None, "a"]),
+            "turn_idx": pa.array(np.arange(4, dtype=np.int64)),
+            "role": pa.array(["user", "user", "user", "user"]),
+            "ts": pa.array(
+                np.arange(4, dtype=np.int64) * 1_000_000
+            ).cast(pa.timestamp("us")),
+        }
+    )
+    frag = str(tmp_path / "f0.parquet")
+    pq.write_table(tbl, frag)
+    job = StreamingPatternJob(
+        [Step("role", "eq", "user"), Step("role", "eq", "user")],
+        str(tmp_path / "out"),
+        within_ms=10_000,
+        parallelism=2,
+    )
+    job.run([frag])
+    out = job.result_dataset().to_pandas()
+    job.shutdown()
+    # "a" rows (turns 0,3) are adjacent within the conv -> 1 match; the two
+    # null rows (turns 1,2) form their own conversation -> 1 match
+    assert len(out) == 2
+    assert out["conv_id"].isna().sum() == 1

@@ -212,3 +212,30 @@ class TestCloseCycleScaling:
         assert t.num_rows == n
         assert ray.get(store.close_sessions.remote(2**62)).num_rows == 0
         ray.kill(store)
+
+
+def test_null_conv_id_rows_survive(ray_session, tmp_path):
+    """Null conv_id rows route to the hash-0 partition and form their own
+    (None-keyed) conversation instead of crashing the split or the store."""
+    import pyarrow as pa
+
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["a", None, "a", None]),
+            "text": pa.array(["w", "x", "y", "z"]),
+            "ts": pa.array(
+                np.array([0, 1, 2, 3], dtype=np.int64) * 1_000_000
+            ).cast(pa.timestamp("us")),
+        }
+    )
+    frag = str(tmp_path / "f0.parquet")
+    pq.write_table(tbl, frag)
+    job = StreamingSessionJob(_cfg(parallelism=2), str(tmp_path / "out"))
+    summary = job.run([frag])
+    result = job.result_dataset().to_pandas()
+    job.shutdown()
+    assert summary["rows"] == 4 and summary["late_dropped"] == 0
+    # one session for conv "a", one for the null conversation
+    assert len(result) == 2
+    assert result["n_rows"].sum() == 4
+    assert result["conv_id"].isna().sum() == 1
