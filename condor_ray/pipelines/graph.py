@@ -21,10 +21,17 @@ synopsis state):
 - one round = two bounded actor-to-actor exchanges (``num_returns=P``
   shards through the object store, never via the driver):
   (a) pointer-jump requests ``(L[v], v)`` to the owner of ``L[v]`` — path
-  lengths halve per round, so component diameter costs O(log D) rounds;
-  (b) min-label messages ``(dst, L[src])`` for static edges + jump replies,
-  min-combined per (shard, dst) BEFORE sending, so wire traffic is bounded
-  by the number of distinct receiving vertices, not the edge count;
+  lengths in the pointer forest halve per round;
+  (b) min-label messages ``(dst, L[src])`` for static edges + jump replies
+  + HOOKS, min-combined per (shard, dst) BEFORE sending, so wire traffic
+  is bounded by the number of distinct receiving vertices, not the edge
+  count;
+- HOOKING (Shiloach-Vishkin): when a vertex's label improves, its OLD
+  root is notified ``(old_label, new_label)`` next round, so the old
+  basin re-roots wholesale instead of learning the better label one
+  edge-hop at a time — without this, jump+edge propagation alone needs
+  ~n/2 rounds on a random-id chain (measured 1609 rounds for a 4000-doc
+  chain; with hooks: 24);
 - DELTA PROPAGATION: a static edge re-sends only when its src label
   changed this round (min-label flow is monotone, so a once-delivered
   value never needs re-sending) — after round 1 the per-round edge work
@@ -110,6 +117,9 @@ class _EdgePartition:
         counts = np.bincount(inv, minlength=len(self.own))
         self.e_off = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
         self.changed = np.ones(len(self.own), dtype=bool)  # round 0: send all
+        # hooks from the previous reduce: (old root, improved label) pairs
+        self.hook_dst = np.empty(0, np.int64)
+        self.hook_lab = np.empty(0, np.int64)
         return len(self.own)
 
     def shortcuts(self):
@@ -138,8 +148,9 @@ class _EdgePartition:
         e_dst = self.e_dst[e_idx]
         e_lab = np.repeat(self.lab[ch], counts)
 
-        dst = np.concatenate([req_v, e_dst])
-        lab = np.concatenate([jump_lab, e_lab])
+        dst = np.concatenate([req_v, e_dst, self.hook_dst])
+        lab = np.concatenate([jump_lab, e_lab, self.hook_lab])
+        self.hook_dst = self.hook_lab = np.empty(0, np.int64)
         dst, lab = _min_per_key(dst, lab)  # combine before the wire
         return _shard(dst, self.P, dst, lab)
 
@@ -152,6 +163,15 @@ class _EdgePartition:
         better = lab < self.lab[idx]
         self.changed = np.zeros(len(self.own), dtype=bool)
         self.changed[idx[better]] = True
+        # hook: tell each improved vertex's OLD root about the new label so
+        # its whole basin re-roots next round (self-hooks drop: old == own)
+        old_root = self.lab[idx[better]]
+        new_lab = lab[better]
+        real = old_root != dst[better]
+        self.hook_dst, self.hook_lab = _min_per_key(
+            np.concatenate([self.hook_dst, old_root[real]]),
+            np.concatenate([self.hook_lab, new_lab[real]]),
+        )
         self.lab[idx[better]] = lab[better]
         return int(better.sum())
 
@@ -231,6 +251,17 @@ def connected_components(
             )
         if not changed:
             break
+    else:
+        # silent non-convergence would emit WRONG components (multiple keeps
+        # per cluster); with hooking the round count is O(log n) — measured
+        # 27 rounds for a 20k-vertex chain — so hitting this means either a
+        # pathological graph or a bug, and the caller must know
+        for a in actors:
+            ray.kill(a)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"({changed} labels still changing); raise max_iters"
+        )
 
     import ray.data as rd
 

@@ -65,12 +65,18 @@ class DDSketch(Synopsis):
         return math.exp(index * self.log_gamma) * (1 + self.relative_accuracy)
 
     def _collapse(self) -> None:
-        while len(self.counts) > self.max_num_bins:
-            keys = sorted(self.counts)
-            lowest = keys[0]
-            c = self.counts.pop(lowest)
-            self.counts[keys[1]] += c
-            self.is_collapsed = True
+        excess = len(self.counts) - self.max_num_bins
+        if excess <= 0:
+            return
+        # one sort + fold of the lowest `excess` bins into the next one —
+        # equivalent to the reference's repeated pollFirstEntry->merge
+        # (DDSketch.java:335-339) without re-sorting per evicted bin
+        keys = sorted(self.counts)
+        folded = 0
+        for k in keys[:excess]:
+            folded += self.counts.pop(k)
+        self.counts[keys[excess]] += folded
+        self.is_collapsed = True
 
     # -- updates ----------------------------------------------------------
     def update_batch(self, values: np.ndarray, timestamps=None) -> None:
@@ -92,25 +98,40 @@ class DDSketch(Synopsis):
         self._collapse()
 
     def decrement_batch(self, values: np.ndarray) -> None:
-        # row-wise semantics of DDSketch.java:294-314, vectorized per bin
+        """Row-wise semantics of DDSketch.java:294-314 in one vectorized
+        pass: the first ``zero_count`` sub-min rows decrement zero_count;
+        every other row decrements global_count (floored at 0) and its bin
+        (bins reaching 0 are removed; absent bins are a no-op — sub-min
+        rows index below every stored bin, matching the reference)."""
         v = np.asarray(values, dtype=np.float64)
         if (v < 0).any() or (v > self.max_indexed_value).any():
             raise ValueError(
                 "The input value is outside the range that is tracked by the sketch."
             )
-        for x in v:
-            if x < self.min_indexed_value and self.zero_count > 0:
-                self.zero_count -= 1
+        small = v < self.min_indexed_value
+        k = min(self.zero_count, int(small.sum()))
+        self.zero_count -= k
+        if k:
+            else_mask = np.ones(len(v), dtype=bool)
+            else_mask[np.flatnonzero(small)[:k]] = False
+            ev = v[else_mask]
+        else:
+            ev = v
+        if not len(ev):
+            return
+        self.global_count = max(0, self.global_count - len(ev))
+        # sub-min survivors index below min_indexed_value's bin — never
+        # present in counts (the reference's bins.get(...) == null no-op)
+        idx = self._index_batch(np.maximum(ev, 5e-324))
+        uniq, cnt = np.unique(idx, return_counts=True)
+        for i, c in zip(uniq.tolist(), cnt.tolist()):
+            b = self.counts.get(i)
+            if b is None:
+                continue
+            if b - c <= 0:
+                del self.counts[i]
             else:
-                if self.global_count > 0:
-                    self.global_count -= 1
-                i = int(self._index_batch(np.asarray([x]))[0])
-                b = self.counts.get(i)
-                if b is not None:
-                    if b <= 1:
-                        del self.counts[i]
-                    else:
-                        self.counts[i] = b - 1
+                self.counts[i] = b - c
 
     # -- merge / invert ---------------------------------------------------
     def _check(self, other: "DDSketch"):
@@ -124,6 +145,9 @@ class DDSketch(Synopsis):
     def merge(self, other: "DDSketch") -> "DDSketch":
         self._check(other)
         if not other.counts:
+            # reference quirk (DDSketch.java:329-331): an other with only
+            # zero/sub-min values (counts empty, zeroCount > 0) is SKIPPED
+            # entirely — its zero_count/global_count are dropped
             return self
         for k, c in other.counts.items():
             self.counts[k] = self.counts.get(k, 0) + c
@@ -135,6 +159,8 @@ class DDSketch(Synopsis):
     def invert(self, other: "DDSketch") -> "DDSketch":
         self._check(other)
         if not other.counts:
+            # reference quirk (DDSketch.java:250-252): same empty-counts
+            # early return as merge — a zeros-only retraction is skipped
             return self
         for k, c in other.counts.items():
             self.counts[k] = self.counts.get(k, 0) - c

@@ -308,6 +308,11 @@ class BarSplittingHistogram(Synopsis):
                 base_lb = other_lb
                 hk = base_bars.higher_key(base_bars.first_key())
                 base_ub = hk if hk is not None else base.right_boundary
+            # quirk: a ZERO-WIDTH other bar (single-distinct-value side,
+            # other_lb == other_ub) never enters this loop, so its entire
+            # frequency is dropped and totalFrequencies under-counts — the
+            # reference does the same (BarSplittingHistogram.java:237 skips
+            # the loop; totalFrequencies only grows inside update())
             while base_lb < other_ub:
                 covered = min(other_ub, base_ub) - max(other_lb, base_lb)
                 other_width = other_ub - other_lb

@@ -145,6 +145,11 @@ class RealValuedBucket4LT:
                     for i in range(8):
                         if left <= i and right >= i + 1:
                             frequency += l4[i]
+                            # quirk: ceil wraps (distance*(i+1) + lowerBound)
+                            # HERE but only distance*k in the l3 twin — exact
+                            # transcription of the reference's own
+                            # inconsistency (RealValuedBucket4LT.java:162 vs
+                            # :131); they differ for fractional lower bounds
                             new_lo = max(new_lo, int(math.ceil(distance * (i + 1) + self.lower_bound)))
                             new_hi = min(new_hi, int(math.floor(distance * i)) + self.lower_bound)
                     frequency += self.get_frequency(q_lo, new_hi)
@@ -340,6 +345,19 @@ class SplitAndMergeWithDDSketch(Synopsis):
             or self.right_most_boundary < other.right_most_boundary
         ):
             self.right_most_boundary = other.right_most_boundary
+        # deliberate deviation: the reference (SplitAndMergeWithDDSketch.
+        # java:274-283) crashes on an empty side (firstKey of an empty
+        # TreeMap) — it documents itself as a parallelism-1 structure.  Our
+        # distributed build merges empty per-partition partials routinely,
+        # so an empty side is a no-op on the buckets (its dd_sketch part
+        # was already merged above, with ITS reference quirks).
+        if not other.buckets.keys:
+            return self
+        if not self.buckets.keys:
+            self.buckets = other.buckets
+            self.total_frequencies = other.total_frequencies
+            self._equi_depth_recompute()
+            return self
         left_most = min(self.buckets.first_key(), other.buckets.first_key())
         self.buckets.put(left_most, 1.0)
         # quirk preserved: totalFrequencies is NOT summed before the recompute

@@ -124,3 +124,26 @@ class TestDedupKeepList:
         # exactly one keeper per component
         keepers = res[res["keep"]].groupby("component").size()
         assert (keepers == 1).all()
+
+
+class TestChainConvergence:
+    def test_long_chain_converges_within_default_rounds(self, ray_session):
+        """A random-id chain is the pointer-jump scheme's worst case: without
+        the Shiloach-Vishkin hook step it needs ~n/2 rounds (measured 1609
+        for 4000 docs) and silently returned WRONG components past
+        max_iters; with hooks it is O(log n) (23 rounds at 4000)."""
+        rng = np.random.default_rng(11)
+        ids = rng.permutation(30_000)[:3000].astype(np.int64)
+        pairs = list(zip(ids[:-1].tolist(), ids[1:].tolist()))
+        res = connected_components(_pairs_ds(pairs), n_parts=6).to_pandas()
+        assert len(res) == 3000
+        assert (res["component"] == ids.min()).all()
+
+    def test_non_convergence_raises_not_silent(self, ray_session):
+        """Exhausting max_iters with labels still changing must raise —
+        a silently-unconverged result emits multiple keeps per cluster."""
+        rng = np.random.default_rng(13)
+        ids = rng.permutation(9_000)[:900].astype(np.int64)
+        pairs = list(zip(ids[:-1].tolist(), ids[1:].tolist()))
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(_pairs_ds(pairs), n_parts=4, max_iters=2)

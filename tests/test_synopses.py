@@ -861,3 +861,70 @@ def test_fast_agms_default_seed_mergeable_and_deterministic():
     c.update_batch(np.arange(200, dtype=np.int64))
     assert a.estimate_f2() == c.estimate_f2()
     assert (a.array == c.array).all()
+
+
+def test_split_and_merge_empty_side_is_noop():
+    """Merging an empty per-partition partial must not crash (documented
+    deviation: the parallelism-1 reference raises on firstKey of an empty
+    TreeMap); an empty self adopts other's buckets."""
+    import numpy as np
+
+    from condor_ray.synopses.histograms_extra import SplitAndMergeWithDDSketch
+
+    rng = np.random.default_rng(5)
+    data = rng.uniform(1, 100, 500)
+    a = SplitAndMergeWithDDSketch(8, 0.02)
+    a.update_batch(data)
+    before = a.range_query(10.0, 60.0)
+    a.merge(SplitAndMergeWithDDSketch(8, 0.02))  # empty other: no-op
+    assert a.range_query(10.0, 60.0) == before
+    b = SplitAndMergeWithDDSketch(8, 0.02)  # empty self adopts other
+    c = SplitAndMergeWithDDSketch(8, 0.02)
+    c.update_batch(data)
+    b.merge(c)
+    assert abs(b.range_query(10.0, 60.0) - before) / max(before, 1) < 0.25
+
+
+def test_ddsketch_decrement_batch_matches_rowwise_reference():
+    """The vectorized decrement must reproduce the reference's per-row
+    semantics exactly: zero_count absorbs leading sub-min rows, the rest
+    decrement global_count (floored) and their bins (deleted at zero)."""
+    import numpy as np
+
+    from condor_ray.synopses.ddsketch import DDSketch
+
+    def brute(d, values):
+        for x in np.asarray(values, dtype=np.float64):
+            if x < d.min_indexed_value and d.zero_count > 0:
+                d.zero_count -= 1
+            else:
+                if d.global_count > 0:
+                    d.global_count -= 1
+                i = int(d._index_batch(np.maximum(np.asarray([x]), 5e-324))[0])
+                b = d.counts.get(i)
+                if b is not None:
+                    if b <= 1:
+                        del d.counts[i]
+                    else:
+                        d.counts[i] = b - 1
+
+    rng = np.random.default_rng(2)
+    for _ in range(30):
+        data = np.concatenate(
+            [rng.uniform(0, 50, rng.integers(1, 200)), np.zeros(rng.integers(0, 4))]
+        )
+        rng.shuffle(data)
+        a, b = DDSketch(0.02, 48), DDSketch(0.02, 48)
+        a.update_batch(data)
+        b.update_batch(data)
+        dec = np.concatenate(
+            [
+                rng.choice(data, rng.integers(0, len(data) + 1), replace=False),
+                np.zeros(rng.integers(0, 6)),
+            ]
+        )
+        rng.shuffle(dec)
+        a.decrement_batch(dec)
+        brute(b, dec)
+        assert a.counts == b.counts
+        assert (a.zero_count, a.global_count) == (b.zero_count, b.global_count)
