@@ -297,6 +297,22 @@ class StreamingAsofJob:
             for f in os.listdir(self.out_dir)
             if f.startswith("asof-") and f.endswith(".parquet")
         )
+        if not files:  # no probes / all-empty stream: atomic_emit wrote
+            # nothing, and read_parquet([]) raises — return the empty
+            # typed result like StreamingSynopsisJob.result_dataset
+            import pandas as _pd
+
+            return rd.from_pandas(
+                _pd.DataFrame(
+                    {
+                        "conv_id": _pd.Series(dtype=object),
+                        "ts_us": _pd.Series(dtype="int64"),
+                        "turn_idx": _pd.Series(dtype="int64"),
+                        "user_ts": _pd.Series(dtype="int64"),
+                        "user_turn": _pd.Series(dtype="int64"),
+                    }
+                )
+            )
         return rd.read_parquet(files)
 
     def shutdown(self) -> None:

@@ -10,10 +10,43 @@ import pyarrow as pa
 from ..config import BuildConfiguration, KeySpec
 from ..engine.batch import build_windowed_synopses
 from ..hashing import java_string_hash_array
-from ..runtime import default_n_parts, worker_polars
+from ..runtime import default_n_parts
 from ..stages.extract import ts_to_us
 from ..synopses.base import Synopsis
 from ..windows import TumblingWindow
+
+
+def window_key_partials(batch: pa.Table, key_col: str, size_us: int,
+                        with_counts: bool = False):
+    """Distinct ``(window_id, key)`` pairs of one batch (optionally with
+    per-pair counts) — the shared dictionary-encode -> flat-key np.unique
+    -> decode kernel behind the windowed distinct/count/top-k pipelines
+    (it used to live in five per-site copies with visible drift).  NULL
+    key rows are DROPPED (SQL COUNT/DISTINCT ignore NULLs; a null
+    dictionary index would otherwise astype to INT64_MIN and corrupt the
+    flat keys).  Returns ``(wid ndarray, key pa.Array, counts|None)``."""
+    import pyarrow.compute as pc
+
+    col = batch[key_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        batch = batch.filter(pc.is_valid(col))
+        col = batch[key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+    ts = ts_to_us(batch["ts"])
+    wid = ts // size_us
+    dic = col.dictionary_encode()
+    codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    m = len(dic.dictionary) + 1
+    if with_counts:
+        uniq, counts = np.unique(wid * m + codes, return_counts=True)
+        counts = counts.astype(np.int64)
+    else:
+        uniq, counts = np.unique(wid * m + codes), None
+    key = dic.dictionary.take(pa.array(uniq % m, type=pa.int64()))
+    return uniq // m, key, counts
 
 
 def windowed_distinct_convs(ds, window: TumblingWindow):
@@ -25,20 +58,11 @@ def windowed_distinct_convs(ds, window: TumblingWindow):
     size_us = window.size_us
 
     def pairs(batch: pa.Table) -> pa.Table:
-        ts = ts_to_us(batch["ts"])
-        wid = ts // size_us
-        conv = batch["conv_id"]
-        if isinstance(conv, pa.ChunkedArray):
-            conv = conv.combine_chunks()
-        dic = conv.dictionary_encode()
-        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        gkey = wid * (len(dic.dictionary) + 1) + codes
-        uniq = np.unique(gkey)
-        m = len(dic.dictionary) + 1
+        wid, conv, _ = window_key_partials(batch, "conv_id", size_us)
         return pa.table(
             {
-                "window_id": pa.array(uniq // m, type=pa.int64()),
-                "conv_id": dic.dictionary.take(pa.array(uniq % m, type=pa.int64())),
+                "window_id": pa.array(wid, type=pa.int64()),
+                "conv_id": conv,
             }
         )
 
@@ -87,7 +111,6 @@ def windowed_topk_tools(ds, window: TumblingWindow, k: int = 5,
     size_us = window.size_us
 
     def partial(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(pc.is_valid(batch["tool"]))
         if batch.num_rows == 0:
             return pa.table(
                 {
@@ -97,21 +120,14 @@ def windowed_topk_tools(ds, window: TumblingWindow, k: int = 5,
                     "part": pa.array([], type=pa.int32()),
                 }
             )
-        ts = ts_to_us(batch["ts"])
-        wid = ts // size_us
-        tool = batch["tool"]
-        if isinstance(tool, pa.ChunkedArray):
-            tool = tool.combine_chunks()
-        dic = tool.dictionary_encode()
-        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        m = len(dic.dictionary)
-        uniq, counts = np.unique(wid * m + codes, return_counts=True)
-        uw = uniq // m
+        uw, tool, counts = window_key_partials(
+            batch, "tool", size_us, with_counts=True
+        )
         return pa.table(
             {
                 "wid": pa.array(uw),
-                "tool": dic.dictionary.take(pa.array(uniq % m, type=pa.int64())),
-                "n": pa.array(counts.astype(np.int64)),
+                "tool": tool,
+                "n": pa.array(counts),
                 "part": pa.array(
                     ((uw.astype(np.uint64) * np.uint64(0x9E3779B9)) >> np.uint64(16))
                     .astype(np.int64)
@@ -191,20 +207,11 @@ def cm_tool_frequencies(ds, window: TumblingWindow, width=65536, height=5, seed=
     size_us = window.size_us
 
     def wt_pairs(batch: pa.Table) -> pa.Table:
-        ts = ts_to_us(batch["ts"])
-        wid = ts // size_us
-        tool = batch["tool"]
-        if isinstance(tool, pa.ChunkedArray):
-            tool = tool.combine_chunks()
-        dic = tool.dictionary_encode()
-        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        gkey = wid * (len(dic.dictionary) + 1) + codes
-        uniq = np.unique(gkey)
-        m = len(dic.dictionary) + 1
+        wid, tool, _ = window_key_partials(batch, "tool", size_us)
         return pa.table(
             {
-                "window_start": pa.array((uniq // m) * size_us, type=pa.int64()),
-                "tool": dic.dictionary.take(pa.array(uniq % m, type=pa.int64())),
+                "window_start": pa.array(wid * size_us, type=pa.int64()),
+                "tool": tool,
             }
         )
 
@@ -297,6 +304,10 @@ def write_time_ordered_fragments(ds, out_dir: str, n_frag: int,
         ),
         batch_format="pyarrow",
     ).to_pandas()
+    if stats.empty or int(stats["lo"].min()) > int(stats["hi"].max()):
+        # zero-row input: no fragments to write (int(NaN) would raise a
+        # confusing ValueError; callers detect the empty result explicitly)
+        return pd.DataFrame({"fragment": pd.Series(dtype="int64")})
     lo, hi = int(stats["lo"].min()), int(stats["hi"].max())
     bounds = np.linspace(lo, hi + 1, n_frag + 1)[1:-1]
 
@@ -342,52 +353,63 @@ def write_time_ordered_fragments(ds, out_dir: str, n_frag: int,
     return hash_exchange(ds, n_frag, shard, write_frag).to_pandas()
 
 
-def cached_event_stream_fragments(sf_dir: str) -> list[str]:
-    """Ts-ordered fragment replay files of the events-derived transcript
-    stream (built once per sf_dir with the Ray-native fragment writer)."""
+def cached_fragment_dir(tag: str, sf_dir: str, build) -> list[str]:
+    """Build-once fragment cache under /tmp/condor_ray_fixtures (one shared
+    implementation — the _DONE sentinel / listdir pattern used to live in
+    four per-site copies).  ``build(cache_dir)`` writes fragment parquet
+    files into ``cache_dir``; the _DONE sentinel is written ONLY when at
+    least one fragment exists, so a transiently-empty build raises instead
+    of poisoning the cache for every later call."""
     import hashlib
     import os
 
-    from ..sources.events_adapter import transcripts_from_events
-
     cache = os.path.join(
         "/tmp/condor_ray_fixtures",
-        "events_stream_v3_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:10],
+        f"{tag}_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:10],
     )
     done = os.path.join(cache, "_DONE")
     if not os.path.exists(done):
         os.makedirs(cache, exist_ok=True)
-        write_time_ordered_fragments(transcripts_from_events(sf_dir), cache, n_frag=4)
+        build(cache)
+        if not any(f.endswith(".parquet") for f in os.listdir(cache)):
+            raise RuntimeError(
+                f"fragment build {tag!r} produced no files from {sf_dir}; "
+                "refusing to cache an empty stream"
+            )
         open(done, "w").write("ok")
     return sorted(
         os.path.join(cache, f) for f in os.listdir(cache) if f.endswith(".parquet")
+    )
+
+
+def cached_event_stream_fragments(sf_dir: str) -> list[str]:
+    """Ts-ordered fragment replay files of the events-derived transcript
+    stream (built once per sf_dir with the Ray-native fragment writer)."""
+    from ..sources.events_adapter import transcripts_from_events
+
+    return cached_fragment_dir(
+        "events_stream_v3",
+        sf_dir,
+        lambda cache: write_time_ordered_fragments(
+            transcripts_from_events(sf_dir), cache, n_frag=4
+        ),
     )
 
 
 def cached_tool_call_fragments(sf_dir: str) -> list[str]:
     """Ts-ordered fragment replay files of the derived tool-call stream
     (tool_calls_from_transcripts over the events-derived transcripts)."""
-    import hashlib
-    import os
-
     from ..sources.events_adapter import transcripts_from_events
 
-    cache = os.path.join(
-        "/tmp/condor_ray_fixtures",
-        "call_stream_v1_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:10],
-    )
-    done = os.path.join(cache, "_DONE")
-    if not os.path.exists(done):
-        os.makedirs(cache, exist_ok=True)
-        write_time_ordered_fragments(
+    return cached_fragment_dir(
+        "call_stream_v1",
+        sf_dir,
+        lambda cache: write_time_ordered_fragments(
             tool_calls_from_transcripts(transcripts_from_events(sf_dir)),
             cache,
             n_frag=4,
             sort_cols=["ts", "conv_id", "call_id"],
-        )
-        open(done, "w").write("ok")
-    return sorted(
-        os.path.join(cache, f) for f in os.listdir(cache) if f.endswith(".parquet")
+        ),
     )
 
 
@@ -687,12 +709,17 @@ def tool_calls_from_transcripts(ds):
         batch = batch.filter(pc.is_valid(batch["tool"]))
         turn = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
         ts = batch["ts"].cast(pa.int64()).to_numpy()
-        conv = batch["conv_id"].to_pylist()
+        conv_col = batch["conv_id"]
+        if isinstance(conv_col, pa.ChunkedArray):
+            conv_col = conv_col.combine_chunks()
         return pa.table(
             {
                 "conv_id": batch["conv_id"],
-                "call_id": pa.array(
-                    [f"{c}_{t}" for c, t in zip(conv, turn.tolist())]
+                # vectorized "{conv}_{turn}" (was a per-row f-string loop)
+                "call_id": pc.binary_join_element_wise(
+                    conv_col.cast(pa.string()),
+                    pc.cast(batch["turn_idx"], pa.string()),
+                    "_",
                 ),
                 "tool": batch["tool"],
                 "status": pa.array(
@@ -954,17 +981,12 @@ def streaming_count_window_tool_freq(sf_dir: str, size: int = 500, parallelism: 
 
     from ..engine.streaming import StreamingSynopsisJob
 
-    cache = os.path.join(
-        "/tmp/condor_ray_fixtures",
-        "count_stream_v1_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:10],
-    )
-    done = os.path.join(cache, "_DONE")
-    if not os.path.exists(done):
-        os.makedirs(cache, exist_ok=True)
-        write_time_ordered_fragments(_shaped_count_stream(sf_dir), cache, n_frag=4)
-        open(done, "w").write("ok")
-    frags = sorted(
-        os.path.join(cache, f) for f in os.listdir(cache) if f.endswith(".parquet")
+    frags = cached_fragment_dir(
+        "count_stream_v1",
+        sf_dir,
+        lambda cache: write_time_ordered_fragments(
+            _shaped_count_stream(sf_dir), cache, n_frag=4
+        ),
     )
     out_dir = tempfile.mkdtemp(prefix="condor_countwin_q_")
     cfg = BuildConfiguration(

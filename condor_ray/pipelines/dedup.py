@@ -98,6 +98,21 @@ def exact_dedup(ds, n_parts: int | None = None):
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
+def _add_pair_part(batch, n_parts: int):
+    """Golden-ratio (doc_a, doc_b) pair partitioner shared by the dedup and
+    jaccard-verify stages (was two verbatim copies)."""
+    import pyarrow as pa
+
+    a = batch["doc_a"].to_numpy().astype(np.uint64)
+    b = batch["doc_b"].to_numpy().astype(np.uint64)
+    with np.errstate(over="ignore"):
+        mixed = ((a * _GOLDEN) ^ b) * _GOLDEN
+    part = ((mixed >> np.uint64(33)) % np.uint64(n_parts)).astype(np.int32)
+    return batch.append_column("part", pa.array(part))
+
+
+
+
 def _sig_matrix(col, num_perm: int) -> np.ndarray:
     """Zero-copy-ish (n, num_perm) int64 matrix from a list<int64> column."""
     if isinstance(col, pa.ChunkedArray):
@@ -165,12 +180,7 @@ def _dedup_pairs(pairs_ds, n_parts: int | None = None, min_col: str | None = Non
     n_parts = n_parts or default_n_parts()
 
     def add_part(batch: pa.Table) -> pa.Table:
-        a = batch["doc_a"].to_numpy().astype(np.uint64)
-        b = batch["doc_b"].to_numpy().astype(np.uint64)
-        with np.errstate(over="ignore"):
-            mixed = ((a * _GOLDEN) ^ b) * _GOLDEN
-        part = ((mixed >> np.uint64(33)) % np.uint64(n_parts)).astype(np.int32)
-        return batch.append_column("part", pa.array(part))
+        return _add_pair_part(batch, n_parts)
 
     def uniq(g: pd.DataFrame) -> pd.DataFrame:
         pl = worker_polars()
@@ -826,12 +836,7 @@ def jaccard_verify_pairs(docs_ds, pairs: pd.DataFrame, shingle: int = 3,
         )
 
     def add_part(batch: pa.Table) -> pa.Table:
-        a = batch["doc_a"].to_numpy().astype(np.uint64)
-        b = batch["doc_b"].to_numpy().astype(np.uint64)
-        with np.errstate(over="ignore"):
-            mixed = ((a * _GOLDEN) ^ b) * _GOLDEN
-        part = ((mixed >> np.uint64(33)) % np.uint64(n_parts)).astype(np.int32)
-        return batch.append_column("part", pa.array(part))
+        return _add_pair_part(batch, n_parts)
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         a = g["doc_a"].to_numpy()

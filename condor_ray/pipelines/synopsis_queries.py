@@ -32,6 +32,7 @@ from ..hashing import java_string_hash_array
 from ..stages.extract import ts_to_us
 from ..synopses.base import Synopsis
 from ..windows import TumblingWindow
+from .core import window_key_partials
 
 TOOL_UNIVERSE = [f"tool_{i}" for i in range(20)]
 GHOSTS = [f"ghost_{i}" for i in range(8)]
@@ -49,21 +50,13 @@ def _window_tool_counts(ds, window: TumblingWindow) -> pd.DataFrame:
     size_us = window.size_us
 
     def pairs(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(pc.is_valid(batch["tool"]))
-        ts = ts_to_us(batch["ts"])
-        wid = ts // size_us
-        tool = batch["tool"]
-        if isinstance(tool, pa.ChunkedArray):
-            tool = tool.combine_chunks()
-        dic = tool.dictionary_encode()
-        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        m = len(dic.dictionary) + 1
-        gkey = wid * m + codes
-        uniq, counts = np.unique(gkey, return_counts=True)
+        wid, tool, counts = window_key_partials(
+            batch, "tool", size_us, with_counts=True
+        )
         return pa.table(
             {
-                "window_start": pa.array((uniq // m) * size_us, type=pa.int64()),
-                "tool": dic.dictionary.take(pa.array(uniq % m, type=pa.int64())),
+                "window_start": pa.array(wid * size_us, type=pa.int64()),
+                "tool": tool,
                 "cnt": pa.array(counts, type=pa.int64()),
             }
         )
@@ -151,21 +144,11 @@ def bloom_membership(ds, window: TumblingWindow):
     probe_keys = java_string_hash_array(probes)
 
     def pairs(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(pc.is_valid(batch["tool"]))
-        ts = ts_to_us(batch["ts"])
-        wid = ts // size_us
-        tool = batch["tool"]
-        if isinstance(tool, pa.ChunkedArray):
-            tool = tool.combine_chunks()
-        dic = tool.dictionary_encode()
-        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        m = len(dic.dictionary) + 1
-        uniq = np.unique(wid * m + codes)
-        uw = uniq // m
+        uw, tool, _ = window_key_partials(batch, "tool", size_us)
         return pa.table(
             {
                 "wid": pa.array(uw),
-                "tool": dic.dictionary.take(pa.array(uniq % m, type=pa.int64())),
+                "tool": tool,
                 "part": pa.array(
                     (uw % n_parts).astype(np.int32)
                 ),
@@ -682,13 +665,8 @@ def _tool_stream_fragments(sf_dir: str) -> list[str]:
     from .core import cached_event_stream_fragments
 
     frags = cached_event_stream_fragments(sf_dir)
-    cache = os.path.join(
-        "/tmp/condor_ray_fixtures",
-        "tool_stream_v2_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:10],
-    )
-    done = os.path.join(cache, "_DONE")
-    if not os.path.exists(done):
-        os.makedirs(cache, exist_ok=True)
+
+    def build(cache: str) -> None:
         for f in frags:
             t = pq.read_table(f, columns=["conv_id", "tool", "ts"])
             t = t.filter(pc.is_valid(t["tool"]))
@@ -698,10 +676,10 @@ def _tool_stream_fragments(sf_dir: str) -> list[str]:
             tmp = f"{dst}.tmp-{os.getpid()}"
             pq.write_table(t, tmp)
             os.replace(tmp, dst)
-        open(done, "w").write("ok")
-    return sorted(
-        os.path.join(cache, f) for f in os.listdir(cache) if f.endswith(".parquet")
-    )
+
+    from .core import cached_fragment_dir
+
+    return cached_fragment_dir("tool_stream_v2", sf_dir, build)
 
 
 def streaming_query_latest_cm(sf_dir: str, window: TumblingWindow):
@@ -979,8 +957,9 @@ def hll_distinct_check(ds, window: TumblingWindow):
     for _, r in exact.iterrows():
         ws, n = int(r["window_start"]), int(r["n_convs"])
         est = ests.get(ws, 0)
+        # occ < m/2 by construction, so m - occ is always positive
         occ = (m / 2.0) * (1.0 - math.exp(-n / (m / 2.0)))
-        expected = m * math.log(m / (m - occ)) if occ < m else float(n)
+        expected = m * math.log(m / (m - occ))
         ok = abs(est - expected) <= HLL_REL_TOL * expected + 3.0
         rows.append((ws, n, bool(ok)))
     out = pd.DataFrame(rows, columns=["window_start", "n_convs", "within_bound"])

@@ -9,6 +9,8 @@ check + accuracy/pytest oracles).
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -335,7 +337,11 @@ class LangId:
     def classify(self, text: str) -> str:
         if any("一" <= c <= "鿿" for c in text[:200]):
             return "zh"
-        words = [w.lower() for w in text.split()[:80]]
+        # tokenize with the SAME whitespace class as the vectorized
+        # language_id (_WORD_RE) — str.split() also splits on \x0b and
+        # Unicode spaces, which made scalar and vectorized disagree on
+        # corpora containing them
+        words = [w.lower() for w in re.findall(_WORD_RE, text)[:80]]
         best, best_hits = "en", -1
         for lang, stops in self.tables.items():
             hits = sum(w in stops for w in words)

@@ -830,3 +830,111 @@ class TestChainKeepThreshold:
         d = set(zip(default["doc_a"], default["doc_b"]))
         k = set(zip(kept["doc_a"], kept["doc_b"]))
         assert d <= k  # connectivity edges only ever ADD pairs
+
+
+class TestWave4Regressions:
+    def test_langid_scalar_matches_vectorized_on_exotic_whitespace(
+        self, ray_session
+    ):
+        """classify and language_id must share one tokenizer: str.split()
+        also split on \\x0b / Unicode spaces, making the two disagree."""
+        import pandas as pd
+        import ray.data as rd
+
+        from condor_ray.pipelines.textstats import LangId, language_id
+
+        texts = [
+            "le\x0bla\x0bles\x0bet\x0best\x0bun\x0bune\x0bdes\x0bdu\x0bpour",
+            "the of and to in the of and to in a is",
+            "el la de que y en un ser se no",
+        ]
+        df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        got = (
+            language_id(rd.from_pandas(df))
+            .to_pandas()
+            .sort_values("doc_id")["lang_pred"]
+            .to_numpy()
+        )
+        scalar = df["text"].map(LangId().classify).to_numpy()
+        assert (got == scalar).all()
+
+    def test_streaming_asof_empty_stream_returns_typed_empty(
+        self, ray_session, tmp_path
+    ):
+        """Zero probes -> zero emit files -> result_dataset must return the
+        empty typed result, not crash on read_parquet([])."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from condor_ray.engine.streaming_asof import StreamingAsofJob
+
+        tbl = pa.table(
+            {
+                "conv_id": pa.array(["a", "b"]),
+                "turn_idx": pa.array([0, 0], pa.int64()),
+                "role": pa.array(["user", "user"]),  # no tool probes
+                "tool": pa.array([None, None], pa.string()),
+                "ts": pa.array([0, 1_000_000], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+            }
+        )
+        frag = str(tmp_path / "f0.parquet")
+        pq.write_table(tbl, frag)
+        job = StreamingAsofJob(parallelism=2, out_dir=str(tmp_path / "out"))
+        job.run([frag])
+        out = job.result_dataset()
+        assert len(out.to_pandas()) == 0
+        assert "conv_id" in out.schema().names
+        job.shutdown()
+
+    def test_fragment_cache_empty_build_raises_without_poisoning(self, tmp_path):
+        """An empty fragment build must raise instead of writing _DONE (which
+        permanently served [] to every later caller)."""
+        import os
+
+        import pytest as _pytest
+
+        from condor_ray.pipelines.core import cached_fragment_dir
+
+        calls = []
+
+        def empty_build(cache):
+            calls.append(cache)
+
+        tag = f"testcache_{os.getpid()}"
+        with _pytest.raises(RuntimeError, match="no files"):
+            cached_fragment_dir(tag, str(tmp_path), empty_build)
+
+        def real_build(cache):
+            open(os.path.join(cache, "fragment-00000.parquet"), "wb").write(b"x")
+
+        # the failed build did NOT poison the cache: a later good build wins
+        frags = cached_fragment_dir(tag, str(tmp_path), real_build)
+        assert len(frags) == 1
+
+    def test_windowed_distinct_convs_ignores_null_conv(self, ray_session):
+        """COUNT(DISTINCT conv_id) ignores NULLs in SQL; the pair extractor
+        must drop null conv rows instead of corrupting the flat keys."""
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from condor_ray.pipelines.core import windowed_distinct_convs
+        from condor_ray.windows import TumblingWindow
+
+        tbl = pa.table(
+            {
+                "conv_id": pa.array(["a", None, "b", "a", None]),
+                "ts": pa.array(
+                    [0, 1, 2, 61, 62], pa.int64()
+                ).cast(pa.timestamp("s")).cast(pa.timestamp("us")),
+            }
+        )
+        out = (
+            windowed_distinct_convs(rd.from_arrow(tbl), TumblingWindow(60_000))
+            .to_pandas()
+            .sort_values("window_start")
+            .reset_index(drop=True)
+        )
+        assert out["n_convs"].tolist() == [2, 1]  # nulls not counted
