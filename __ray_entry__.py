@@ -199,8 +199,11 @@ def _q_turns_join_tool_calls(sf_dir: str):
     from condor_ray.pipelines.join import join_turns_tool_calls
     from condor_ray.sources.events_adapter import transcripts_from_events
 
+    # one derivation: the adapter ends in an eager task exchange, so the
+    # returned Dataset is reusable refs — deriving twice would re-run the
+    # events read + user_id exchange (the most expensive stage of this row)
     turns = transcripts_from_events(sf_dir)
-    calls = tool_calls_from_transcripts(transcripts_from_events(sf_dir))
+    calls = tool_calls_from_transcripts(turns)
     return join_turns_tool_calls(turns, calls, bound_ms=5_000)
 
 
@@ -214,10 +217,11 @@ def _q_asof_user_context(sf_dir: str):
     from condor_ray.pipelines.temporal_join import asof_join
     from condor_ray.sources.events_adapter import transcripts_from_events
 
-    tool_turns = transcripts_from_events(sf_dir).map_batches(
+    turns = transcripts_from_events(sf_dir)  # eager exchange — derive once
+    tool_turns = turns.map_batches(
         lambda b: b.filter(pc.is_valid(b["tool"])), batch_format="pyarrow"
     )
-    user_turns = transcripts_from_events(sf_dir).map_batches(
+    user_turns = turns.map_batches(
         lambda b: b.filter(pc.equal(b["role"], "user")), batch_format="pyarrow"
     )
     out = asof_join(
@@ -253,10 +257,11 @@ def _q_session_interval_join(sf_dir: str):
     from condor_ray.pipelines.temporal_join import interval_join
     from condor_ray.sources.events_adapter import transcripts_from_events
 
-    tool_turns = transcripts_from_events(sf_dir).map_batches(
+    turns = transcripts_from_events(sf_dir)  # eager exchange — derive once
+    tool_turns = turns.map_batches(
         lambda b: b.filter(pc.is_valid(b["tool"])), batch_format="pyarrow"
     )
-    sessions = session_stats(transcripts_from_events(sf_dir), SESSION_GAP_MS)
+    sessions = session_stats(turns, SESSION_GAP_MS)
     out = interval_join(
         tool_turns,
         sessions,
@@ -531,13 +536,11 @@ def _q_dup_components(sf_dir: str):
     distributed min-label propagation to walk multiple hops — the SQL twin
     can still derive the same components because same-text happens to be
     transitive (the Ray operator does not rely on that)."""
-    import numpy as np
     import pyarrow as pa
     import ray.data as rd
 
-    from condor_ray.pipelines.dedup import _bucket_pair_stage
+    from condor_ray.pipelines.dedup import _bucket_pair_stage, content_hash_stage
     from condor_ray.pipelines.graph import dedup_keep_list
-    from condor_ray.runtime import worker_polars
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
@@ -559,27 +562,10 @@ def _q_dup_components(sf_dir: str):
     corpus = docs.map_batches(plant, batch_format="pyarrow").materialize()
     n_parts = 16
 
-    def hash_stage(batch: pa.Table) -> pa.Table:
-        pl = worker_polars()
-
-        text = batch["text"]
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        s = pl.from_arrow(text)
-        h1 = s.hash(seed=1).to_numpy().view(np.int64)
-        return pa.table(
-            {
-                "h1": pa.array(h1),
-                "h2": pa.array(s.hash(seed=2).to_numpy().view(np.int64)),
-                "doc_id": batch["doc_id"],
-                "part": pa.array((h1 % n_parts).astype(np.int32)),
-            }
-        )
-
     # bucket_cap=1 => every duplicate group emits a chain through its
     # sorted ids (multi-hop), not all-pairs
     pairs = (
-        corpus.map_batches(hash_stage, batch_format="pyarrow")
+        corpus.map_batches(content_hash_stage(n_parts), batch_format="pyarrow")
         .groupby("part")
         .map_groups(
             _bucket_pair_stage(("h1", "h2"), bucket_cap=1),

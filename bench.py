@@ -229,7 +229,6 @@ def run_bench() -> dict:
     # (reference target: 1M queries/s/core, QueryLatest.java:59-64)
     import numpy as np
     import pandas as pd
-    import ray as _ray
     import ray.data as _rd
 
     from condor_ray.evaluate.queries import query_count_min, query_latest

@@ -269,8 +269,9 @@ def distinct_count_exchange(pair_ds, group_col: str, key_col, n_parts: int, out_
                 np.int64
             )
         else:
-            u = block[key].to_numpy().astype(np.int64)
-            part = (((u * 0x9E3779B9) >> 16) % n_buckets).astype(np.int64)
+            from ..hashing import int_bucket_of
+
+            part = int_bucket_of(block[key].to_numpy(), n_buckets)
         return split_by_partition(block.combine_chunks(), part, n_buckets)
 
     def partial_counts(*tables):

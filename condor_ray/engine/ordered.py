@@ -129,7 +129,7 @@ def build_windowed_wavelets_from_fragments(
     n_parts = max(2, 2 * cluster_cpus())
     shard = ray.remote(num_returns=n_parts)(_shard_wavelet_fragment)
     if wave_fragments == "auto":
-        wave_fragments = 4 * ncpu
+        wave_fragments = 4 * cluster_cpus()
     if wave_fragments is not None and len(fragment_paths) > wave_fragments:
         return _build_wavelets_waved(
             fragment_paths, shard, columns, n_parts, size_us, size,

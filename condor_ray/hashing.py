@@ -326,3 +326,26 @@ def _java_hash_string_array(arr) -> np.ndarray:
                     out[r] = java_string_hash(arr[int(r)].as_py()) & _MASK32
     out &= _MASK32
     return np.where(out >= 1 << 31, out - (1 << 32), out).astype(np.int32)
+
+
+def string_bucket_of(col, n_buckets: int) -> np.ndarray:
+    """Per-row partition ids for a string column: dictionary-encode, Java-hash
+    the distinct values, golden-ratio mix, ``% n_buckets`` — the engine's ONE
+    conv/key routing rule.  State-store co-location across stages depends on
+    every site mixing identically, so route through here, never a local copy.
+    Returns int64 ids (callers cast for storage)."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    dic = col.dictionary_encode() if not pa.types.is_dictionary(col.type) else col
+    h = java_string_hash_arrow(dic.dictionary).astype(np.int64)
+    lut = ((h * 0x9E3779B9) >> 16) % n_buckets
+    codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return lut[codes]
+
+
+def int_bucket_of(u: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Golden-ratio bucket ids for an int64 key array — the int-key twin of
+    ``string_bucket_of`` (events user_id routing, int distinct-count keys)."""
+    return (((u.astype(np.int64) * 0x9E3779B9) >> 16) % n_buckets).astype(np.int64)

@@ -69,6 +69,28 @@ def main(argv: list[str] | None = None) -> dict:
     )
     args = ap.parse_args(argv)
 
+    # reject flag/pipeline combos the branch below would silently drop —
+    # an operator passing --resume to a batch pipeline must hear "this
+    # recomputes from scratch" at submit time, not after the crash
+    streaming = args.pipeline in ("cm", "hll", "cep", "sessions")
+    if not streaming:
+        for flag, on in (
+            ("--checkpoint-dir", args.checkpoint_dir is not None),
+            ("--resume", args.resume),
+            ("--no-final-flush", args.no_final_flush),
+        ):
+            if on:
+                ap.error(
+                    f"{flag} is only supported by the streaming pipelines "
+                    f"(cm/hll/cep/sessions); --pipeline {args.pipeline} is "
+                    "batch and always recomputes from scratch"
+                )
+    if args.slide_ms is not None and args.pipeline not in ("cm", "hll"):
+        ap.error(
+            f"--slide-ms only applies to cm/hll (sliding synopsis windows); "
+            f"--pipeline {args.pipeline} ignores it"
+        )
+
     import ray
 
     if not ray.is_initialized():

@@ -222,32 +222,15 @@ def cm_tool_frequencies(ds, window: TumblingWindow, width=65536, height=5, seed=
         .drop_columns(["count()"])
     )
 
-    # join (broadcast the small synopsis stream into the per-window tool list)
-    syn_pd = syn.to_pandas()  # small: one row per window
+    # query inside a map over the SYNOPSIS stream: each task holds only its
+    # own windows' payloads (MBs each at CM{65536,5}); what gets broadcast
+    # is the tiny (window, tool) list — never the sketch bytes
+    wt_pd = wt.to_pandas()
 
     def query(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for ws, grp in df.groupby("window_start"):
-            row = syn_pd[syn_pd["window_start"] == ws]
-            if row.empty:
-                continue
-            cm = Synopsis.from_bytes(row["payload"].iloc[0])
-            keys = java_string_hash_array(grp["tool"].tolist())
-            est = cm.query_batch(keys)
-            out.append(
-                pd.DataFrame(
-                    {"window_start": ws, "tool": grp["tool"].to_numpy(), "est": est}
-                )
-            )
-        if not out:
-            return pd.DataFrame(
-                {"window_start": pd.Series(dtype=np.int64),
-                 "tool": pd.Series(dtype=object),
-                 "est": pd.Series(dtype=np.int64)}
-            )
-        return pd.concat(out, ignore_index=True)
+        return _cm_point_queries(df, wt_pd, "window_start")
 
-    return wt.map_batches(query, batch_format="pandas")
+    return syn.map_batches(query, batch_format="pandas")
 
 
 def flagship_hll_pipeline(ds, window: TumblingWindow):
@@ -744,7 +727,10 @@ def _exact_window_turn_sums(ds, size_us: int) -> pd.DataFrame:
         wid = ts // size_us
         turn = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
         uniq, inv = np.unique(wid, return_inverse=True)
-        sums = np.bincount(inv, weights=turn).astype(np.int64)
+        # exact int64 scatter-add: bincount's float64 weights round past
+        # 2^53 and this sum is hash-compared against SQL's exact BIGINT
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, turn)
         return pa.table(
             {
                 "window_start": pa.array(uniq * size_us, type=pa.int64()),
@@ -941,32 +927,47 @@ def _count_window_tools_exact(sf_dir: str, size: int) -> pd.DataFrame:
     )
 
 
-def _query_cm_per_window(wt: pd.DataFrame, syn_pd: pd.DataFrame) -> pd.DataFrame:
-    """Point-query each window's tools against its CM sketch (both inputs are
-    small per-window tables)."""
+def _cm_point_queries(
+    syn_pd: pd.DataFrame, wt: pd.DataFrame, win_col: str
+) -> pd.DataFrame:
+    """Point-query each synopsis row's window tools against its CM payload.
+
+    ``syn_pd``: (win_col, payload, …) — may be ONE map task's batch of the
+    synopsis stream (payloads stay local) or the full driver-side frame;
+    ``wt``: the small (win_col, tool) list of keys to probe.  The single
+    home of the from_bytes + java-hash + query_batch + empty-frame logic
+    (two sites drifted apart before this helper)."""
+    by_win = {int(w): g["tool"].to_numpy() for w, g in wt.groupby(win_col)}
     out = []
-    for wid, grp in wt.groupby("window_id"):
-        row = syn_pd[syn_pd["window_id"] == wid]
-        if row.empty:
+    for _, r in syn_pd.iterrows():
+        w = int(r[win_col])
+        tools = by_win.get(w)
+        if tools is None or not len(tools):
             continue
-        cm = Synopsis.from_bytes(row["payload"].iloc[0])
-        keys = java_string_hash_array(grp["tool"].tolist())
+        cm = Synopsis.from_bytes(r["payload"])
+        keys = java_string_hash_array(tools.tolist())
         out.append(
             pd.DataFrame(
                 {
-                    "window_id": np.full(len(grp), wid, dtype=np.int64),
-                    "tool": grp["tool"].to_numpy(),
+                    win_col: np.full(len(tools), w, dtype=np.int64),
+                    "tool": tools,
                     "est": cm.query_batch(keys).astype(np.int64),
                 }
             )
         )
     if not out:
         return pd.DataFrame(
-            {"window_id": pd.Series(dtype=np.int64),
+            {win_col: pd.Series(dtype=np.int64),
              "tool": pd.Series(dtype=object),
              "est": pd.Series(dtype=np.int64)}
         )
     return pd.concat(out, ignore_index=True)
+
+
+def _query_cm_per_window(wt: pd.DataFrame, syn_pd: pd.DataFrame) -> pd.DataFrame:
+    """Point-query each window's tools against its CM sketch (both inputs are
+    small per-window tables; count-window callers, window_id axis)."""
+    return _cm_point_queries(syn_pd, wt, "window_id")
 
 
 def streaming_count_window_tool_freq(sf_dir: str, size: int = 500, parallelism: int = 4):
@@ -975,8 +976,6 @@ def streaming_count_window_tool_freq(sf_dir: str, size: int = 500, parallelism: 
     conn/.../processor/SynopsisBuilder.java:218-221, with the documented
     global-ordinal deviation) — watermark = max ordinal seen, exactly-once
     emission, same SQL oracle as the batch count-window query."""
-    import hashlib
-    import os
     import tempfile
 
     from ..engine.streaming import StreamingSynopsisJob

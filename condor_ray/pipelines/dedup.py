@@ -44,16 +44,11 @@ def with_planted_duplicates(ds, every: int = 7, offset: int = 10_000):
     return ds.map_batches(dup, batch_format="pyarrow")
 
 
-def exact_dedup(ds, n_parts: int | None = None):
-    """Keep the smallest doc_id per distinct text.  Returns doc_id, n_copies.
-
-    Content hashing is vectorized (polars xxhash64 with two independent seeds
-    -> a 128-bit key, collision-safe at web scale); the shuffle carries only
-    (h1, h2, doc_id) triples.  The conquer step hash-partitions on h1 into a
-    BOUNDED number of groups and runs one vectorized polars group_by per
-    partition — Ray's native sort-based aggregate costs ~50 us per distinct
-    group, which dominates once distinct texts reach the millions."""
-    n_parts = n_parts or default_n_parts()
+def content_hash_stage(n_parts: int):
+    """Batch fn: (doc_id, text) -> (h1, h2, doc_id, part) — the engine's ONE
+    128-bit content-hash + h1-partition stage (polars xxhash64, seeds 1/2).
+    ``exact_dedup`` and the dup-components pipeline must shard identically;
+    keep the hashing scheme here, never in per-site copies."""
 
     def hash_stage(batch: pa.Table) -> pa.Table:
         pl = worker_polars()
@@ -71,6 +66,21 @@ def exact_dedup(ds, n_parts: int | None = None):
                 "part": pa.array((h1 % n_parts).astype(np.int32)),
             }
         )
+
+    return hash_stage
+
+
+def exact_dedup(ds, n_parts: int | None = None):
+    """Keep the smallest doc_id per distinct text.  Returns doc_id, n_copies.
+
+    Content hashing is vectorized (polars xxhash64 with two independent seeds
+    -> a 128-bit key, collision-safe at web scale); the shuffle carries only
+    (h1, h2, doc_id) triples.  The conquer step hash-partitions on h1 into a
+    BOUNDED number of groups and runs one vectorized polars group_by per
+    partition — Ray's native sort-based aggregate costs ~50 us per distinct
+    group, which dominates once distinct texts reach the millions."""
+    n_parts = n_parts or default_n_parts()
+    hash_stage = content_hash_stage(n_parts)
 
     def agg(g: pd.DataFrame) -> pd.DataFrame:
         pl = worker_polars()

@@ -3,10 +3,12 @@
 North-rule requirement (not in the reference, SURVEY §2.7 last row): correlate
 each tool turn with its tool-call record on conv_id within a time bound.
 
-Join semantics: ``turns t JOIN tool_calls c ON t.conv_id = c.conv_id AND
-c.ts BETWEEN t.ts AND t.ts + bound`` (tool calls fire 0..bound after their
-turn).  Orphan calls (conv absent) match nothing; duplicate calls produce
-duplicate output rows — both asserted by tests on the F2 fixture.
+Join semantics (matches the SQL oracle exactly): ``turns t JOIN tool_calls c
+ON t.conv_id = c.conv_id AND t.tool = c.tool AND c.ts BETWEEN t.ts AND
+t.ts + bound``, with NULL-tool turns dropped before the join (NULL never
+equals anything).  Tool calls fire 0..bound after their turn.  Orphan calls
+(conv absent) match nothing; duplicate calls produce duplicate output rows —
+both asserted by tests on the F2 fixture.
 
 Physical plan (batch): the engine's task-based two-sided hash exchange
 (``engine.exchange``): each block shards by hash(conv_id) % B via

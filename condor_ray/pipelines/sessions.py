@@ -29,19 +29,11 @@ def _conv_partition(n_parts: int):
     conversation costs ~0.5 ms dispatch — fatal at millions of convs)."""
     import pyarrow as pa
 
-    from ..hashing import java_string_hash_arrow
+    from ..hashing import string_bucket_of
 
     def add_part(batch: pa.Table) -> pa.Table:
-        conv = batch["conv_id"]
-        if isinstance(conv, pa.ChunkedArray):
-            conv = conv.combine_chunks()
-        dic = conv.dictionary_encode()
-        h = java_string_hash_arrow(dic.dictionary).astype(np.int64)
-        lut = ((h * 0x9E3779B9) >> 16) % n_parts
-        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        return batch.append_column(
-            "part", pa.array(lut[codes].astype(np.int32))
-        )
+        part = string_bucket_of(batch["conv_id"], n_parts)
+        return batch.append_column("part", pa.array(part.astype(np.int32)))
 
     return add_part
 
@@ -100,7 +92,7 @@ def session_stats(ds, gap_ms: int, n_parts: int | None = None):
     import pyarrow as pa
 
     from ..engine.exchange import hash_exchange
-    from ..hashing import java_string_hash_arrow
+    from ..hashing import string_bucket_of
 
     def shard(block, n_buckets: int):
         """Project to (conv_id, turn_idx, ts µs) and route by conv hash."""
@@ -118,10 +110,7 @@ def session_stats(ds, gap_ms: int, n_parts: int | None = None):
         conv = block["conv_id"]
         if isinstance(conv, pa.ChunkedArray):
             conv = conv.combine_chunks()
-        dic = conv.dictionary_encode()
-        h = java_string_hash_arrow(dic.dictionary).astype(np.int64)
-        lut = ((h * 0x9E3779B9) >> 16) % n_buckets
-        part = lut[dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+        part = string_bucket_of(conv, n_buckets)
         proj = pa.table(
             {
                 "conv_id": conv,
@@ -341,7 +330,7 @@ def session_synopses(
         )
 
     from ..engine.exchange import hash_exchange, split_by_partition
-    from ..hashing import java_string_hash_arrow
+    from ..hashing import string_bucket_of
 
     n_parts = 64
 
@@ -364,10 +353,7 @@ def session_synopses(
         conv = block["conv_id"]
         if isinstance(conv, pa.ChunkedArray):
             conv = conv.combine_chunks()
-        dic = conv.dictionary_encode()
-        h = java_string_hash_arrow(dic.dictionary).astype(np.int64)
-        lut = ((h * 0x9E3779B9) >> 16) % n_buckets
-        part = lut[dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+        part = string_bucket_of(conv, n_buckets)
         proj = pa.table(
             {
                 "conv_id": conv,

@@ -21,6 +21,8 @@ classification/*.java (each exercises one synopsis end-to-end).
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -248,12 +250,18 @@ def cuckoo_membership(ds, window: TumblingWindow):
     for ws, tool in zip(wt["window_start"].tolist(), wt["tool"].tolist()):
         by_window.setdefault(int(ws), set()).add(tool)
 
+    # "even-numbered" is defined only for names shaped tool_<int> (the
+    # events-adapter universe, same rule as the SQL twin's substr cast);
+    # other observed names simply stay in the filter instead of crashing
+    # the parse.
+    tool_num = re.compile(r"^tool_(\d+)$")
     ws_out, names, present = [], [], []
     for _, r in syn.iterrows():
         cf = Synopsis.from_bytes(r["payload"])
         w = int(r["window_start"])
         for tool in sorted(by_window.get(w, ())):
-            if int(tool.split("_")[1]) % 2 == 0:
+            m = tool_num.match(tool)
+            if m and int(m.group(1)) % 2 == 0:
                 cf.delete(int(java_string_hash_array([tool])[0]))
         hits = cf.lookup_batch(probe_keys)
         ws_out.extend([w] * len(TOOL_UNIVERSE))
@@ -657,7 +665,6 @@ def streaming_windowed_topk_tools(sf_dir: str, window: TumblingWindow,
 
 def _tool_stream_fragments(sf_dir: str) -> list[str]:
     """ts-ordered tool-row fragments (tool IS NOT NULL), cached per sf_dir."""
-    import hashlib
     import os
 
     import pyarrow.parquet as pq

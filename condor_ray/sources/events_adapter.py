@@ -112,8 +112,9 @@ def transcripts_from_events(sf_dir: str, n_parts: int | None = None):
             return tuple(empty for _ in range(n_buckets))  # schemaless guard
         from ..engine.exchange import split_by_partition
 
-        u = block["user_id"].to_numpy().astype(np.int64)
-        part = (((u * 0x9E3779B9) >> 16) % n_buckets).astype(np.int64)
+        from ..hashing import int_bucket_of
+
+        part = int_bucket_of(block["user_id"].to_numpy(), n_buckets)
         return split_by_partition(block.combine_chunks(), part, n_buckets)
 
     # pinned output schema: an all-None tool bucket must still be string,

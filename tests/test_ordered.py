@@ -175,6 +175,17 @@ class TestWaveBoundedFragmentBuild:
         for a, b in zip(single["payload"], waved["payload"]):
             assert a == b  # bit-identical managers
 
+    def test_auto_wave_default_matches_single_shot(
+        self, ray_session, wave_fragments_fixture
+    ):
+        # the "auto" default is what bench.py and the job CLI hit — it must
+        # resolve its wave size from the cluster, not crash (r5 regression)
+        single = self._build(wave_fragments_fixture, None)
+        auto = self._build(wave_fragments_fixture, "auto")
+        assert (single["n_rows"].to_numpy() == auto["n_rows"].to_numpy()).all()
+        for a, b in zip(single["payload"], auto["payload"]):
+            assert a == b
+
     def test_out_of_order_fragment_list_still_correct(
         self, ray_session, wave_fragments_fixture
     ):
