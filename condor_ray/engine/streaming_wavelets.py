@@ -57,8 +57,8 @@ def _split_wavelet_fragment(
     """Order-and-index one fragment: establish the stream order, assign
     global per-window ordinals continuing from ``counters``, and cut into P
     round-robin shards.  Returns (meta, new_counters, shard_0..shard_{P-1});
-    shard_p = Table(window_id, pos, value) where pos is the ordinal // P
-    append position.
+    shard_p = Table(window_id, value) in stream order (row order is the
+    ordinal // P append order for that builder).
 
     Ordering modes:
     - ``mini_batch=None`` (default): full (ts, conv_id, turn_idx) sort — the
@@ -96,31 +96,35 @@ def _split_wavelet_fragment(
     values = KeyExtractor(key_spec)(table)[order].astype(np.float64)
     wid = ts // size_us
 
-    # global ordinals per window, continuing from the carry-in counters
-    new_counters = dict(counters)
-    ordinals = np.empty(len(wid), dtype=np.int64)
+    # global ordinals per window, continuing from the carry-in counters.
+    # Closed windows (end <= carry-in watermark) can never receive new
+    # ordinals — the late filter above drops their rows — so their counter
+    # entries are pruned here, keeping the carried dict O(open windows)
+    # instead of growing one dead entry per window ever seen.
+    new_counters = {
+        w: c for w, c in counters.items()
+        if (w + 1) * size_us > watermark_us
+    }
+    ordinals = np.zeros(len(wid), dtype=np.int64)
     # stable two-pass: per unique window, arange offset by the carried count
     uniq, inv, counts = np.unique(wid, return_inverse=True, return_counts=True)
-    # position of each row within its window, preserving row order
-    within = np.zeros(len(wid), dtype=np.int64)
     if len(wid):
         offsets = {int(u): int(new_counters.get(int(u), 0)) for u in uniq}
-        # cumulative count per window in stream order
-        seen = np.zeros(len(uniq), dtype=np.int64)
         # vectorized "running count by group": sort rows by (inv, position)
         order2 = np.argsort(inv, kind="stable")
-        ranks = np.empty(len(wid), dtype=np.int64)
-        ranks[order2] = np.arange(len(wid)) - np.repeat(
+        within = np.empty(len(wid), dtype=np.int64)
+        within[order2] = np.arange(len(wid)) - np.repeat(
             np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
         )
-        within = ranks
         base = np.asarray([offsets[int(u)] for u in uniq], dtype=np.int64)
         ordinals = base[inv] + within
         for u, c in zip(uniq, counts):
             new_counters[int(u)] = offsets[int(u)] + int(c)
 
+    # shards carry only (window_id, value): the builder appends in row
+    # order, which IS ascending ordinal // P per (window, p) — shipping the
+    # position explicitly would cost 8 bytes/row for nothing
     sub = ordinals % parallelism
-    pos = ordinals // parallelism
     shards = []
     for p in range(parallelism):
         m = sub == p
@@ -128,7 +132,6 @@ def _split_wavelet_fragment(
             pa.table(
                 {
                     "window_id": pa.array(wid[m], type=pa.int64()),
-                    "pos": pa.array(pos[m], type=pa.int64()),
                     "value": pa.array(values[m], type=pa.float64()),
                 }
             )
@@ -170,13 +173,16 @@ class WaveletBuilderActor:
             self.counts[w] += hi - lo
         return shard.num_rows
 
-    def collect(self, window_ids: list[int]) -> dict:
+    def collect_below(self, threshold: int) -> dict:
+        """Pop and return every held window with id < threshold — O(open
+        windows), never an enumeration of the id range (epoch-scale window
+        ids make ``range(0, watermark // size)`` a multi-million-entry list
+        on the very first close)."""
         out = {}
-        for w in window_ids:
-            syn = self.wavelets.pop(w, None)
+        for w in [w for w in self.wavelets if w < threshold]:
+            syn = self.wavelets.pop(w)
             cnt = self.counts.pop(w, 0)
-            if syn is not None:
-                out[w] = (syn.to_bytes(), cnt)
+            out[w] = (syn.to_bytes(), cnt)
         return out
 
 
@@ -214,22 +220,10 @@ class StreamingWaveletJob:
         size_us = self.window.size_us
         if self.watermark == _NEG_INF:
             return 0
-        last_closed = (
-            self.closed_through if self.closed_through != _NEG_INF else None
-        )
         close_until = self.watermark // size_us  # windows with end <= wm
-        wids_open = set()
-        # ask builders which windows they hold (implicit: collect closes them)
-        to_close = None
-        # collect every window id < close_until that any builder holds
+        # pop every held window id < close_until from each builder
         maps = ray.get(
-            [
-                b.collect.remote(list(range(
-                    last_closed if last_closed is not None else 0, close_until
-                ))) if last_closed is not None else
-                b.collect.remote(list(range(0, close_until)))
-                for b in self.builders
-            ]
+            [b.collect_below.remote(close_until) for b in self.builders]
         )
         self.closed_through = close_until
         all_wids = sorted({w for m in maps for w in m})

@@ -81,6 +81,19 @@ def brute_force_topk(ds, query_vecs: np.ndarray, query_ids: np.ndarray, k: int =
             np.matmul(qc, mt, out=buf)
             np.negative(buf, out=buf)  # ascending argpartition == cosine desc
             part = np.argpartition(buf, kk - 1, axis=1)[:, :kk]
+            # tie repair: argpartition picks an ARBITRARY subset of elements
+            # tied at the k-th score (duplicate embeddings make exact ties
+            # common), which can drop the smallest-vec_id winner before the
+            # final merge ever sees it.  Detect rows where ties straddle the
+            # selection boundary and redo just those with the exact
+            # (cosine DESC, vec_id ASC) order — rare, so the O(n log n)
+            # per-row fallback never shows up in aggregate.
+            sel_neg = np.take_along_axis(buf, part, axis=1)
+            thr = sel_neg.max(axis=1)  # negated k-th (worst kept) score
+            at_thr_all = (buf == thr[:, None]).sum(axis=1)
+            at_thr_sel = (sel_neg == thr[:, None]).sum(axis=1)
+            for r in np.flatnonzero(at_thr_all > at_thr_sel):
+                part[r] = np.lexsort((ids, buf[r]))[:kk]
             out_v[q0 : q0 + q_chunk] = ids[part]
             out_s[q0 : q0 + q_chunk] = -np.take_along_axis(buf, part, axis=1)
         return pa.table(
@@ -95,33 +108,9 @@ def brute_force_topk(ds, query_vecs: np.ndarray, query_ids: np.ndarray, k: int =
         )
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow")
-
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        # one vectorized merge per hash partition of queries — NEVER one Ray
-        # group per query (per-group dispatch costs ~0.5-1 ms, fatal for
-        # thousands of standing queries)
-        qid = g["query_id"].to_numpy()
-        vid = g["vec_id"].to_numpy()
-        cos = g["cosine"].to_numpy()
-        order = np.lexsort((vid, -cos, qid))
-        qid, vid = qid[order], vid[order]
-        boundary = np.empty(len(qid), dtype=bool)
-        if len(qid):
-            boundary[0] = True
-            boundary[1:] = qid[1:] != qid[:-1]
-        starts = np.flatnonzero(boundary)
-        gid = np.cumsum(boundary) - 1
-        rank = np.arange(len(qid), dtype=np.int64) - starts[gid] + 1
-        keep = rank <= k
-        return pd.DataFrame(
-            {
-                "query_id": qid[keep],
-                "rank": rank[keep],
-                "vec_id": vid[keep],
-            }
-        )
-
-    return partials.groupby("part").map_groups(final_topk, batch_format="pandas")
+    # shared hash-partitioned merge (one vectorized lexsort per partition,
+    # never one Ray group per query) — same stage ivf_search finishes with
+    return _merge_topk_by_part(partials, k)
 
 
 class _LshIndexStage:

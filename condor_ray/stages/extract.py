@@ -4,8 +4,9 @@ Mirrors the reference's one-field key extractors
 (bench/.../sources/utils/SyntheticExtractKeyField.java:7-21,
 NYCExtractKeyField) — but as Arrow column projections inside ``map_batches``
 instead of per-row map functions.  String keys hash with
-``java.lang.String.hashCode`` semantics through a per-extractor cache
-(conv_ids and tool names repeat heavily, so the cache amortizes to O(unique)).
+``java.lang.String.hashCode`` semantics via the vectorized
+``java_string_hash_arrow`` kernel, which dictionary-encodes long columns so
+only distinct values hash (conv_ids and tool names repeat heavily).
 """
 
 from __future__ import annotations
@@ -30,7 +31,6 @@ class KeyExtractor:
 
     def __init__(self, spec: KeySpec):
         self.spec = spec
-        self._cache: dict[str, int] = {}
 
     def __call__(self, batch: pa.Table) -> np.ndarray:
         col = batch[self.spec.field]

@@ -173,6 +173,11 @@ class EquiWidthHistogram4LT:
         old_len = (self.upper_bound - self.lower_bound) / old_n
         self.bucket_length = old_len * 8
         self.num_buckets = int(math.ceil(old_n / 8.0))
+        # reference quirk (EquiWidthHistogram4LT.java:24-25): the pad is
+        # old_n % 8, NOT (8 - old_n % 8) % 8, so the reported upper_bound can
+        # land INSIDE the last 8-wide bucket (e.g. 10 buckets -> bound +2
+        # while the grid spans +6).  Kept bit-exact; range_query clamps to
+        # num_buckets so only the bound accessor exposes the inconsistency.
         extra = old_n % 8
         self.upper_bound += extra * old_len
         # Java Arrays.copyOfRange zero-pads reads past the end; pad to the

@@ -828,10 +828,23 @@ class DistributedWaveletsManager(NonMergeableSynopsisManager):
         self.elements_processed += synopsis.stream_element_counter
         super().add_synopsis(synopsis)
 
+    def unify(self, other: "NonMergeableSynopsisManager") -> None:
+        # deviation from the reference base unify (which extends the list
+        # WITHOUT updating parallelism, silently breaking the i % parallelism
+        # index contract): route through add_synopsis so parallelism and
+        # elements_processed track the actual wavelet count
+        for s in other.unified_synopses:
+            self.add_synopsis(s)
+
     def point_query(self, index: int) -> float:
         wavelet = self.unified_synopses[self.get_synopsis_index(index)]
         local = self.get_local_index(index)
-        if local > wavelet.stream_element_counter:
+        # the == boundary is the reference's quirk (local == counter is
+        # admitted); an EMPTY sub-wavelet (a builder that saw no rows of a
+        # sparse window — the streaming engine pads those) has nothing to
+        # query and returns the same -1.0 no-element sentinel instead of
+        # crashing in padding()
+        if local > wavelet.stream_element_counter or wavelet.stream_element_counter == 0:
             return -1.0
         return wavelet.point_query(local)
 
@@ -846,9 +859,10 @@ class DistributedWaveletsManager(NonMergeableSynopsisManager):
             pr = right_local
             if i + right_local * self.parallelism > right_index:
                 pr -= 1
-            if pl > pr:
+            if pl > pr or self.unified_synopses[i].stream_element_counter == 0:
                 # this wavelet holds no element of the range (sparse window /
-                # narrow range); the reference would throw here — skip instead
+                # narrow range / padded-empty builder); the reference would
+                # throw here — skip instead, contributing 0
                 continue
             range_sum += self.unified_synopses[i].range_sum_query(pl, pr)
         return range_sum
@@ -928,5 +942,11 @@ class SliceWaveletsManager(NonMergeableSynopsisManager):
                 if i == rm
                 else self.slice_start_indices[i + 1] - prev - 1
             )
+            if rl < ll:
+                # an EMPTY slice (duplicate start indices: a slice with no
+                # rows) holds no element of the range; the reference would
+                # throw inside the inner rangeSumQuery — skip instead (the
+                # same deviation DistributedWaveletsManager documents)
+                continue
             total += self.unified_synopses[i].range_sum_query(ll, rl)
         return total

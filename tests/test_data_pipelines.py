@@ -102,6 +102,27 @@ class TestANN:
             )
             assert got == expected
 
+    def test_brute_force_tie_break_with_duplicate_embeddings(self, ray_session):
+        # k+1 identical vectors in ONE batch: argpartition alone keeps an
+        # arbitrary k-subset of the tied candidates; the tie repair must
+        # keep the smallest vec_ids (cosine DESC, vec_id ASC contract)
+        import pyarrow as pa
+
+        from condor_ray.pipelines.similarity import brute_force_topk
+
+        rng = np.random.default_rng(11)
+        base = rng.normal(size=8)
+        dup = np.tile(base, (7, 1))  # vec_ids 0..6, all identical
+        rest = rng.normal(size=(20, 8))
+        mat = np.vstack([dup, rest])
+        ids = np.arange(len(mat), dtype=np.int64)
+        ds = rd.from_arrow(
+            pa.table({"vec_id": ids, "embedding": list(mat)})
+        )
+        out = brute_force_topk(ds, base[None, :], np.array([99]), k=5).to_pandas()
+        got = out.sort_values("rank")["vec_id"].tolist()
+        assert got == [0, 1, 2, 3, 4]
+
     def test_lsh_recall(self, ray_session):
         from condor_ray.pipelines.similarity import brute_force_topk, lsh_topk
 

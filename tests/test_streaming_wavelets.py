@@ -119,11 +119,13 @@ class TestMiniBatchReorder:
 
     @staticmethod
     def _reconstruct(shards, P):
-        """Global value sequence from round-robin shards (ordinal = pos*P+p)."""
+        """Global value sequence from round-robin shards.  Shards carry no
+        explicit position — row order IS the append order, so builder p's
+        i-th row sits at global ordinal i*P + p (single-window fixture)."""
         seq = {}
         for p, s in enumerate(shards):
-            for pos, v in zip(s["pos"].to_numpy(), s["value"].to_numpy()):
-                seq[pos * P + p] = v
+            for i, v in enumerate(s["value"].to_numpy()):
+                seq[i * P + p] = v
         return [seq[i] for i in range(len(seq))]
 
     @staticmethod

@@ -646,6 +646,57 @@ class TestWaveletManagers:
             assert mgr.point_query(i) == pytest.approx(data[i], abs=1e-9)
         assert mgr.range_sum_query(10, 49) == pytest.approx(data[10:50].sum(), abs=1e-7)
 
+    def test_distributed_padded_empty_wavelet_point_query(self):
+        # sparse window: 2 rows at parallelism 4 — the streaming engine pads
+        # builders 2/3 with EMPTY wavelets; querying their indices must return
+        # the -1.0 no-element sentinel, not crash in padding()
+        mgr = DistributedWaveletsManager(0, None)
+        for p in range(4):
+            w = WaveletSynopsis(64)
+            if p < 2:
+                w._update_one(float(p + 1))
+            mgr.add_synopsis(w)
+        assert mgr.point_query(0) == pytest.approx(1.0)
+        assert mgr.point_query(1) == pytest.approx(2.0)
+        assert mgr.point_query(2) == -1.0
+        assert mgr.point_query(3) == -1.0
+        assert mgr.range_sum_query(0, 3) == pytest.approx(3.0, abs=1e-9)
+
+    def test_distributed_unify_keeps_index_contract(self):
+        # base-class unify extends the list without touching parallelism
+        # (the reference's latent contract break); the override must route
+        # through add_synopsis so i % parallelism stays correct
+        data = RNG.uniform(0, 10, 32)
+        a, b = DistributedWaveletsManager(0, None), DistributedWaveletsManager(0, None)
+        wavelets = [WaveletSynopsis(64) for _ in range(4)]
+        for i in range(32):
+            wavelets[i % 4]._update_one(data[i])
+        for w in wavelets[:2]:
+            a.add_synopsis(w)
+        for w in wavelets[2:]:
+            b.add_synopsis(w)
+        a.unify(b)
+        assert a.parallelism == 4
+        for i in range(32):
+            assert a.point_query(i) == pytest.approx(data[i], abs=1e-9)
+
+    def test_slice_manager_skips_empty_slice_in_range(self):
+        # an empty slice (duplicate start indices) inside the queried range
+        # is skipped, not a ValueError from the inner wavelet
+        data = RNG.uniform(0, 10, 40)
+        mgr = SliceWaveletsManager(None)
+        w1 = WaveletSynopsis(64)
+        w1.update_batch(data[:20])
+        mgr.add_synopsis(w1)
+        mgr.add_synopsis(WaveletSynopsis(64))  # empty mid-window slice
+        w3 = WaveletSynopsis(64)
+        w3.update_batch(data[20:])
+        mgr.add_synopsis(w3)
+        assert mgr.range_sum_query(0, 39) == pytest.approx(data.sum(), abs=1e-7)
+        assert mgr.range_sum_query(5, 30) == pytest.approx(
+            data[5:31].sum(), abs=1e-7
+        )
+
 
 # ------------------------------------------------- secondary histogram kernels
 class TestHistogramsExtra:
