@@ -621,15 +621,6 @@ def _q_ivf_topk(sf_dir: str):
     return ivf_topk(ds, qv, qid, k=10, n_centroids=16, n_probe=16)
 
 
-def _q_minhash_neardup(sf_dir: str):
-    import ray.data as rd
-
-    from condor_ray.pipelines.dedup import minhash_lsh_pairs
-
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return minhash_lsh_pairs(docs, jaccard_threshold=0.5)
-
-
 def _q_minhash_dedup_keep(sf_dir: str):
     """End-to-end near-dup dedup: MinHash-LSH pairs -> connected components
     -> one kept representative per cluster (rows-only: LSH pair sets are

@@ -16,9 +16,6 @@ import os
 import subprocess
 import tempfile
 
-_wavelet_lib: ctypes.CDLL | None = None
-_wavelet_tried = False
-
 
 def _compile_cached(src_path: str, tag: str) -> str:
     """Compile ``src_path`` into a digest-keyed cached .so; return its path."""
@@ -57,96 +54,84 @@ def _compile_cached(src_path: str, tag: str) -> str:
     return so
 
 
-def load_wavelet_native() -> ctypes.CDLL | None:
-    """dlopen (compiling if needed) the wavelet build kernel, or None."""
-    global _wavelet_lib, _wavelet_tried
+# tag -> loaded CDLL or None (failed once -> pure-Python fallback forever)
+_libs: dict[str, ctypes.CDLL | None] = {}
+
+
+def _load_native(tag: str, src_file: str, configure) -> ctypes.CDLL | None:
+    """The single loader every kernel shares: NO_NATIVE gate, once-per-process
+    attempt cache, compile + dlopen, argtype setup via ``configure(lib)``.
+    Any failure caches ``None`` so the fallback decision is made exactly once
+    per process (three near-identical copies of this logic drifted before)."""
     if os.environ.get("CONDOR_RAY_NO_NATIVE"):
         return None
-    if _wavelet_tried:
-        return _wavelet_lib
-    _wavelet_tried = True
+    if tag in _libs:
+        return _libs[tag]
     try:
-        src = os.path.join(os.path.dirname(__file__), "wavelet.c")
-        lib = ctypes.CDLL(_compile_cached(src, "wavelet"))
-        lib.wv_new.restype = ctypes.c_void_p
-        lib.wv_new.argtypes = [ctypes.c_int64]
-        lib.wv_free.argtypes = [ctypes.c_void_p]
-        lib.wv_free.restype = None
-        lib.wv_update.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
-        lib.wv_update.restype = None
-        lib.wv_export_counts.argtypes = [
-            ctypes.c_void_p,
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_double),
-        ]
-        lib.wv_export_counts.restype = ctypes.c_int64
-        lib.wv_export.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 5
-        lib.wv_export.restype = ctypes.c_int64
-        _wavelet_lib = lib
+        src = os.path.join(os.path.dirname(__file__), src_file)
+        lib = ctypes.CDLL(_compile_cached(src, tag))
+        configure(lib)
+        _libs[tag] = lib
     except Exception:
-        _wavelet_lib = None
-    return _wavelet_lib
+        _libs[tag] = None
+    return _libs[tag]
 
 
-_png_lib: ctypes.CDLL | None = None
-_png_tried = False
+def _configure_wavelet(lib: ctypes.CDLL) -> None:
+    lib.wv_new.restype = ctypes.c_void_p
+    lib.wv_new.argtypes = [ctypes.c_int64]
+    lib.wv_free.argtypes = [ctypes.c_void_p]
+    lib.wv_free.restype = None
+    lib.wv_update.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+    lib.wv_update.restype = None
+    lib.wv_export_counts.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.wv_export_counts.restype = ctypes.c_int64
+    lib.wv_export.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 5
+    lib.wv_export.restype = ctypes.c_int64
+
+
+def load_wavelet_native() -> ctypes.CDLL | None:
+    """dlopen (compiling if needed) the wavelet build kernel, or None."""
+    return _load_native("wavelet", "wavelet.c", _configure_wavelet)
+
+
+def _configure_png(lib: ctypes.CDLL) -> None:
+    lib.png_unfilter.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+        ctypes.c_long,
+        ctypes.c_long,
+        ctypes.c_long,
+    ]
+    lib.png_unfilter.restype = ctypes.c_int
 
 
 def load_png_native() -> ctypes.CDLL | None:
     """dlopen (compiling if needed) the PNG unfilter kernel, or None."""
-    global _png_lib, _png_tried
-    if os.environ.get("CONDOR_RAY_NO_NATIVE"):
-        return None
-    if _png_tried:
-        return _png_lib
-    _png_tried = True
-    try:
-        src = os.path.join(os.path.dirname(__file__), "png.c")
-        lib = ctypes.CDLL(_compile_cached(src, "png"))
-        lib.png_unfilter.argtypes = [
-            ctypes.c_void_p,
-            ctypes.c_void_p,
-            ctypes.c_long,
-            ctypes.c_long,
-            ctypes.c_long,
-        ]
-        lib.png_unfilter.restype = ctypes.c_int
-        _png_lib = lib
-    except Exception:
-        _png_lib = None
-    return _png_lib
+    return _load_native("png", "png.c", _configure_png)
 
 
-_cm_lib: ctypes.CDLL | None = None
-_cm_tried = False
+def _configure_cm(lib: ctypes.CDLL) -> None:
+    for fn in (lib.cm_query_dense, lib.cm_update_dense):
+        fn.restype = None
+    lib.cm_query_dense.argtypes = [
+        ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.cm_update_dense.argtypes = [
+        ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_int32,
+    ]
 
 
 def load_cm_native() -> ctypes.CDLL | None:
     """dlopen (compiling if needed) the fused CM query/update kernel."""
-    global _cm_lib, _cm_tried
-    if os.environ.get("CONDOR_RAY_NO_NATIVE"):
-        return None
-    if _cm_tried:
-        return _cm_lib
-    _cm_tried = True
-    try:
-        src = os.path.join(os.path.dirname(__file__), "cmquery.c")
-        lib = ctypes.CDLL(_compile_cached(src, "cmquery"))
-        for fn in (lib.cm_query_dense, lib.cm_update_dense):
-            fn.restype = None
-        lib.cm_query_dense.argtypes = [
-            ctypes.c_void_p, ctypes.c_long,
-            ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
-            ctypes.c_void_p, ctypes.c_void_p,
-        ]
-        lib.cm_update_dense.argtypes = [
-            ctypes.c_void_p, ctypes.c_long,
-            ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
-            ctypes.c_void_p, ctypes.c_int32,
-        ]
-        _cm_lib = lib
-    except Exception:
-        _cm_lib = None
-    return _cm_lib
+    return _load_native("cmquery", "cmquery.c", _configure_cm)

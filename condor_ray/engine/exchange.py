@@ -236,8 +236,10 @@ def distinct_count_exchange(pair_ds, group_col: str, key_col, n_parts: int, out_
     per-bucket partials — the caller finishes with a tiny groupby-sum over
     ~``n_parts`` blocks.  ``key_col`` is ``(name, pa_type)`` with
     ``pa_type`` one of ``pa.string()`` / ``pa.int64()`` (the empty-shard
-    face and the hash kernel derive from it).  Shared by
-    ``windowed_distinct_convs`` and ``session_stats`` — keep the
+    face and the hash kernel derive from it).  Shards are projected to
+    exactly ``(group_col, key)`` so extra input columns neither widen the
+    wire nor drift the schema vs the 2-column empty face.  Shared by
+    ``windowed_distinct_convs`` and ``count_window_distinct`` — keep the
     schemaless-block guard and hash choices HERE, not in per-site copies.
     """
     import numpy as np
@@ -260,6 +262,7 @@ def distinct_count_exchange(pair_ds, group_col: str, key_col, n_parts: int, out_
         )
         if block.num_rows == 0 or key not in block.schema.names:
             return tuple(empty for _ in range(n_buckets))  # schemaless guard
+        block = block.select([group_col, key])  # match the empty face
         if is_str:
             pl = worker_polars()
             col = block[key]

@@ -421,13 +421,17 @@ class StreamingSynopsisJob:
         return True
 
     # -- close cycle -------------------------------------------------------
-    def _close_windows(self, fragment_idx: int):
+    def _close_windows(self, fragment_idx: int, wm: int | None = None):
         """Emit every window whose end <= watermark and not yet emitted.
         Fires an async merge+emit task and returns its ObjectRef (or None if
         nothing closed) — close cycles from successive fragments overlap, so
         the conquer step parallelizes instead of serializing the driver loop.
-        Idempotent per fragment index."""
-        wm = self.watermark
+        Idempotent per fragment index.  ``wm`` overrides the close horizon
+        for the end-of-input flush WITHOUT mutating ``self.watermark`` — a
+        continuation run() after a final flush must keep the true max-seen
+        watermark or its late filter silently drops in-order rows."""
+        if wm is None:
+            wm = self.watermark
         to_emit: list[tuple[int, int]] = []  # (window_def_idx, window_id)
         for wi, w in enumerate(self.windows):
             stride = w.size_us if isinstance(w, TumblingWindow) else w.slide_us
@@ -564,12 +568,16 @@ class StreamingSynopsisJob:
             if self.checkpoint_dir and self.next_fragment % self.checkpoint_every == 0:
                 self._checkpoint()
         if final_flush and self.watermark > _NEG_INF:
-            # end of stream: advance the watermark just past the last window
+            # end of stream: close with a horizon just past the last window
             # containing data (a literal +inf would make the close loop
-            # enumerate windows forever)
+            # enumerate windows forever).  Local override only — mutating
+            # self.watermark here would make a continuation run() late-drop
+            # every row within max_span behind the true watermark.
             max_span = max(w.size_us for w in self.windows)
-            self.watermark = self.watermark + max_span + self.slice_us
-            ref = self._close_windows(len(fragment_paths))
+            ref = self._close_windows(
+                len(fragment_paths),
+                wm=self.watermark + max_span + self.slice_us,
+            )
             if ref is not None:
                 ray.get(ref)
         if final_flush:
@@ -684,9 +692,13 @@ class StreamingSynopsisJob:
                 )
             self.next_fragment = k + 1
         if final_flush and self.watermark > _NEG_INF:
+            # local flush horizon only (see _close_windows): self.watermark
+            # must stay the true max-seen ts for any continuation run()
             max_span = max(w.size_us for w in self.windows)
-            self.watermark = self.watermark + max_span + self.slice_us
-            ref = self._close_windows(len(fragment_paths))
+            ref = self._close_windows(
+                len(fragment_paths),
+                wm=self.watermark + max_span + self.slice_us,
+            )
             if ref is not None:
                 emit_refs.append(ref)
         n_windows = sum(ray.get(emit_refs)) if emit_refs else 0

@@ -29,7 +29,6 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 
-from ..hashing import java_string_hash_arrow
 from ..pipelines.cep import Step, find_match_starts, find_relaxed_matches
 from ..stages.extract import ts_to_us
 from .emit import atomic_emit

@@ -17,7 +17,6 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 
-from ..hashing import java_string_hash_arrow
 from .emit import atomic_emit
 from ..state.join_store import JoinStateStore
 from .streaming import _NEG_INF, conv_partition_ids

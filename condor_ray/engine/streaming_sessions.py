@@ -47,7 +47,6 @@ from ..synopses.registry import make_synopsis
 from ..windows import SessionWindow
 from .emit import atomic_emit
 from .streaming import _NEG_INF, conv_partition_ids
-from ..hashing import java_string_hash_arrow
 
 _EMPTY_SCHEMA = {
     "conv_id": pa.string(),

@@ -216,11 +216,13 @@ class StreamingWaveletJob:
         self.total_rows = 0
         self.total_late = 0
 
-    def _close(self, fragment_idx: int) -> int:
+    def _close(self, fragment_idx: int, wm: int | None = None) -> int:
         size_us = self.window.size_us
-        if self.watermark == _NEG_INF:
+        if wm is None:
+            wm = self.watermark
+        if wm == _NEG_INF:
             return 0
-        close_until = self.watermark // size_us  # windows with end <= wm
+        close_until = wm // size_us  # windows with end <= wm
         # pop every held window id < close_until from each builder
         maps = ray.get(
             [b.collect_below.remote(close_until) for b in self.builders]
@@ -303,8 +305,11 @@ class StreamingWaveletJob:
                     + "\n"
                 )
         if final_flush and self.watermark > _NEG_INF:
-            self.watermark += size_us + 1
-            emitted += self._close(len(fragment_paths))
+            # local flush horizon only — mutating self.watermark would make
+            # a continuation run() late-drop a full window span of rows
+            emitted += self._close(
+                len(fragment_paths), wm=self.watermark + size_us + 1
+            )
         return {
             "rows": self.total_rows,
             "late_dropped": self.total_late,

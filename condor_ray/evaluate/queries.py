@@ -78,14 +78,18 @@ def _cached_synopsis(gen_key, sub_key, fetch_payload) -> Synopsis:
     return syn
 
 
-# Per-worker cache of the DESERIALIZED broadcast payload (the archive list /
+# Per-worker cache of the DESERIALIZED broadcast payload (an archive CHUNK /
 # stratum table).  ray.get re-unpickles the whole object on every call, so
-# without this an evaluator pays the O(archive-bytes) deserialize once per
+# without this an evaluator pays the O(broadcast-bytes) deserialize once per
 # batch (stratified variants) or once per synopsis-cache miss (timestamped)
-# instead of once per worker per generation.  Tiny cap: a worker pool only
-# ever interleaves a handful of evaluator jobs.
+# instead of once per worker per generation.  The timestamped path broadcasts
+# its archive in _ARCHIVE_CHUNK-window chunks precisely so this cache pins at
+# most _BCAST_CACHE_CAP chunks per worker — never the full multi-GB archive a
+# max_synopsis_count=1e6 run can carry (the _SYN_CACHE_CAP bound would be
+# meaningless with the raw payload list pinned beneath it).
 _BCAST_CACHE: dict = {}
 _BCAST_CACHE_CAP = 4
+_ARCHIVE_CHUNK = 256
 
 
 def _cached_broadcast(gen_key, ref):
@@ -183,8 +187,15 @@ def query_timestamped(query_ds, synopsis_ds, query_fn: QueryFn, max_synopsis_cou
         return _empty_result_evaluator(query_ds)
     starts = syn["window_start"].to_numpy(np.int64)
     ends = syn["window_end"].to_numpy(np.int64)
-    payloads_ref = ray.put(list(syn["payload"]))
-    gen = payloads_ref.hex()
+    # chunked broadcast: a worker touching window w fetches only its
+    # _ARCHIVE_CHUNK-window chunk, so per-worker heap is bounded by
+    # _BCAST_CACHE_CAP chunks regardless of archive size
+    payloads = list(syn["payload"])
+    chunk_refs = [
+        ray.put(payloads[i : i + _ARCHIVE_CHUNK])
+        for i in range(0, len(payloads), _ARCHIVE_CHUNK)
+    ]
+    gen = chunk_refs[0].hex()
 
     import pyarrow as pa
 
@@ -199,8 +210,11 @@ def query_timestamped(query_ds, synopsis_ds, query_fn: QueryFn, max_synopsis_cou
         keys = col.to_numpy(zero_copy_only=False)
         results = np.empty(batch.num_rows, dtype=np.float64)
         for w in np.unique(idx):
+            ci, off = int(w) // _ARCHIVE_CHUNK, int(w) % _ARCHIVE_CHUNK
             syn_w = _cached_synopsis(
-                gen, int(w), lambda: _cached_broadcast(gen, payloads_ref)[int(w)]
+                gen,
+                int(w),
+                lambda: _cached_broadcast((gen, ci), chunk_refs[ci])[off],
             )
             m = idx == w
             results[m] = query_fn(syn_w, keys[m])

@@ -226,9 +226,14 @@ def cm_tool_frequencies(ds, window: TumblingWindow, width=65536, height=5, seed=
     # own windows' payloads (MBs each at CM{65536,5}); what gets broadcast
     # is the tiny (window, tool) list — never the sketch bytes
     wt_pd = wt.to_pandas()
+    # pre-group once on the driver: each map task would otherwise re-group
+    # the full (window, tool) frame per batch
+    by_win = {
+        int(w): g["tool"].to_numpy() for w, g in wt_pd.groupby("window_start")
+    }
 
     def query(df: pd.DataFrame) -> pd.DataFrame:
-        return _cm_point_queries(df, wt_pd, "window_start")
+        return _cm_point_queries(df, by_win, "window_start")
 
     return syn.map_batches(query, batch_format="pandas")
 
@@ -934,10 +939,16 @@ def _cm_point_queries(
 
     ``syn_pd``: (win_col, payload, …) — may be ONE map task's batch of the
     synopsis stream (payloads stay local) or the full driver-side frame;
-    ``wt``: the small (win_col, tool) list of keys to probe.  The single
-    home of the from_bytes + java-hash + query_batch + empty-frame logic
-    (two sites drifted apart before this helper)."""
-    by_win = {int(w): g["tool"].to_numpy() for w, g in wt.groupby(win_col)}
+    ``wt``: the small (win_col, tool) list of keys to probe — a DataFrame,
+    or a prebuilt ``{window: tools ndarray}`` dict so map tasks called once
+    per batch don't re-group the full frame every call.  The single home of
+    the from_bytes + java-hash + query_batch + empty-frame logic (two sites
+    drifted apart before this helper)."""
+    by_win = (
+        wt
+        if isinstance(wt, dict)
+        else {int(w): g["tool"].to_numpy() for w, g in wt.groupby(win_col)}
+    )
     out = []
     for _, r in syn_pd.iterrows():
         w = int(r[win_col])

@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from ..runtime import default_n_parts, worker_polars
+from ..runtime import default_n_parts
 from ..windows import sessionize
 
 

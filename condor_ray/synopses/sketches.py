@@ -108,8 +108,15 @@ class CountMinSketch(Synopsis):
         if self._dense is not None and len(values):
             lib = self._native_cm()
             if lib is not None:
-                if not self._dense.flags.c_contiguous:
-                    self._dense = np.ascontiguousarray(self._dense)
+                # writeable matters here: ascontiguousarray returns the SAME
+                # array when already contiguous, so a read-only dense buffer
+                # (e.g. zero-copy out of plasma) would be silently corrupted
+                # through the raw pointer — the numpy path raises instead
+                if not (
+                    self._dense.flags.c_contiguous
+                    and self._dense.flags.writeable
+                ):
+                    self._dense = np.array(self._dense, order="C", copy=True)
                 v = np.ascontiguousarray(values, dtype=np.int32)
                 lib.cm_update_dense(
                     v.ctypes.data, len(v),

@@ -318,3 +318,47 @@ class TestPartitionFragmentEdgeCases:
         # cadence 3 over 4 fragments + final flush: only f00002 / f00003 /
         # final may close — f00000/f00001 must NOT have emitted
         assert not any("f00000" in f or "f00001" in f for f in outs["seq"])
+
+
+class TestFlushKeepsWatermark:
+    """The end-of-input flush must close with a LOCAL horizon, not by
+    mutating job.watermark: a continuation run() after final_flush=True
+    (the documented resume-with-more-fragments pattern) otherwise
+    late-drops every row within max_span behind the true watermark."""
+
+    @staticmethod
+    def _true_max_ts_us(frags):
+        return max(
+            int(pq.read_table(f, columns=["ts"])["ts"].cast("int64").to_numpy().max())
+            for f in frags
+        )
+
+    def test_synopsis_job(self, ray_session, tiny_fixture, tmp_path):
+        frags = transcript_fragments(tiny_fixture)[:3]
+        cfg = BuildConfiguration(
+            synopsis="CountMinSketch",
+            params=(128, 3, 7),
+            windows=[TumblingWindow(W_MS)],
+            key=KeySpec("conv_id", "java_hash"),
+            parallelism=2,
+        )
+        job = StreamingSynopsisJob(cfg, str(tmp_path / "wm"))
+        job.run(frags, final_flush=True)
+        try:
+            assert job.watermark == self._true_max_ts_us(frags)
+        finally:
+            job.shutdown()
+
+    def test_wavelet_job(self, ray_session, tiny_fixture, tmp_path):
+        from condor_ray.engine.streaming_wavelets import StreamingWaveletJob
+
+        frags = transcript_fragments(tiny_fixture)[:3]
+        job = StreamingWaveletJob(
+            TumblingWindow(W_MS), str(tmp_path / "wm_wave"), size=64,
+            parallelism=2, key=KeySpec("turn_idx", "value"),
+        )
+        job.run(frags, final_flush=True)
+        try:
+            assert job.watermark == self._true_max_ts_us(frags)
+        finally:
+            job.shutdown()
