@@ -585,18 +585,27 @@ def _q_token_stats(sf_dir: str):
     )
 
 
-def _q_ann_topk(sf_dir: str):
+def _head_embeddings(sf_dir: str, n: int = 10):
+    """The first ``n`` query vectors WITHOUT pulling the whole embeddings
+    table into the driver — only the first record batch leaves storage
+    (shared by ann_topk / ivf_topk, which previously each read the full
+    table to keep 10 rows)."""
     import numpy as np
     import pyarrow.parquet as pq
 
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    head = next(pf.iter_batches(batch_size=n, columns=["vec_id", "embedding"]))
+    qv = np.stack(head["embedding"].to_pylist()).astype(np.float64)
+    qid = head["vec_id"].to_numpy()
+    return qv, qid
+
+
+def _q_ann_topk(sf_dir: str):
     import ray.data as rd
 
     from condor_ray.pipelines.similarity import brute_force_topk
 
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    head = emb.slice(0, 10)
-    qv = np.stack(head["embedding"].to_pylist()).astype(np.float64)
-    qid = head["vec_id"].to_numpy()
+    qv, qid = _head_embeddings(sf_dir)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     return brute_force_topk(ds, qv, qid, k=10)
 
@@ -606,17 +615,11 @@ def _q_ivf_topk(sf_dir: str):
     brute force exactly, so it shares the ann_topk SQL oracle — a hash match
     verifies the whole IVF machinery (train, cell assign, per-cell search,
     merge).  Approximate-mode recall is covered by pytest."""
-    import numpy as np
-    import pyarrow.parquet as pq
-
     import ray.data as rd
 
     from condor_ray.pipelines.similarity import ivf_topk
 
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    head = emb.slice(0, 10)
-    qv = np.stack(head["embedding"].to_pylist()).astype(np.float64)
-    qid = head["vec_id"].to_numpy()
+    qv, qid = _head_embeddings(sf_dir)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     return ivf_topk(ds, qv, qid, k=10, n_centroids=16, n_probe=16)
 
@@ -654,29 +657,55 @@ def _q_embedding_neardup(sf_dir: str):
     surface at threshold 0.999 (identical vectors share all LSH tables).
     Rows-only: LSH pair sets are not SQL-expressible."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     import ray.data as rd
 
     from condor_ray.pipelines.similarity import embedding_neardup_pairs
 
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
     # collision-free at any scale factor (a fixed +1e6 would collide with
-    # real vec_ids once the table reaches 1M rows)
-    id_step = int(emb["vec_id"].max()) + 1
-    dup = emb[emb["vec_id"] % 100 == 0].copy()
-    dup["vec_id"] = dup["vec_id"] + id_step
-    ds = rd.from_pandas(pd.concat([emb, dup], ignore_index=True))
+    # real vec_ids once the table reaches 1M rows).  Only the 8-byte id
+    # column touches the driver — duplicates are planted per batch inside
+    # map_batches (the full-table to_pandas + from_pandas this replaced
+    # held every vector on the driver and emitted ONE block).
+    id_step = (
+        int(
+            pc.max(
+                pq.read_table(
+                    f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+                )["vec_id"]
+            ).as_py()
+        )
+        + 1
+    )
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        dup = batch.filter(pa.array(ids.to_numpy() % 100 == 0))
+        dup = dup.set_column(
+            dup.schema.get_field_index("vec_id"),
+            "vec_id",
+            pc.add(dup["vec_id"], id_step),
+        )
+        return pa.concat_tables([batch, dup])
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet").map_batches(
+        plant, batch_format="pyarrow"
+    )
     pairs = embedding_neardup_pairs(ds, threshold=0.999)
-    planted = np.sort(emb[emb["vec_id"] % 100 == 0]["vec_id"].to_numpy())
 
     def check(batch):
-        import pyarrow as pa
-
+        # planted membership is arithmetic: a real id (< id_step) divisible
+        # by 100 whose partner is its +id_step copy
         a = batch["vec_a"].to_numpy()
-        found = np.isin(a, planted) & (
-            batch["vec_b"].to_numpy() == a + id_step
+        found = (
+            (a % 100 == 0)
+            & (a < id_step)
+            & (batch["vec_b"].to_numpy() == a + id_step)
         )
         return batch.append_column("is_planted", pa.array(found))
 

@@ -24,6 +24,7 @@ equal the batch ``queryLatest`` result — the driver-gate equivalence.
 
 from __future__ import annotations
 
+import bisect
 import os
 
 import numpy as np
@@ -32,6 +33,63 @@ import pyarrow.parquet as pq
 
 from ..synopses.base import Synopsis
 from .queries import asof_route
+
+
+class _BoundedArchive:
+    """windowStart-ordered bounded synopsis archive (the reference's TreeSet,
+    QueryTimestampedFunction.java:52-79) with O(1) amortized insert/evict.
+
+    Eviction advances a head pointer and compacts only when half the backing
+    list is dead — ``pop(0)`` shifted the whole list on EVERY insert once the
+    archive hit its cap (O(windows x cap) over a long run).  In-order arrivals
+    (the normal case: windows close in start order) append; out-of-order
+    inserts bisect like the old searchsorted side='left'.  The numpy views
+    ``asof_route`` needs are cached between mutations instead of rebuilt per
+    arrival batch."""
+
+    def __init__(self, cap: int):
+        self.cap = cap
+        self._starts: list[int] = []
+        self._ends: list[int] = []
+        self._payloads: list[bytes] = []
+        self._head = 0
+        self._np: tuple[np.ndarray, np.ndarray] | None = None
+
+    def __len__(self) -> int:
+        return len(self._starts) - self._head
+
+    def insert(self, ws: int, we: int, payload: bytes) -> None:
+        if len(self) >= self.cap:
+            # evict the oldest window (TreeSet.pollFirst, :77-79)
+            self._head += 1
+            if self._head * 2 > len(self._starts):
+                del self._starts[: self._head]
+                del self._ends[: self._head]
+                del self._payloads[: self._head]
+                self._head = 0
+        if not len(self) or ws > self._starts[-1]:
+            self._starts.append(ws)
+            self._ends.append(we)
+            self._payloads.append(payload)
+        else:
+            i = bisect.bisect_left(self._starts, ws, self._head)
+            self._starts.insert(i, ws)
+            self._ends.insert(i, we)
+            self._payloads.insert(i, payload)
+        self._np = None
+
+    def views(self) -> tuple[np.ndarray, np.ndarray]:
+        """(starts, ends) int64 arrays over the live entries."""
+        if self._np is None:
+            self._np = (
+                np.asarray(self._starts[self._head :], dtype=np.int64),
+                np.asarray(self._ends[self._head :], dtype=np.int64),
+            )
+        return self._np
+
+    def payload(self, i: int) -> bytes:
+        """Payload for live index ``i`` (as routed by asof_route)."""
+        return self._payloads[self._head + i]
 
 
 def _flush_first_synopsis(cycle, buffered_frames, query_fn, payload, ws, we, results):
@@ -178,24 +236,14 @@ class ContinuousQueryTimestamped:
         self.job = job
         self.query_fn = query_fn
         self.max_synopsis_count = max_synopsis_count
-        self.starts: list[int] = []  # sorted by window_start
-        self.ends: list[int] = []
-        self.payloads: list[bytes] = []
+        self.archive = _BoundedArchive(max_synopsis_count)
         self.buffered: list[pd.DataFrame] = []
         self.results: list[pd.DataFrame] = []
         self._seen_emits: set[str] = set()
 
     def _insert(self, cycle: int, ws: int, we: int, payload: bytes) -> None:
-        first = not self.starts
-        if not first and len(self.starts) >= self.max_synopsis_count:
-            # evict the oldest window (TreeSet.pollFirst, :77-79)
-            self.starts.pop(0)
-            self.ends.pop(0)
-            self.payloads.pop(0)
-        i = int(np.searchsorted(np.asarray(self.starts, dtype=np.int64), ws))
-        self.starts.insert(i, ws)
-        self.ends.insert(i, we)
-        self.payloads.insert(i, payload)
+        first = len(self.archive) == 0
+        self.archive.insert(ws, we, payload)
         if first and self.buffered:
             _flush_first_synopsis(
                 cycle, self.buffered, self.query_fn, payload, ws, we, self.results
@@ -224,11 +272,10 @@ class ContinuousQueryTimestamped:
     def _arrive(self, cycle: int, queries: pd.DataFrame | None) -> None:
         if queries is None or len(queries) == 0:
             return
-        if not self.starts:
+        if len(self.archive) == 0:
             self.buffered.append(queries)
             return
-        starts = np.asarray(self.starts, dtype=np.int64)
-        ends = np.asarray(self.ends, dtype=np.int64)
+        starts, ends = self.archive.views()
         ts = queries["query_ts"].to_numpy().astype(np.int64)
         idx, ok = asof_route(starts, ends, ts)
         if not ok.any():
@@ -238,7 +285,7 @@ class ContinuousQueryTimestamped:
         out = hit.copy()
         res = np.empty(len(hit), dtype=np.float64)
         for w in np.unique(widx):
-            synopsis = Synopsis.from_bytes(self.payloads[int(w)])
+            synopsis = Synopsis.from_bytes(self.archive.payload(int(w)))
             m = widx == w
             res[m] = self.query_fn(synopsis, hit["query_key"].to_numpy()[m])
         out["result"] = res
@@ -292,8 +339,8 @@ class ContinuousQueryTimestampedStratified:
         self.job = job
         self.query_fn = query_fn
         self.max_synopsis_count = max_synopsis_count
-        # stratum -> ([starts], [ends], [payloads]) sorted by window_start
-        self.archive: dict[str, tuple[list[int], list[int], list[bytes]]] = {}
+        # stratum -> bounded windowStart-ordered archive
+        self.archive: dict[str, _BoundedArchive] = {}
         self.buffered: dict[str, list[pd.DataFrame]] = {}
         self.results: list[pd.DataFrame] = []
         self._seen_emits: set[str] = set()
@@ -303,16 +350,8 @@ class ContinuousQueryTimestampedStratified:
     ) -> None:
         first = stratum not in self.archive
         if first:
-            self.archive[stratum] = ([], [], [])
-        starts, ends, payloads = self.archive[stratum]
-        if not first and len(starts) >= self.max_synopsis_count:
-            starts.pop(0)
-            ends.pop(0)
-            payloads.pop(0)
-        i = int(np.searchsorted(np.asarray(starts, dtype=np.int64), ws))
-        starts.insert(i, ws)
-        ends.insert(i, we)
-        payloads.insert(i, payload)
+            self.archive[stratum] = _BoundedArchive(self.max_synopsis_count)
+        self.archive[stratum].insert(ws, we, payload)
         if first and stratum in self.buffered:
             _flush_first_synopsis(
                 cycle, self.buffered.pop(stratum), self.query_fn,
@@ -345,9 +384,8 @@ class ContinuousQueryTimestampedStratified:
             if stratum not in self.archive:
                 self.buffered.setdefault(stratum, []).append(g)
                 continue
-            starts_l, ends_l, payloads = self.archive[stratum]
-            starts = np.asarray(starts_l, dtype=np.int64)
-            ends = np.asarray(ends_l, dtype=np.int64)
+            arch = self.archive[stratum]
+            starts, ends = arch.views()
             ts = g["query_ts"].to_numpy().astype(np.int64)
             idx, ok = asof_route(starts, ends, ts)
             if not ok.any():
@@ -357,7 +395,7 @@ class ContinuousQueryTimestampedStratified:
             out = hit.copy()
             res = np.empty(len(hit), dtype=np.float64)
             for w in np.unique(widx):
-                synopsis = Synopsis.from_bytes(payloads[int(w)])
+                synopsis = Synopsis.from_bytes(arch.payload(int(w)))
                 m = widx == w
                 res[m] = self.query_fn(synopsis, hit["query_key"].to_numpy()[m])
             out["result"] = res

@@ -90,6 +90,10 @@ def main(argv: list[str] | None = None) -> dict:
             f"--slide-ms only applies to cm/hll (sliding synopsis windows); "
             f"--pipeline {args.pipeline} ignores it"
         )
+    if args.slide_ms is not None and args.slide_ms <= 0:
+        # the window constructor below uses `if args.slide_ms` — a falsy 0
+        # would silently build a tumbling window the operator didn't ask for
+        ap.error("--slide-ms must be a positive number of milliseconds")
 
     import ray
 
@@ -132,7 +136,10 @@ def main(argv: list[str] | None = None) -> dict:
             parallelism=parallelism,
         )
         job = StreamingSynopsisJob(
-            cfg, args.out, columns=[args.key, "ts"],
+            # conv_id must always ride along: the fragment splitter
+            # partitions on it, so a non-default --key (e.g. tool) would
+            # otherwise KeyError inside the first split task
+            cfg, args.out, columns=sorted({args.key, "conv_id", "ts"}),
             checkpoint_dir=args.checkpoint_dir,
             checkpoint_every=args.checkpoint_every,
         )

@@ -305,3 +305,29 @@ def test_stratified_timestamped_per_stratum_archive(ray_session, tmp_path):
     assert int(a1["result"].iloc[0]) == 5 and int(a1["window_start"].iloc[0]) == W_US
     b1 = res[res["tag"] == "b-w1"]
     assert int(b1["result"].iloc[0]) == 2 and int(b1["window_start"].iloc[0]) == W_US
+
+
+def test_bounded_archive_structure():
+    """_BoundedArchive: head-pointer eviction + compaction must preserve the
+    TreeSet view (sorted live entries, oldest-evicted) through long
+    insert/evict streams and out-of-order arrivals."""
+    import numpy as np
+
+    from condor_ray.evaluate.continuous import _BoundedArchive
+
+    arch = _BoundedArchive(cap=5)
+    # long in-order stream: 100 inserts at cap 5 -> many evict+compact cycles
+    for w in range(100):
+        arch.insert(w * 10, w * 10 + 10, str(w).encode())
+    starts, ends = arch.views()
+    assert len(arch) == 5
+    assert list(starts) == [950, 960, 970, 980, 990]
+    assert list(ends) == [960, 970, 980, 990, 1000]
+    assert [arch.payload(i) for i in range(5)] == [b"95", b"96", b"97", b"98", b"99"]
+    # out-of-order insert lands sorted (and evicts the oldest first)
+    arch.insert(965, 975, b"late")
+    starts2, _ = arch.views()
+    assert list(starts2) == [960, 965, 970, 980, 990]
+    assert arch.payload(1) == b"late"
+    # views() caching invalidates on mutation
+    assert np.shares_memory(starts2, arch.views()[0])

@@ -186,3 +186,31 @@ class TestJobCli:
         assert len(a) == len(b)
         assert (a["window_start"] == b["window_start"]).all()
         assert all(x == y for x, y in zip(a["payload"], b["payload"]))
+
+
+class TestCliFlagHygiene:
+    def test_non_default_key_runs(self, ray_session, fragments, tmp_path):
+        """--key tool: the splitter partitions on conv_id, so the read must
+        carry conv_id alongside the key column (regression: KeyError in the
+        first split task)."""
+        from condor_ray.job import main
+
+        out = str(tmp_path / "key_tool")
+        summary = main(
+            ["--pipeline", "cm", "--input", fragments, "--out", out,
+             "--window-ms", "5000", "--parallelism", "2", "--key", "tool"]
+        )
+        assert summary["rows"] == 15000
+        assert summary["windows_emitted"] > 0
+
+    def test_zero_slide_rejected(self, fragments, tmp_path):
+        """--slide-ms 0 must error, not silently build a tumbling window
+        (the window constructor's falsy-zero check would pick tumbling)."""
+        from condor_ray.job import main
+
+        with pytest.raises(SystemExit):
+            main(
+                ["--pipeline", "cm", "--input", fragments,
+                 "--out", str(tmp_path / "x"), "--window-ms", "5000",
+                 "--slide-ms", "0"]
+            )
