@@ -593,8 +593,19 @@ def _head_embeddings(sf_dir: str, n: int = 10):
     import numpy as np
     import pyarrow.parquet as pq
 
+    import pyarrow as pa
+
     pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
-    head = next(pf.iter_batches(batch_size=n, columns=["vec_id", "embedding"]))
+    got, rows = 0, []
+    # iter_batches never spans row groups — accumulate in case the file's
+    # first row group is shorter than n (read_table().slice(0, n) crossed
+    # row-group boundaries; keep that contract)
+    for b in pf.iter_batches(batch_size=n, columns=["vec_id", "embedding"]):
+        rows.append(b)
+        got += b.num_rows
+        if got >= n:
+            break
+    head = pa.Table.from_batches(rows).slice(0, n)
     qv = np.stack(head["embedding"].to_pylist()).astype(np.float64)
     qid = head["vec_id"].to_numpy()
     return qv, qid

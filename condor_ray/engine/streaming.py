@@ -348,7 +348,20 @@ class StreamingSynopsisJob:
         self.out_dir = out_dir
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
-        self.columns = columns
+        # the fragment splitter partitions on conv_id and watermarks on ts,
+        # and the stores key/stratify on the configured columns — union them
+        # into any caller-provided projection so a non-default --key can't
+        # KeyError inside the first split task (the general form
+        # StreamingSessionJob already uses; callers needn't know engine
+        # internals to pick a projection)
+        need = {"conv_id", "ts"}
+        if config.sample_elements:
+            need.add("turn_idx")  # _element_keys joins (conv_id, turn_idx)
+        else:
+            need.add(config.key.field)
+        if config.stratify_by:
+            need.add(config.stratify_by)
+        self.columns = sorted(need if columns is None else set(columns) | need)
         self.close_every = max(1, close_every)
         os.makedirs(out_dir, exist_ok=True)
         if checkpoint_dir:

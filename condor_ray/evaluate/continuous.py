@@ -51,7 +51,7 @@ class _BoundedArchive:
         self.cap = cap
         self._starts: list[int] = []
         self._ends: list[int] = []
-        self._payloads: list[bytes] = []
+        self._payloads: list[bytes | None] = []  # None = evicted slot
         self._head = 0
         self._np: tuple[np.ndarray, np.ndarray] | None = None
 
@@ -60,7 +60,11 @@ class _BoundedArchive:
 
     def insert(self, ws: int, we: int, payload: bytes) -> None:
         if len(self) >= self.cap:
-            # evict the oldest window (TreeSet.pollFirst, :77-79)
+            # evict the oldest window (TreeSet.pollFirst, :77-79); null the
+            # dead payload slot NOW so peak payload memory stays O(cap) —
+            # compaction alone would hold up to cap dead payloads (MB each
+            # for big CM sketches) until half the backing list is dead
+            self._payloads[self._head] = None
             self._head += 1
             if self._head * 2 > len(self._starts):
                 del self._starts[: self._head]

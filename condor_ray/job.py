@@ -94,6 +94,11 @@ def main(argv: list[str] | None = None) -> dict:
         # the window constructor below uses `if args.slide_ms` — a falsy 0
         # would silently build a tumbling window the operator didn't ask for
         ap.error("--slide-ms must be a positive number of milliseconds")
+    if args.window_ms is not None and args.window_ms <= 0:
+        # window-ms 0 would divide-by-zero in the slice assignment (numpy
+        # int64 // 0 only WARNS and yields 0 — every row lands in one
+        # zero-width window instead of erroring)
+        ap.error("--window-ms must be a positive number of milliseconds")
 
     import ray
 
@@ -136,10 +141,8 @@ def main(argv: list[str] | None = None) -> dict:
             parallelism=parallelism,
         )
         job = StreamingSynopsisJob(
-            # conv_id must always ride along: the fragment splitter
-            # partitions on it, so a non-default --key (e.g. tool) would
-            # otherwise KeyError inside the first split task
-            cfg, args.out, columns=sorted({args.key, "conv_id", "ts"}),
+            # the job unions conv_id/ts/key into the projection itself
+            cfg, args.out,
             checkpoint_dir=args.checkpoint_dir,
             checkpoint_every=args.checkpoint_every,
         )

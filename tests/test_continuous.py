@@ -331,3 +331,6 @@ def test_bounded_archive_structure():
     assert arch.payload(1) == b"late"
     # views() caching invalidates on mutation
     assert np.shares_memory(starts2, arch.views()[0])
+    # evicted payload slots are nulled IMMEDIATELY (peak payload memory is
+    # O(cap), not O(2 x cap) waiting for compaction)
+    assert all(p is None for p in arch._payloads[: arch._head])

@@ -203,6 +203,17 @@ class TestCliFlagHygiene:
         assert summary["rows"] == 15000
         assert summary["windows_emitted"] > 0
 
+    def test_zero_window_rejected(self, fragments, tmp_path):
+        """--window-ms 0 must error (int64 // 0 only warns in numpy, so a
+        zero-width window would silently swallow every row)."""
+        from condor_ray.job import main
+
+        with pytest.raises(SystemExit):
+            main(
+                ["--pipeline", "cm", "--input", fragments,
+                 "--out", str(tmp_path / "x"), "--window-ms", "0"]
+            )
+
     def test_zero_slide_rejected(self, fragments, tmp_path):
         """--slide-ms 0 must error, not silently build a tumbling window
         (the window constructor's falsy-zero check would pick tumbling)."""
