@@ -44,7 +44,9 @@ def split_by_partition(tbl, part, n_parts: int):
     import numpy as np
     import pyarrow as pa
 
-    order = np.argsort(part, kind="stable")
+    from ..stages.extract import stable_partition_order
+
+    order = stable_partition_order(part, n_parts)
     bounds = np.searchsorted(part[order], np.arange(n_parts + 1))
     sel = pa.array(order)
     return tuple(

@@ -26,7 +26,7 @@ import pyarrow as pa
 
 from ..config import KeySpec
 from ..runtime import cluster_cpus
-from ..stages.extract import KeyExtractor, ts_to_us
+from ..stages.extract import KeyExtractor, stable_partition_order, ts_to_us
 from ..synopses.base import Synopsis
 from ..synopses.wavelets import DistributedWaveletsManager, WaveletSynopsis
 from ..windows import TumblingWindow
@@ -59,7 +59,7 @@ def _shard_wavelet_block(
     if isinstance(conv, pa.ChunkedArray):
         conv = conv.combine_chunks()
     part = wid % n_parts
-    order = np.argsort(part, kind="stable")
+    order = stable_partition_order(part, n_parts)
     bounds = np.searchsorted(part[order], np.arange(n_parts + 1))
     out = []
     for q in range(n_parts):

@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 import ray
 
 from ..pipelines.cep import Step, find_match_starts, find_relaxed_matches
-from ..stages.extract import ts_to_us
+from ..stages.extract import stable_partition_order, ts_to_us
 from .emit import atomic_emit
 from .streaming import _NEG_INF, conv_partition_ids
 
@@ -59,7 +59,7 @@ def _partition_cep_fragment(
     ts = ts_to_us(table["ts"])
     frag_max = int(ts.max()) if n else _NEG_INF
     part, _, _ = conv_partition_ids(table["conv_id"], parallelism)
-    order = np.argsort(part, kind="stable")
+    order = stable_partition_order(part, parallelism)
     sorted_tbl = table.take(pa.array(order))
     counts = np.bincount(part, minlength=parallelism)
     offsets = np.concatenate([[0], np.cumsum(counts)])

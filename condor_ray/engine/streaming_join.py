@@ -19,6 +19,7 @@ import ray
 
 from .emit import atomic_emit
 from ..state.join_store import JoinStateStore
+from ..stages.extract import stable_partition_order
 from .streaming import _NEG_INF, conv_partition_ids
 
 
@@ -28,7 +29,7 @@ def _split_by_conv(path: str, parallelism: int, columns: list[str] | None):
     their shard directly, nothing round-trips through the driver."""
     table = pq.read_table(path, columns=columns)
     part, _, _ = conv_partition_ids(table["conv_id"], parallelism)
-    order = np.argsort(part, kind="stable")
+    order = stable_partition_order(part, parallelism)
     sorted_tbl = table.take(pa.array(order))
     counts = np.bincount(part, minlength=parallelism)
     offsets = np.concatenate([[0], np.cumsum(counts)])

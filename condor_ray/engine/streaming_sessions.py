@@ -41,7 +41,7 @@ import pyarrow.parquet as pq
 import ray
 
 from ..config import BuildConfiguration
-from ..stages.extract import KeyExtractor, ts_to_us
+from ..stages.extract import KeyExtractor, stable_partition_order, ts_to_us
 from ..synopses.base import Synopsis
 from ..synopses.registry import make_synopsis
 from ..windows import SessionWindow
@@ -76,7 +76,7 @@ def _partition_session_fragment(
     frag_min = int(ts.min()) if n else 2**62
 
     part, _, _ = conv_partition_ids(table["conv_id"], parallelism)
-    order = np.argsort(part, kind="stable")
+    order = stable_partition_order(part, parallelism)
     sorted_tbl = table.take(pa.array(order))
     counts = np.bincount(part, minlength=parallelism)
     offsets = np.concatenate([[0], np.cumsum(counts)])

@@ -19,6 +19,21 @@ from ..config import KeySpec
 from ..hashing import java_string_hash_arrow
 
 
+def stable_partition_order(part: np.ndarray, n_parts: int) -> np.ndarray:
+    """Stable argsort of per-row partition ids, radix-fast.
+
+    numpy's stable argsort is a radix sort for integer dtypes, and its cost
+    scales with the WIDTH of the dtype: sorting the same ids as uint8 is
+    ~7x faster than as int64 (one radix pass vs eight).  Every splitter /
+    exchange shards by ``part = hash % n_parts`` with small n_parts, so the
+    narrow cast is free.  Shared by all shard-by-partition sites."""
+    if n_parts <= 256 and part.dtype != np.uint8:
+        part = part.astype(np.uint8)
+    elif n_parts <= 65536 and part.itemsize > 2:
+        part = part.astype(np.uint16)
+    return np.argsort(part, kind="stable")
+
+
 def ts_to_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """timestamp[us] column -> int64 epoch-microsecond ndarray (zero-copy)."""
     if isinstance(col, pa.ChunkedArray):
