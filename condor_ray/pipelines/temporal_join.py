@@ -88,9 +88,26 @@ def asof_join(
     overlap = set(left_cols) & set(right_cols)
     if overlap:
         raise ValueError(f"left/right output names collide: {sorted(overlap)}")
+    reserved = {key, "ts_us"} & (set(left_cols) | set(right_cols))
+    if reserved:
+        # a projection named like the key (or the surfaced ts) would
+        # overwrite the routing/join column inside the shard tasks —
+        # silently scattering same-key rows across buckets
+        raise ValueError(
+            f"output names collide with the join columns: {sorted(reserved)}"
+        )
 
     def _arrow_type(schema, src):
         t = dict(zip(schema.names, schema.types))[src]
+        if not isinstance(t, pa.DataType):
+            # pandas-backed datasets surface numpy dtypes; object means
+            # strings in every projection this operator supports
+            t = pa.string() if t == np.dtype(object) else pa.from_numpy_dtype(t)
+        if pa.types.is_dictionary(t):
+            # the combine's pandas round-trip re-encodes dictionaries with
+            # whatever index width fits the bucket — canonicalize to the
+            # value type so the block cast never sees an index mismatch
+            t = t.value_type
         return pa.int64() if pa.types.is_timestamp(t) else t
 
     # the union needs one schema: null columns for the absent side carry the
@@ -123,11 +140,33 @@ def asof_join(
 
     all_types = {**left_types, **right_types}
     out_cols = [key, "ts_us", *left_cols, *right_cols]
+    # ONE canonical output schema enforced on every emitted block (both
+    # plans): right-side numerics are float64 (unmatched rows are null in
+    # some blocks), strings stay strings — without the cast, empty buckets
+    # and all-matched batches drift null/int64 against their siblings and
+    # the result Dataset can't be concatenated or written
+    out_schema = pa.schema(
+        [
+            (key, pa.string()),
+            ("ts_us", pa.int64()),
+            *[(n, left_types[n]) for n in left_cols],
+            *[
+                (
+                    n,
+                    pa.float64()
+                    if pa.types.is_integer(right_types[n])
+                    or pa.types.is_floating(right_types[n])
+                    else right_types[n],
+                )
+                for n in right_cols
+            ],
+        ]
+    )
 
     if broadcast:
         return _asof_broadcast(
             left_ds, right_ds, key, ts, right_ts, left_cols, right_cols,
-            right_order, tolerance_us, out_cols, all_types, direction,
+            right_order, tolerance_us, out_cols, out_schema, direction,
         )
 
     from ..engine.exchange import two_sided_hash_exchange
@@ -143,7 +182,7 @@ def asof_join(
     def _combine(n_left, *tables):
         return _asof_bucket_join(
             n_left, key, list(left_cols), list(right_cols),
-            list(right_order), tolerance_us, direction, *tables,
+            list(right_order), tolerance_us, direction, out_schema, *tables,
         )
 
     return two_sided_hash_exchange(
@@ -179,6 +218,10 @@ def _shard_asof_side(tbl, n_parts: int, key: str, ts_col: str, cols: dict, types
         col = tbl[src]
         if pa.types.is_timestamp(col.type):
             col = col.cast(pa.int64())
+        elif pa.types.is_dictionary(col.type):
+            # match the canonical (decayed) empty face — a dictionary shard
+            # concatenated against a plain-typed empty shard won't fold
+            col = col.cast(col.type.value_type)
         proj[name] = col
     from ..engine.exchange import split_by_partition
 
@@ -195,12 +238,14 @@ def _asof_bucket_join(
     right_order: list,
     tolerance_us,
     direction: str,
+    out_schema,
     *tables,
 ):
     """Per-bucket conquer: concat the bucket's left + right shards, ONE
-    merge_asof.  Right-side numeric outputs are emitted as float64 in every
-    bucket (unmatched left rows are NaN in some buckets — a stable schema
-    across blocks beats per-bucket int/float drift)."""
+    merge_asof.  Every emitted block is cast to ``out_schema`` (right-side
+    numerics are float64 there — unmatched left rows are NaN in some
+    buckets, and a stable schema across blocks beats per-bucket int/float
+    or string/null drift)."""
     import pyarrow as pa
 
     out_cols = [key, "ts_us", *left_names, *right_names]
@@ -211,33 +256,24 @@ def _asof_bucket_join(
         for c in right_names:
             if pd.api.types.is_numeric_dtype(df[c]):
                 df[c] = df[c].astype(np.float64)
-        return pa.Table.from_pandas(df[out_cols], preserve_index=False)
-
-    # shard tables carry the canonical per-side schema even when zero-row —
-    # empty buckets emit the same dtypes as full ones (no int/float drift)
-    right_schema = tables[n_left].schema if len(tables) > n_left else None
+        # the cast pins the canonical schema even when pandas inference
+        # degraded a column (all-None string -> null type, etc.)
+        return pa.Table.from_pandas(
+            df[out_cols], preserve_index=False
+        ).cast(out_schema)
 
     def _with_null_right(left_df: pd.DataFrame) -> pa.Table:
         out = left_df.copy()
         for c in right_names:
-            t = right_schema.field(c).type if right_schema is not None else None
-            numeric = t is None or pa.types.is_integer(t) or pa.types.is_floating(t)
+            t = out_schema.field(c).type
+            numeric = pa.types.is_integer(t) or pa.types.is_floating(t)
             out[c] = np.nan if numeric else None
         return _stabilize(out)
 
     if not lefts:
-        base = (
-            tables[0].to_pandas()
-            if n_left > 0
-            else pd.DataFrame(
-                {
-                    key: pd.Series(dtype=object),
-                    "ts_us": pd.Series(dtype=np.int64),
-                    **{c: pd.Series(dtype=np.float64) for c in left_names},
-                }
-            )
-        )
-        return _with_null_right(base)
+        # zero left rows in this bucket: the empty face comes straight from
+        # the schema (shard tables may be absent when a side has no blocks)
+        return out_schema.empty_table()
     left = pa.concat_tables(lefts).to_pandas()
     if not rights:
         return _with_null_right(left)
@@ -263,12 +299,15 @@ def _asof_bucket_join(
 
 def _asof_broadcast(
     left_ds, right_ds, key, ts, right_ts, left_cols, right_cols,
-    right_order, tolerance_us, out_cols, all_types, direction="backward",
+    right_order, tolerance_us, out_cols, out_schema, direction="backward",
 ):
     """Broadcast binding of ``asof_join``: small right side materializes to
     one ts-sorted frame in plasma (``ray.put``), an actor pool reads it ONCE
     per actor (``__init__``), and every left batch merges locally — the big
-    side never shuffles."""
+    side never shuffles.  Every output batch is cast to the same canonical
+    ``out_schema`` the partitioned path emits (all-matched batches would
+    otherwise keep right ints as int64 while miss-bearing batches go
+    float64 — block-to-block drift inside one Dataset)."""
     import pyarrow as pa
     import ray
 
@@ -284,10 +323,22 @@ def _asof_broadcast(
             out[name] = col.to_pandas()
         return pd.DataFrame(out)
 
-    right_tbl = pa.concat_tables(
-        [ray.get(r) for r in right_ds.to_arrow_refs()]
-    )
-    right_df = _proj(right_tbl, right_ts, right_cols).sort_values(
+    right_refs = right_ds.to_arrow_refs()
+    if right_refs:
+        # ONE batched get: per-ref round-trips serialize object fetches
+        right_df = _proj(
+            pa.concat_tables(ray.get(right_refs)), right_ts, right_cols
+        )
+    else:  # zero-block right side: the all-null left join, like the
+        # partitioned path (concat_tables([]) raises)
+        right_df = pd.DataFrame(
+            {
+                key: pd.Series(dtype=object),
+                "ts_us": pd.Series(dtype=np.int64),
+                **{n: pd.Series(dtype=object) for n in right_cols},
+            }
+        )
+    right_df = right_df.sort_values(
         ["ts_us", *right_order], kind="mergesort"
     ).rename(columns={"ts_us": "_r_ts"}).reset_index(drop=True)
     ref = ray.put(right_df)
@@ -296,15 +347,9 @@ def _asof_broadcast(
         def __init__(self):
             self.right = ray.get(ref)  # once per actor, not per batch
 
-        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        def __call__(self, batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0 or key not in batch.schema.names:
-                return pa.table(
-                    {
-                        key: pa.array([], pa.string()),
-                        "ts_us": pa.array([], pa.int64()),
-                        **{n: pa.array([], t) for n, t in all_types.items()},
-                    }
-                ).to_pandas()[out_cols]
+                return out_schema.empty_table()
             left = _proj(batch, ts, left_cols).sort_values(
                 "ts_us", kind="mergesort"
             )
@@ -317,7 +362,9 @@ def _asof_broadcast(
                 direction=direction,
                 tolerance=tolerance_us,
             )
-            return merged[out_cols].reset_index(drop=True)
+            return pa.Table.from_pandas(
+                merged[out_cols].reset_index(drop=True), preserve_index=False
+            ).cast(out_schema)
 
     try:
         ncpu = int(ray.cluster_resources().get("CPU", 8))

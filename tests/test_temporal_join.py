@@ -322,3 +322,78 @@ class TestAsofKeyValidation:
         # broadcast binding takes a different projection path — cover it too
         bcast = run(dict_encoded(left), dict_encoded(right), broadcast=True)
         pd.testing.assert_frame_equal(plain, bcast)
+
+
+class TestAsofSchemaStability:
+    """Eighth-wave regressions: every emitted block must carry ONE canonical
+    schema — empty buckets, unmatched-string buckets, all-matched broadcast
+    batches, and zero-block right sides included."""
+
+    def test_empty_and_unmatched_buckets_concat(self, ray_session):
+        import ray.data as rd
+
+        from condor_ray.pipelines.temporal_join import asof_join
+
+        # one key, 64 buckets -> 63 buckets see zero left rows; string right
+        # column exercises the all-None -> null-type drift
+        left = pd.DataFrame({"k": ["a"] * 5, "ts": np.arange(5, dtype=np.int64), "lv": ["x"] * 5})
+        right = pd.DataFrame({"k": ["zzz"], "ts": np.array([0], np.int64), "rs": ["hello"]})
+        out = asof_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            key="k", ts="ts",
+            left_cols={"lv": "lv"}, right_cols={"rs": "rs"},
+            n_buckets=64,
+        )
+        import ray
+
+        blocks = [b for b in ray.get(out.to_arrow_refs())]
+        types = {b.schema.field("rs").type for b in blocks}
+        assert types == {pa.string()}  # every block, including empty ones
+        df = pa.concat_tables(blocks).to_pandas()  # cross-block concat works
+        assert len(df) == 5
+        assert df["rs"].isna().all()  # no right match
+        assert df["lv"].tolist() == ["x"] * 5  # left strings survive
+
+    def test_broadcast_int_dtype_parity(self, ray_session):
+        """A broadcast batch where EVERY row matches must still emit float64
+        right ints (partitioned-path parity), not int64."""
+        import ray.data as rd
+
+        from condor_ray.pipelines.temporal_join import asof_join
+
+        left = pd.DataFrame({"k": ["a", "a"], "ts": np.array([10, 20], np.int64)})
+        right = pd.DataFrame({"k": ["a"], "ts": np.array([1], np.int64), "rv": np.array([7], np.int64)})
+        for bcast in (False, True):
+            out = asof_join(
+                rd.from_pandas(left), rd.from_pandas(right),
+                key="k", ts="ts", right_cols={"rv": "rv"},
+                n_buckets=4, broadcast=bcast,
+            ).to_pandas()
+            assert out["rv"].dtype == np.float64, f"broadcast={bcast}"
+            assert out["rv"].tolist() == [7.0, 7.0]
+
+    def test_broadcast_zero_block_right(self, ray_session):
+        import ray.data as rd
+
+        from condor_ray.pipelines.temporal_join import asof_join
+
+        left = pd.DataFrame({"k": ["a"], "ts": np.array([10], np.int64)})
+        right = pd.DataFrame({"k": pd.Series(dtype=object), "ts": pd.Series(dtype=np.int64), "rv": pd.Series(dtype=np.int64)})
+        out = asof_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            key="k", ts="ts", right_cols={"rv": "rv"},
+            broadcast=True,
+        ).to_pandas()
+        assert len(out) == 1 and np.isnan(out["rv"].iloc[0])
+
+    def test_reserved_output_names_raise(self, ray_session):
+        import ray.data as rd
+
+        from condor_ray.pipelines.temporal_join import asof_join
+
+        left = pd.DataFrame({"k": ["a"], "ts": np.array([1], np.int64), "v": [1.0]})
+        ds = rd.from_pandas(left)
+        with pytest.raises(ValueError, match="join columns"):
+            asof_join(ds, ds, key="k", ts="ts", left_cols={"k": "v"})
+        with pytest.raises(ValueError, match="join columns"):
+            asof_join(ds, ds, key="k", ts="ts", right_cols={"ts_us": "v"})
