@@ -28,10 +28,20 @@ from ..runtime import default_n_parts, worker_polars
 
 def with_planted_duplicates(ds, every: int = 7, offset: int = 10_000):
     """documents + deterministic copies: every ``every``-th doc_id reappears
-    with doc_id + offset (exact duplicate) — SQL-replicable."""
+    with doc_id + offset (exact duplicate) — SQL-replicable.
+
+    ``offset`` must exceed every real doc_id: a planted id that collides
+    with a real one silently corrupts keep-smallest-id semantics and the
+    planted-duplicate oracle counts, so each batch checks and raises."""
 
     def dup(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy() if not isinstance(batch["doc_id"], pa.ChunkedArray) else batch["doc_id"].combine_chunks().to_numpy()
+        if len(ids) and int(ids.max()) >= offset:
+            raise ValueError(
+                f"with_planted_duplicates: corpus doc_id {int(ids.max())} >= "
+                f"offset {offset}; planted ids would collide with real ones — "
+                "pass an offset larger than the maximum doc_id"
+            )
         mask = pa.array(ids % every == 0)
         dups = batch.filter(mask)
         dups = dups.set_column(
@@ -121,6 +131,20 @@ def _add_pair_part(batch, n_parts: int):
     return batch.append_column("part", pa.array(part))
 
 
+def _add_band_part(batch, n_parts: int, band_col: str = "band"):
+    """Golden-ratio (band/table, bucket) partitioner shared by simhash_pairs
+    and embedding_neardup_pairs (was two verbatim copies — a fix to the
+    mixing applied to one silently desynchronized the other's balance).
+    Mixes the band id into the partition key: raw bucket chunks (simhash's
+    16-bit bands) collide across bands, unlike minhash's folded hash."""
+    import pyarrow as pa
+
+    bucket = batch["bucket"].to_numpy().astype(np.uint64)
+    band = batch[band_col].to_numpy().astype(np.uint64)
+    with np.errstate(over="ignore"):
+        mixed = (bucket ^ (band + np.uint64(1)) * _GOLDEN) * _GOLDEN
+    part = ((mixed >> np.uint64(33)) % np.uint64(n_parts)).astype(np.int32)
+    return batch.append_column("part", pa.array(part))
 
 
 def _sig_matrix(col, num_perm: int) -> np.ndarray:
@@ -481,6 +505,18 @@ def minhash_lsh_pairs(
     the candidate count (the output size), never the corpus."""
     import ray
 
+    if not 1 <= bands <= num_perm:
+        raise ValueError(
+            f"minhash_lsh_pairs: bands={bands} must be in [1, num_perm="
+            f"{num_perm}] — bands > num_perm degenerates every band bucket "
+            "to a constant (all docs flood one bucket per band)"
+        )
+    if num_perm % bands:
+        raise ValueError(
+            f"minhash_lsh_pairs: bands={bands} must divide num_perm="
+            f"{num_perm} — a remainder silently drops the trailing "
+            "permutations and changes the LSH threshold curve"
+        )
     rows_per_band = num_perm // bands
     # materialized once: the signature table (num_perm x 8 B/doc, far smaller
     # than the text corpus, spills to the object store) feeds both the band
@@ -706,14 +742,7 @@ def simhash_pairs(
                                     carry=("simhash",))
 
     def add_part(batch: pa.Table) -> pa.Table:
-        # mix band into the partition key: raw 16-bit band chunks collide
-        # across bands, unlike minhash's folded bucket hash
-        bucket = batch["bucket"].to_numpy().astype(np.uint64)
-        band = batch["band"].to_numpy().astype(np.uint64)
-        with np.errstate(over="ignore"):
-            mixed = (bucket ^ (band + np.uint64(1)) * _GOLDEN) * _GOLDEN
-        part = ((mixed >> np.uint64(33)) % np.uint64(n_parts)).astype(np.int32)
-        return batch.append_column("part", pa.array(part))
+        return _add_band_part(batch, n_parts)
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         fa = g["simhash_a"].to_numpy().astype(np.uint64)

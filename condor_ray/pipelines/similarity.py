@@ -36,6 +36,37 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+# Cosines are quantized to this many decimals BEFORE any top-k selection or
+# merge: BLAS dgemm blocking varies with matrix shape, so the same duplicate
+# vector scores cosines differing in the last ulp across differently-shaped
+# Ray blocks — the (cosine DESC, vec_id ASC) tie-break then never sees an
+# exact tie and the returned set depends on run-to-run block partitioning.
+# 12 decimals is ~1e4 ulps of slack at cosine~1 while still far below any
+# genuine score separation; it also matches the SQL oracle's behavior on
+# exact-duplicate embeddings (identical lists -> identical cosine -> vec_id
+# order).
+_COS_DECIMALS = 12
+
+
+def _argtopk_tied(sims: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
+    """Row-wise indices of the ``kk`` largest sims with DETERMINISTIC ties:
+    argpartition keeps an ARBITRARY subset of elements tied at the k-th
+    score (duplicate embeddings make exact ties common), which can drop the
+    smallest-id winner before the final merge ever sees it.  Rows where the
+    tie straddles the selection boundary redo with the exact
+    (score DESC, id ASC) order — rare, so the O(n log n) per-row fallback
+    never shows up in aggregate.  (``brute_force_topk`` inlines the same
+    repair on its negated reused buffer.)"""
+    part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+    sel = np.take_along_axis(sims, part, axis=1)
+    thr = sel.min(axis=1)  # k-th (worst kept) score
+    at_thr_all = (sims == thr[:, None]).sum(axis=1)
+    at_thr_sel = (sel == thr[:, None]).sum(axis=1)
+    for r in np.flatnonzero(at_thr_all > at_thr_sel):
+        part[r] = np.lexsort((ids, -sims[r]))[:kk]
+    return part
+
+
 def brute_force_topk(ds, query_vecs: np.ndarray, query_ids: np.ndarray, k: int = 10):
     """Exact cosine top-k of each query vector over the embedding corpus.
 
@@ -79,6 +110,7 @@ def brute_force_topk(ds, query_vecs: np.ndarray, query_ids: np.ndarray, k: int =
             qc = q[q0 : q0 + q_chunk]
             buf = sims[: len(qc)]
             np.matmul(qc, mt, out=buf)
+            np.round(buf, _COS_DECIMALS, out=buf)  # cross-block tie stability
             np.negative(buf, out=buf)  # ascending argpartition == cosine desc
             part = np.argpartition(buf, kk - 1, axis=1)[:, :kk]
             # tie repair: argpartition picks an ARBITRARY subset of elements
@@ -178,6 +210,8 @@ def lsh_topk(
         concurrency=concurrency,
     )
 
+    n_parts = default_n_parts()
+
     def probe_buckets(batch: pa.Table) -> pa.Table:
         pr = ray.get(probe_ref)
         q = ray.get(q_ref)
@@ -190,34 +224,37 @@ def lsh_topk(
             if not wanting:
                 continue
             mask = buckets == bkt
-            sims = q[wanting] @ m[mask].T
+            sims = np.round(q[wanting] @ m[mask].T, _COS_DECIMALS)
             sub_ids = ids[mask]
-            for row, qi in enumerate(wanting):
-                out_q.extend([int(qids[qi])] * len(sub_ids))
-                out_v.extend(sub_ids.tolist())
-                out_s.extend(sims[row].tolist())
+            # flat (query x bucket-member) cross product — no per-row Python
+            out_q.append(np.repeat(qids[wanting], len(sub_ids)))
+            out_v.append(np.tile(sub_ids, len(wanting)))
+            out_s.append(sims.ravel())
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
+                    "part": pa.array([], type=pa.int32()),
+                }
+            )
+        oq = np.concatenate(out_q)
         return pa.table(
             {
-                "query_id": pa.array(out_q, type=pa.int64()),
-                "vec_id": pa.array(out_v, type=pa.int64()),
-                "cosine": pa.array(out_s, type=pa.float64()),
+                "query_id": pa.array(oq, type=pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v).astype(np.int64)),
+                "cosine": pa.array(np.concatenate(out_s), type=pa.float64()),
+                "part": pa.array((oq % n_parts).astype(np.int32)),
             }
         )
 
     partials = bucketed.map_batches(probe_buckets, batch_format="pyarrow")
-
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("vec_id")
-        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
-        return pd.DataFrame(
-            {
-                "query_id": g["query_id"].astype(np.int64).to_numpy(),
-                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-                "vec_id": g["vec_id"].astype(np.int64).to_numpy(),
-            }
-        )
-
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    # each corpus vector lives in exactly one bucket, so a (query, vec) pair
+    # is emitted at most once across all blocks — the partitioned merge needs
+    # no dedup, and one vectorized lexsort per partition replaces the old
+    # one-Ray-group-per-query map_groups (~0.5-1 ms dispatch per query)
+    return _merge_topk_by_part(partials, k)
 
 
 class _MultiTableLshStage:
@@ -279,9 +316,17 @@ def embedding_neardup_pairs(
     import ray
     import ray.data as rd
 
-    from .dedup import _GOLDEN, _bucket_pair_stage, _dedup_pairs
+    from .dedup import _add_band_part, _bucket_pair_stage, _dedup_pairs
 
-    dim = len(ds.take(1)[0]["embedding"])
+    empty = pd.DataFrame(
+        {"vec_a": pd.Series(dtype=np.int64),
+         "vec_b": pd.Series(dtype=np.int64),
+         "cosine": pd.Series(dtype=np.float64)}
+    )
+    head = ds.take(1)
+    if not head:  # empty corpus -> the canonical empty frame, not IndexError
+        return rd.from_pandas(empty)
+    dim = len(head[0]["embedding"])
     bucketed = ds.map_batches(
         _MultiTableLshStage,
         batch_format="pyarrow",
@@ -292,12 +337,7 @@ def embedding_neardup_pairs(
     n_parts = default_n_parts()
 
     def add_part(batch: pa.Table) -> pa.Table:
-        bucket = batch["bucket"].to_numpy().astype(np.uint64)
-        table = batch["table"].to_numpy().astype(np.uint64)
-        with np.errstate(over="ignore"):
-            mixed = (bucket ^ (table + np.uint64(1)) * _GOLDEN) * _GOLDEN
-        part = ((mixed >> np.uint64(33)) % np.uint64(n_parts)).astype(np.int32)
-        return batch.append_column("part", pa.array(part))
+        return _add_band_part(batch, n_parts, band_col="table")
 
     pairs = (
         bucketed.map_batches(add_part, batch_format="pyarrow")
@@ -311,12 +351,6 @@ def embedding_neardup_pairs(
         )
     )
     pairs_pd = _dedup_pairs(pairs).to_pandas()  # bounded by candidate count
-
-    empty = pd.DataFrame(
-        {"vec_a": pd.Series(dtype=np.int64),
-         "vec_b": pd.Series(dtype=np.int64),
-         "cosine": pd.Series(dtype=np.float64)}
-    )
     if len(pairs_pd) == 0:
         return rd.from_pandas(empty)
 
@@ -463,6 +497,8 @@ def ivf_topk(
 
     assigned = ds.map_batches(assign, batch_format="pyarrow")
 
+    n_parts = default_n_parts()
+
     def search_cell(g: pd.DataFrame) -> pd.DataFrame:
         q, ids_, c2q = ray.get(probes_ref)
         cell = int(g["cell"].iloc[0])
@@ -471,38 +507,28 @@ def ivf_topk(
             return pd.DataFrame(
                 {"query_id": pd.Series(dtype=np.int64),
                  "vec_id": pd.Series(dtype=np.int64),
-                 "cosine": pd.Series(dtype=np.float64)}
+                 "cosine": pd.Series(dtype=np.float64),
+                 "part": pd.Series(dtype=np.int32)}
             )
         m = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
         vids = g["vec_id"].to_numpy(np.int64)
-        sims = q[q_idx] @ m.T
+        sims = np.round(q[q_idx] @ m.T, _COS_DECIMALS)
         kk = min(k, sims.shape[1])
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        rows_q, rows_v, rows_s = [], [], []
-        for row, qi in enumerate(q_idx):
-            rows_q.extend([int(ids_[qi])] * kk)
-            rows_v.extend(vids[part[row]].tolist())
-            rows_s.extend(sims[row, part[row]].tolist())
+        part = _argtopk_tied(sims, vids, kk)
+        oq = np.repeat(ids_[q_idx], kk)
         return pd.DataFrame(
-            {"query_id": np.asarray(rows_q, dtype=np.int64),
-             "vec_id": np.asarray(rows_v, dtype=np.int64),
-             "cosine": np.asarray(rows_s, dtype=np.float64)}
+            {"query_id": oq,
+             "vec_id": vids[part].ravel(),
+             "cosine": np.take_along_axis(sims, part, axis=1).ravel(),
+             "part": (oq % n_parts).astype(np.int32)}
         )
 
     partials = assigned.groupby("cell").map_groups(search_cell, batch_format="pandas")
-
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        return pd.DataFrame(
-            {
-                "query_id": g["query_id"].astype(np.int64),
-                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-                "vec_id": g["vec_id"].astype(np.int64),
-            }
-        )
-
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    # each vector is assigned to exactly one cell, so a (query, vec) pair is
+    # emitted at most once — the shared hash-partitioned merge applies
+    # directly (one vectorized lexsort per partition, never one Ray group
+    # per query)
+    return _merge_topk_by_part(partials, k)
 
 
 def _merge_topk_by_part(partials, k: int):
@@ -683,9 +709,9 @@ def ivf_search(
             if q_idx is None:
                 continue
             sub = m[sel]
-            sims = q[q_idx] @ sub.T
+            sims = np.round(q[q_idx] @ sub.T, _COS_DECIMALS)
             kk = min(k, sims.shape[1])
-            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            part = _argtopk_tied(sims, vids[sel], kk)
             out_q.append(np.repeat(ids_[q_idx], kk))
             out_v.append(vids[sel][part].ravel())
             out_s.append(np.take_along_axis(sims, part, axis=1).ravel())
