@@ -69,30 +69,41 @@ class ImageDecoder:
         except ImportError:
             self._backend = "stdlib"
 
+    def _pillow_decode(self, payload: bytes):  # pragma: no cover
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload))
+        arr = np.asarray(img, dtype=np.float64)
+        return img.width, img.height, float(arr.mean())
+
     def _decode(self, payload: bytes) -> tuple[int, int, float]:
-        if self._backend == "pillow":  # pragma: no cover
-            import io
-
-            from PIL import Image
-
-            img = Image.open(io.BytesIO(payload))
-            arr = np.asarray(img, dtype=np.float64)
-            return img.width, img.height, float(arr.mean())
+        # route per PAYLOAD, not per environment: synthetic FIMG stubs are
+        # not a real image format, so they must hit the header parser even
+        # when Pillow is importable (backend-first routing crashed the
+        # image_features pipeline in Pillow-equipped deployments)
+        if payload[:4] == b"FIMG" and len(payload) >= 16:
+            _magic, w, h, _c = struct.unpack_from("<4sIII", payload)
+            body = np.frombuffer(payload, dtype=np.uint8, offset=16)
+            mean = float(body.mean()) if len(body) else 0.0
+            return w, h, mean
         from .png import decode_png, is_png
 
         if is_png(payload):
+            if self._backend == "pillow":  # pragma: no cover
+                return self._pillow_decode(payload)
             # REAL decode: pure-stdlib zlib inflate + scanline unfilter
             arr = decode_png(payload)
             return arr.shape[1], arr.shape[0], float(arr.mean())
-        magic, w, h, c = struct.unpack_from("<4sIII", payload)
-        if magic != b"FIMG":
-            raise NotImplementedError(
-                "payload is neither PNG (stdlib-decodable) nor a synthetic "
-                "FIMG stub; other formats need a real codec (Pillow)"
-            )
-        body = np.frombuffer(payload, dtype=np.uint8, offset=16)
-        mean = float(body.mean()) if len(body) else 0.0
-        return w, h, mean
+        if self._backend == "pillow":  # pragma: no cover
+            # unknown-to-us format; a real codec may still read it
+            return self._pillow_decode(payload)
+        raise NotImplementedError(
+            "payload is neither PNG (stdlib-decodable) nor a complete "
+            "synthetic FIMG stub (truncated payloads land here too); other "
+            "formats need a real codec (Pillow)"
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         widths, heights, means = [], [], []
@@ -191,15 +202,17 @@ def synthesize_audio_table(ds, rate: int = 16_000):
 
 class AudioDecoder:
     """Actor-pool audio decode/feature stage (mirrors ImageDecoder): the
-    pure-stdlib WAV codec decodes RIFF/PCM in ``_decode``; features are
-    integer-exact (PCM words reconstruct exactly from the float samples
-    because division by 2^15 is lossless in fp64), so the stage is
-    SQL-twinnable end to end."""
+    pure-stdlib WAV codec decodes RIFF/PCM in ``_decode``; ``sum_sq`` and
+    ``peak_abs`` are computed on the source's NATIVE integer PCM words
+    (reconstructed exactly — every normalization divide is by a power of
+    two, lossless in fp64), so integer-PCM stages are SQL-twinnable end to
+    end.  Float32 WAVs have no integer words; their features land on a
+    2^15 fixed-point grid by documented convention (``decode_wav_info``)."""
 
     def __init__(self):
-        from .wav import decode_wav, is_wav  # codec probe slot
+        from .wav import decode_wav_info, is_wav  # codec probe slot
 
-        self._decode_wav = decode_wav
+        self._decode_wav = decode_wav_info
         self._is_wav = is_wav
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -215,8 +228,8 @@ class AudioDecoder:
                     "payload is not RIFF/WAVE; other audio containers need "
                     "a real codec"
                 )
-            samples, rate = self._decode_wav(payload)
-            words = np.rint(samples * 32768.0).astype(np.int64)
+            samples, rate, scale, _is_float = self._decode_wav(payload)
+            words = np.rint(samples * scale).astype(np.int64)
             rates[j] = rate
             chans[j] = samples.shape[1]
             frames[j] = samples.shape[0]

@@ -21,7 +21,80 @@ import numpy as np
 import pandas as pd
 
 from ..runtime import default_n_parts
-from ..windows import sessionize
+
+
+def _session_boundaries(conv: np.ndarray, ts: np.ndarray, gap_us: int):
+    """Vectorized gaps-and-islands over (conv, ts) ALREADY sorted by
+    (conv, ts): returns (starts, ends_exclusive, new_conv-per-row).  Shared
+    by session_stats and session_synopses — keep the boundary rule
+    (new conversation OR gap >= threshold) here, never in per-site copies."""
+    n = len(ts)
+    new_conv = np.empty(n, dtype=bool)
+    new_conv[0] = True
+    new_conv[1:] = conv[1:] != conv[:-1]
+    boundary = new_conv | np.concatenate(([False], np.diff(ts) >= gap_us))
+    starts = np.flatnonzero(boundary)
+    ends = np.concatenate((starts[1:], [n]))
+    return starts, ends, new_conv
+
+
+def _conv_shard(extra_cols: tuple = ()):
+    """Shard-fn factory shared by session_stats / session_synopses: project
+    each block to (conv_id, turn_idx, ts int64, *extra_cols) and route by
+    conv-id hash; zero-row / schemaless blocks return the projected empty
+    face (``extra_cols``: (name, pa_type) pairs — the empty face pins those
+    types, so non-default key fields must be listed with their real type)."""
+    import pyarrow as pa
+
+    from ..engine.exchange import split_by_partition
+    from ..hashing import string_bucket_of
+
+    def shard(block, n_buckets: int):
+        if isinstance(block, pd.DataFrame):
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        empty_cols = {
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.int64()),
+        }
+        for name, typ in extra_cols:
+            empty_cols[name] = pa.array([], typ)
+        empty = pa.table(empty_cols)
+        if block.num_rows == 0 or "conv_id" not in block.schema.names:
+            return tuple(empty for _ in range(n_buckets))  # schemaless guard
+        conv = block["conv_id"]
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        part = string_bucket_of(conv, n_buckets)
+        cols = {
+            "conv_id": conv,
+            "turn_idx": block["turn_idx"].cast(pa.int64()),
+            "ts": block["ts"].cast(pa.int64()),
+        }
+        for name, _typ in extra_cols:
+            cols[name] = block[name]
+        proj = pa.table(cols).combine_chunks()
+        return split_by_partition(proj, part, n_buckets)
+
+    return shard
+
+
+def _session_combine(per_part, out_schema):
+    """Combine-fn factory: concat a bucket's shards, run the vectorized
+    per-partition pandas kernel, emit under the pinned output schema."""
+    import pyarrow as pa
+
+    def combine(*tables):
+        tables = [t for t in tables if t.num_rows]
+        if not tables:
+            return out_schema.empty_table()
+        return pa.Table.from_pandas(
+            per_part(pa.concat_tables(tables).to_pandas()),
+            schema=out_schema,
+            preserve_index=False,
+        )
+
+    return combine
 
 
 def _conv_partition(n_parts: int):
@@ -66,61 +139,25 @@ def session_stats(ds, gap_ms: int, n_parts: int | None = None):
                     "n_turns": pd.Series(dtype=np.int64),
                 }
             )
-        new_conv = np.empty(n, dtype=bool)
-        new_conv[0] = True
-        new_conv[1:] = conv[1:] != conv[:-1]
-        boundary = new_conv | np.concatenate(
-            ([False], np.diff(ts) >= gap_us)
-        )
-        starts = np.flatnonzero(boundary)
+        starts, ends, new_conv = _session_boundaries(conv, ts, gap_us)
         # per-conv session ordinal: session rank minus the rank of the
         # conv's first session
         sess_of_conv_start = np.cumsum(new_conv[starts]) - 1
         conv_first_sess = np.flatnonzero(new_conv[starts])
         sidx = np.arange(len(starts)) - conv_first_sess[sess_of_conv_start]
-        ends = np.concatenate((starts[1:], [n])) - 1
         return pd.DataFrame(
             {
                 "conv_id": conv[starts],
                 "session_idx": sidx.astype(np.int64),
                 "session_start": ts[starts],
-                "session_end": ts[ends],
-                "n_turns": (ends - starts + 1).astype(np.int64),
+                "session_end": ts[ends - 1],
+                "n_turns": (ends - starts).astype(np.int64),
             }
         )
 
     import pyarrow as pa
 
     from ..engine.exchange import hash_exchange
-    from ..hashing import string_bucket_of
-
-    def shard(block, n_buckets: int):
-        """Project to (conv_id, turn_idx, ts µs) and route by conv hash."""
-        if isinstance(block, pd.DataFrame):
-            block = pa.Table.from_pandas(block, preserve_index=False)
-        empty = pa.table(
-            {
-                "conv_id": pa.array([], pa.string()),
-                "turn_idx": pa.array([], pa.int64()),
-                "ts": pa.array([], pa.int64()),
-            }
-        )
-        if block.num_rows == 0 or "conv_id" not in block.schema.names:
-            return tuple(empty for _ in range(n_buckets))  # schemaless guard
-        conv = block["conv_id"]
-        if isinstance(conv, pa.ChunkedArray):
-            conv = conv.combine_chunks()
-        part = string_bucket_of(conv, n_buckets)
-        proj = pa.table(
-            {
-                "conv_id": conv,
-                "turn_idx": block["turn_idx"].cast(pa.int64()),
-                "ts": block["ts"].cast(pa.int64()),
-            }
-        ).combine_chunks()
-        from ..engine.exchange import split_by_partition
-
-        return split_by_partition(proj, part, n_buckets)
 
     out_schema = pa.schema(
         [
@@ -131,18 +168,9 @@ def session_stats(ds, gap_ms: int, n_parts: int | None = None):
             ("n_turns", pa.int64()),
         ]
     )
-
-    def combine(*tables):
-        tables = [t for t in tables if t.num_rows]
-        if not tables:
-            return out_schema.empty_table()
-        return pa.Table.from_pandas(
-            per_part(pa.concat_tables(tables).to_pandas()),
-            schema=out_schema,
-            preserve_index=False,
-        )
-
-    return hash_exchange(ds, n_parts, shard, combine)
+    return hash_exchange(
+        ds, n_parts, _conv_shard(), _session_combine(per_part, out_schema)
+    )
 
 
 def session_sql(transcripts_cte: str, gap_ms: int) -> str:
@@ -178,7 +206,9 @@ def count_window_ids(
     """Count-window id per element.
 
     mode="global" (the documented default): wid = arrival ordinal // size —
-    partition-count invariant.
+    partition-count invariant and VALUE-based, matching the module's count
+    windows (``count_window_distinct``'s ``event_id // size``) even when
+    ordinals have gaps (e.g. a filtered event stream).
 
     mode="condor": reference parity with
     ``conn/.../processor/SynopsisBuilder.java:213-233`` — elements
@@ -193,11 +223,9 @@ def count_window_ids(
     distribution-dependent, exactly like the reference.
     """
     n = len(ordinals)
-    order = np.argsort(ordinals, kind="stable")
     if mode == "global":
-        wid = np.empty(n, dtype=np.int64)
-        wid[order] = np.arange(n, dtype=np.int64) // size
-        return wid
+        return np.asarray(ordinals, dtype=np.int64) // size
+    order = np.argsort(ordinals, kind="stable")
     if mode != "condor":
         raise ValueError(f"unknown count-window mode {mode!r}")
     if size % parallelism:
@@ -267,6 +295,7 @@ def session_synopses(
     params: tuple = (1024, 3, 7),
     key_field: str = "text",
     key_transform: str = "length",
+    n_parts: int | None = None,
 ):
     """One synopsis per (conversation, session window): the Scotty session
     path's keyed output (SURVEY §2.6) — sessions are per-key in the
@@ -296,14 +325,7 @@ def session_synopses(
         n = len(ts)
         rows = []
         if n:
-            new_conv = np.empty(n, dtype=bool)
-            new_conv[0] = True
-            new_conv[1:] = conv[1:] != conv[:-1]
-            boundary = new_conv | np.concatenate(
-                ([False], np.diff(ts) >= gap_us)
-            )
-            starts = np.flatnonzero(boundary)
-            ends = np.concatenate((starts[1:], [n]))
+            starts, ends, _ = _session_boundaries(conv, ts, gap_us)
             for lo, hi in zip(starts, ends):
                 syn = make_synopsis(synopsis, params)
                 syn.set_partition_value(conv[lo])
@@ -329,41 +351,9 @@ def session_synopses(
             ],
         )
 
-    from ..engine.exchange import hash_exchange, split_by_partition
-    from ..hashing import string_bucket_of
+    from ..engine.exchange import hash_exchange
 
-    n_parts = 64
-
-    def shard(block, n_buckets: int):
-        if isinstance(block, pd.DataFrame):
-            block = pa.Table.from_pandas(block, preserve_index=False)
-        # schemaless-empty face assumes a string key_field (the default
-        # "text"); non-string keys still work — only zero-row shards of
-        # SCHEMALESS blocks would drift, and those carry no data
-        empty = pa.table(
-            {
-                "conv_id": pa.array([], pa.string()),
-                "turn_idx": pa.array([], pa.int64()),
-                "ts": pa.array([], pa.int64()),
-                key_field: pa.array([], pa.string()),
-            }
-        )
-        if block.num_rows == 0 or "conv_id" not in block.schema.names:
-            return tuple(empty for _ in range(n_buckets))  # schemaless guard
-        conv = block["conv_id"]
-        if isinstance(conv, pa.ChunkedArray):
-            conv = conv.combine_chunks()
-        part = string_bucket_of(conv, n_buckets)
-        proj = pa.table(
-            {
-                "conv_id": conv,
-                "turn_idx": block["turn_idx"].cast(pa.int64()),
-                "ts": block["ts"].cast(pa.int64()),
-                key_field: block[key_field],
-            }
-        ).combine_chunks()
-        return split_by_partition(proj, part, n_buckets)
-
+    n_parts = n_parts or default_n_parts()
     out_schema = pa.schema(
         [
             ("conv_id", pa.string()),
@@ -374,18 +364,15 @@ def session_synopses(
             ("payload", pa.binary()),
         ]
     )
-
-    def combine(*tables):
-        tables = [t for t in tables if t.num_rows]
-        if not tables:
-            return out_schema.empty_table()
-        return pa.Table.from_pandas(
-            per_part(pa.concat_tables(tables).to_pandas()),
-            schema=out_schema,
-            preserve_index=False,
-        )
-
-    return hash_exchange(ds, n_parts, shard, combine)
+    # schemaless-empty face assumes a string key_field (the default
+    # "text"); non-string keys still work — only zero-row shards of
+    # SCHEMALESS blocks would drift, and those carry no data
+    return hash_exchange(
+        ds,
+        n_parts,
+        _conv_shard(((key_field, pa.string()),)),
+        _session_combine(per_part, out_schema),
+    )
 
 
 def session_synopsis_sql(transcripts_cte: str, gap_ms: int) -> str:

@@ -164,7 +164,11 @@ def heavy_hitters_cm(
         cm = CountMinSketch(width, depth, seed)
         keys = java_string_hash_array(wl)
         cm.update_weighted(keys, n)
-        top = np.argsort(-n, kind="stable")[:local_m]
+        # deterministic candidate cut: break count ties by word — polars'
+        # parallel value_counts emits tied rows in nondeterministic order,
+        # so a bare argsort(-n) made the survivors at the local_m boundary
+        # vary run to run
+        top = np.lexsort((np.asarray(wl, dtype=object), -n))[:local_m]
         # merge-group assignment only spreads the reduce; CM merge is
         # commutative so any deterministic spread works
         g = int(word.hash(seed=5).sum() % merge_groups) if len(wl) else 0
@@ -246,7 +250,10 @@ def quality_scores(ds):
         text = batch["text"]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
-        s = pl.from_arrow(text)
+        # null text ≡ '' (both sides: quality_sql coalesces identically) —
+        # without it, a single null row turns len_chars' null into
+        # INT64_MIN via .astype(int64) and the quality row is garbage
+        s = pl.from_arrow(text).fill_null("")
         words = s.str.extract_all(_WORD_RE)
         nw = words.list.len().fill_null(0).to_numpy().astype(np.int64)
         wc = (
@@ -296,12 +303,14 @@ def quality_sql(docs_table: str = "documents") -> str:
     left-associated combination)."""
     stop = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS["en"]))
     return rf"""
-WITH toks AS (
+WITH src AS (
+  SELECT doc_id, COALESCE(text, '') AS text FROM {docs_table}
+), toks AS (
   SELECT doc_id,
          regexp_extract_all(text, '[^\t\n\f\r ]+') AS w,
          length(text) AS n_chars,
          length(regexp_extract_all(text, '[^0-9A-Za-z_\t\n\f\r ]')) AS n_punct
-  FROM {docs_table}
+  FROM src
 ), counts AS (
   SELECT doc_id,
          CAST(len(w) AS BIGINT) AS n_words,
@@ -335,6 +344,7 @@ class LangId:
         self.tables = {k: v for k, v in _STOPWORDS.items()}
 
     def classify(self, text: str) -> str:
+        text = text or ""  # null text ≡ '' (same convention as the stages)
         if any("一" <= c <= "鿿" for c in text[:200]):
             return "zh"
         # tokenize with the SAME whitespace class as the vectorized
@@ -376,7 +386,7 @@ def language_id(ds):
         text = batch["text"]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
-        s = pl.from_arrow(text)
+        s = pl.from_arrow(text).fill_null("")  # null text ≡ '' (SQL twin too)
         ws = (
             s.str.extract_all(_WORD_RE)
             .list.slice(0, 80)
@@ -414,12 +424,14 @@ def lang_id_sql(docs_table: str = "documents") -> str:
         for lang in _LANGS
     }
     return rf"""
-WITH t AS (
+WITH src AS (
+  SELECT doc_id, COALESCE(text, '') AS text FROM {docs_table}
+), t AS (
   SELECT doc_id,
          regexp_matches(substring(text, 1, 200), '[一-鿿]') AS is_zh,
          list_transform(list_slice(regexp_extract_all(text, '[^\t\n\f\r ]+'), 1, 80),
                         w -> lower(w)) AS ws
-  FROM {docs_table}
+  FROM src
 ), hits AS (
   SELECT doc_id, is_zh,
          COALESCE(list_sum(list_transform(ws, w -> CASE WHEN w IN ({stop['en']}) THEN 1 ELSE 0 END)), 0) AS h_en,

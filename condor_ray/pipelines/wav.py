@@ -25,6 +25,18 @@ def is_wav(payload: bytes) -> bool:
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes -> (float64 samples in [-1, 1] shaped (n_frames,
     n_channels), sample_rate)."""
+    samples, rate, _scale, _is_float = decode_wav_info(payload)
+    return samples, rate
+
+
+def decode_wav_info(payload: bytes) -> tuple[np.ndarray, int, float, bool]:
+    """Like :func:`decode_wav` but also returns ``(scale, is_float)``:
+    ``samples * scale`` reconstructs the source's native integer PCM words
+    EXACTLY for integer formats (scale = 128 / 2^15 / 2^23 / 2^31 for
+    8/16/24/32-bit — each normalization divide is by a power of two, so the
+    round trip is lossless in fp64).  Float WAVs have no integer words;
+    ``scale`` is 2^15 by convention (a fixed-point feature grid, NOT an
+    exactness claim) and ``is_float`` is True so callers can tell."""
     if not is_wav(payload):
         raise ValueError("not a RIFF/WAVE stream")
     pos = 12
@@ -46,10 +58,12 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     )
     if tag == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real tag leads the GUID
         (tag,) = struct.unpack_from("<H", fmt, 24)
+    is_float = False
     if tag == 3:
         if bits != 32:
             raise NotImplementedError(f"float WAV with bits={bits}")
         samples = np.frombuffer(data, dtype=np.float32).astype(np.float64)
+        scale, is_float = float(2**15), True  # convention grid, no words
     elif tag == 1:
         dt = _PCM_DTYPES.get(bits)
         if dt is None:
@@ -61,22 +75,27 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
                 samples = (
                     wide.view(np.int32).ravel().astype(np.float64) / 2**31
                 )
+                # the widened word's low 8 bits are zero, so samples * 2^23
+                # reconstructs the NATIVE 24-bit word exactly
+                scale = float(2**23)
             else:
                 raise NotImplementedError(f"PCM WAV with bits={bits}")
         elif bits == 8:  # 8-bit PCM is unsigned, midpoint 128
             samples = (
                 np.frombuffer(data, dtype=dt).astype(np.float64) - 128.0
             ) / 128.0
+            scale = 128.0  # words = stored byte - 128
         else:
             samples = np.frombuffer(data, dtype=dt).astype(np.float64) / (
                 2 ** (bits - 1)
             )
+            scale = float(2 ** (bits - 1))
     else:
         raise NotImplementedError(
             f"WAV format tag {tag} (compressed?) needs a real audio codec"
         )
     n = len(samples) - len(samples) % max(n_ch, 1)
-    return samples[:n].reshape(-1, n_ch), rate
+    return samples[:n].reshape(-1, n_ch), rate, scale, is_float
 
 
 def encode_wav(samples: np.ndarray, rate: int, bits: int = 16) -> bytes:
