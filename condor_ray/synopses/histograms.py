@@ -73,6 +73,12 @@ class EquiWidthHistogram(Synopsis):
         idx_lb = int(math.floor((lower - self.lower_bound) / self.bucket_length))
         idx_ub = int(math.floor((upper - self.lower_bound) / self.bucket_length))
         if idx_lb == idx_ub:
+            # quirk: a query starting exactly AT upper_bound (e.g. domain
+            # [0,10), range_query(10.0, 10.5)) lands both indices at
+            # num_buckets and raises IndexError — the reference throws
+            # ArrayIndexOutOfBounds on the identical input
+            # (EquiWidthHistogram.java:115-116); negative same-bucket pairs
+            # are unreachable (the upper < lower_bound early-out fires first)
             return ((upper - lower) / self.bucket_length) * self.frequency[idx_lb]
         left_share = right_share = 0.0
         if 0 <= idx_lb < self.num_buckets:
@@ -273,7 +279,12 @@ class BarSplittingHistogram(Synopsis):
                 if left_key == bars.last_key()
                 else bars.higher_key(left_key)
             )
-            next_left = (next_right + left_key) // 2
+            # Java int division truncates toward ZERO (BarSplittingHistogram
+            # .java:122); Python // floors, diverging when the sum is negative
+            # and odd — e.g. -3: Java -1, floor -2 — which would shift every
+            # downstream bar layout on negative-valued streams
+            s = next_right + left_key
+            next_left = s // 2 if s >= 0 else -((-s) // 2)
             if next_left != left_key:
                 current = current / 2
                 bars.put(left_key, current)
@@ -314,8 +325,29 @@ class BarSplittingHistogram(Synopsis):
             # reference does the same (BarSplittingHistogram.java:237 skips
             # the loop; totalFrequencies only grows inside update())
             while base_lb < other_ub:
-                covered = min(other_ub, base_ub) - max(other_lb, base_lb)
                 other_width = other_ub - other_lb
+                if base_ub <= base_lb and base_bars.last_key() != base_lb:
+                    # deviation (documented): the reference spins forever here
+                    # (BarSplittingHistogram.java:238-257) — after a leftmost
+                    # relocation the tail bar can pin base_lb at
+                    # right_boundary with last_key < base_lb, so the
+                    # boundary-extending `lastKey == baseLB` branch never
+                    # fires and baseLB never advances.  (When last_key DOES
+                    # equal base_lb the reference's own branch extends the
+                    # boundary and terminates — that path is left exactly
+                    # as-is.)  Route the other bar's
+                    # remaining (uncredited) fraction through the
+                    # boundary-extending update and stop — same total weight,
+                    # guaranteed progress, identical results on every stream
+                    # that doesn't hit the reference's hang.
+                    remaining = (
+                        frequency * (other_ub - max(other_lb, base_lb)) / other_width
+                        if other_width
+                        else frequency
+                    )
+                    base._update_weighted(other_ub, remaining)
+                    break
+                covered = min(other_ub, base_ub) - max(other_lb, base_lb)
                 weighted = frequency * covered / other_width if other_width else frequency
                 if base_bars.last_key() == base_lb:
                     base._update_weighted(other_ub, weighted)

@@ -109,7 +109,14 @@ class RealValuedBucket4LT:
         return l2, l3, l4
 
     def get_frequency(self, q_lo: float, q_hi: float) -> int:
-        # RealValuedBucket4LT.java:84-172, ported exactly (incl. int casts)
+        # RealValuedBucket4LT.java:84-172, ported exactly (incl. int casts).
+        # quirk: on fractional-width grids (domain span not divisible by the
+        # 8-per-bucket grid) the `int(ceil(...)) + lower_bound` sub-bucket
+        # boundaries can push new_lo past q_hi, and the recursive call then
+        # trips the guard below — the reference throws
+        # IllegalArgumentException on the identical inputs
+        # (RealValuedBucket4LT.java:84-85 via :131/:162).  Preserved and
+        # pinned by test_histograms_extra_quirks.
         if q_hi < q_lo:
             raise ValueError("upper Bound cannot be smaller than lower Bound!")
         if q_lo <= self.lower_bound and q_hi >= self.upper_bound:
@@ -176,8 +183,7 @@ class EquiWidthHistogram4LT:
         # reference quirk (EquiWidthHistogram4LT.java:24-25): the pad is
         # old_n % 8, NOT (8 - old_n % 8) % 8, so the reported upper_bound can
         # land INSIDE the last 8-wide bucket (e.g. 10 buckets -> bound +2
-        # while the grid spans +6).  Kept bit-exact; range_query clamps to
-        # num_buckets so only the bound accessor exposes the inconsistency.
+        # while the grid spans +6).  Kept bit-exact.
         extra = old_n % 8
         self.upper_bound += extra * old_len
         # Java Arrays.copyOfRange zero-pads reads past the end; pad to the
@@ -196,6 +202,12 @@ class EquiWidthHistogram4LT:
             self.buckets.append(b)
 
     def range_query(self, lower: float, upper: float) -> int:
+        # quirk: the LAST 4LT bucket is never queried — the reference clamps
+        # rightIndex to numBuckets-1 and then loops `i < rightIndex`
+        # EXCLUSIVE (EquiWidthHistogram4LT.java:39-42), so any range reaching
+        # the domain end under-counts by the last bucket's overlap (e.g. a
+        # full-domain query returns only the first numBuckets-1 buckets).
+        # Ported bit-exact; pinned by test_histograms_extra_quirks.
         result = 0
         left = max(int((lower - self.lower_bound) / self.bucket_length), 0)
         right = min(
@@ -263,7 +275,6 @@ class SplitAndMergeWithDDSketch(Synopsis):
                 current_min = float("inf")
                 k = b.first_key()
                 n = 0.0
-                keep = k
                 while b.higher_key(k) is not None:
                     n = b.higher_key(k)
                     s = b.get(k) + b.get(n)
@@ -327,6 +338,12 @@ class SplitAndMergeWithDDSketch(Synopsis):
         if b.floor_key(lower) == b.floor_key(upper):
             hk = b.higher_key(lower)
             width = (self.right_most_boundary - b.floor_key(lower)) if hk is None else hk - b.floor_key(lower)
+            if width == 0.0:
+                # single-distinct-value sketch: the lone bucket has zero
+                # width, so Java computes 0.0/0.0 = NaN silently
+                # (SplitAndMergeWithDDSketch.java:213-238, double division);
+                # Python float raises ZeroDivisionError — match Java
+                return float("nan")
             return (upper - lower) / width * b.get(b.floor_key(lower))
         result = 0.0
         lb_key = b.floor_key(lower)

@@ -498,8 +498,11 @@ class FastAGMS(Synopsis):
         sign = np.where(b, 1, -1).astype(np.int64)
         return pos, sign
 
-    def _scatter(self, pos: np.ndarray, sign: np.ndarray) -> None:
+    def _scatter(self, pos: np.ndarray, sign: np.ndarray, direction: int = 1) -> None:
+        """Apply ±1 updates; ``direction=-1`` inverts (decrement_batch)."""
         with np.errstate(over="ignore"):
+            if direction != 1:
+                sign = -sign
             if len(pos) * 8 < self.width:
                 for i in range(self.height):
                     np.add.at(self.array[i], pos[:, i], sign[:, i].astype(np.int32))
@@ -522,15 +525,7 @@ class FastAGMS(Synopsis):
 
     def decrement_batch(self, values: np.ndarray) -> None:
         pos, sign = self._pos_sign(values)
-        with np.errstate(over="ignore"):
-            if len(values) * 8 < self.width:
-                for i in range(self.height):
-                    np.subtract.at(self.array[i], pos[:, i], sign[:, i].astype(np.int32))
-            else:
-                for i in range(self.height):
-                    self.array[i] -= np.bincount(
-                        pos[:, i], weights=sign[:, i], minlength=self.width
-                    ).astype(np.int32)
+        self._scatter(pos, sign, direction=-1)
 
     def _check(self, other: "FastAGMS"):
         if not (

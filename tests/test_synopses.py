@@ -4,6 +4,8 @@ structural invariants, error bounds against exact counts, merge algebra,
 mismatched-parameter failures, batch-vs-sequential equivalence, serde
 round-trips."""
 
+import math
+
 import numpy as np
 import pytest
 
@@ -979,3 +981,77 @@ def test_ddsketch_decrement_batch_matches_rowwise_reference():
         brute(b, dec)
         assert a.counts == b.counts
         assert (a.zero_count, a.global_count) == (b.zero_count, b.global_count)
+
+
+# --------------------------------------------- wave-11 review pins
+class TestHistogramsExtraQuirks:
+    """Pins for the wave-11 review findings: two behavior repairs
+    (BASH merge hang guard, SplitAndMerge NaN division) and three
+    preserved reference quirks (4LT exclusive last bucket is pinned in
+    test_equi_width_4lt; fractional-grid ValueError and equi-width
+    boundary IndexError here)."""
+
+    def test_bash_merge_terminates_on_pinned_tail(self):
+        # reviewer repro: base relocated leftmost, right_boundary stale,
+        # other bar extends past it -> the reference spins forever; the
+        # progress guard must terminate with the full weight credited
+        import signal
+
+        base = BarSplittingHistogram(1, 2)
+        base.update_batch(np.full(100, 5))
+        other = BarSplittingHistogram(1, 2)
+        other.update_batch(np.asarray([3, 10]))
+
+        def _alarm(signum, frame):  # pragma: no cover - only on regression
+            raise TimeoutError("BASH merge failed to terminate")
+
+        old = signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(20)
+        try:
+            merged = base.merge(other)
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
+        assert merged.total_frequencies == pytest.approx(102.0)
+        assert merged.right_boundary >= 6
+
+    def test_bash_split_truncates_toward_zero_like_java(self):
+        # (nextRight + leftKey) / 2 in Java truncates toward zero: for the
+        # odd negative sum -15 + 8 = -7 the split point is -3, not -4
+        bash = BarSplittingHistogram(1, 1)  # max_num_bars=1 never merges here
+        bash.bars.put(-15, 10.0)
+        bash.right_boundary = 8
+        bash._split_bin(-15, 4.0)
+        assert -3 in bash.bars.map
+        assert -4 not in bash.bars.map
+
+    def test_split_and_merge_single_value_range_query_nan(self):
+        from condor_ray.synopses import SplitAndMergeWithDDSketch
+
+        sm = SplitAndMergeWithDDSketch(4, 0.01)
+        sm.update_batch(np.asarray([5.0, 5.0]))
+        # Java double division yields NaN (0.0/0.0); must not raise
+        assert math.isnan(sm.range_query(5.0, 5.0))
+        assert math.isnan(sm.range_query(4.0, 6.0))
+
+    def test_4lt_fractional_grid_value_error_quirk(self):
+        # reference quirk: int-cast sub-bucket boundaries on a fractional
+        # grid push new_lo past q_hi and the recursive guard throws
+        # (RealValuedBucket4LT.java:84-85) — preserved bit-exact
+        from condor_ray.synopses import EquiWidthHistogram, EquiWidthHistogram4LT
+
+        h = EquiWidthHistogram(0.0, 4.0, 16)
+        h.update_batch(RNG.uniform(0, 4, 256))
+        h4 = EquiWidthHistogram4LT(h)
+        with pytest.raises(ValueError):
+            h4.range_query(0.0, 0.9)
+
+    def test_equi_width_boundary_query_crashes_like_java(self):
+        # quirk: query starting exactly AT upper_bound indexes one past the
+        # array end — Java AIOOBE, Python IndexError (same input, same fate)
+        h = EquiWidthHistogram(0.0, 10.0, 10)
+        h.update_batch(np.arange(0.5, 10.0, 1.0))
+        with pytest.raises(IndexError):
+            h.range_query(10.0, 10.5)
+        # out-of-domain on the left still returns 0.0
+        assert h.range_query(-2.0, -1.0) == 0.0
