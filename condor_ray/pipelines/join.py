@@ -111,11 +111,26 @@ def join_turns_tool_calls(
         ).combine_chunks()
         return _route(proj, n_parts)
 
+    # One canonical output schema for every block: from_pandas on an empty
+    # object-dtype frame would infer null-typed string columns, and blocks
+    # from empty vs non-empty buckets would then disagree on schema.
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("turn_ts", pa.int64()),
+            ("call_id", pa.string()),
+            ("tool", pa.string()),
+            ("status", pa.string()),
+            ("call_ts", pa.int64()),
+        ]
+    )
+
     def combine(n_left, *tables):
         turns = [t for t in tables[:n_left] if t.num_rows]
         calls = [t for t in tables[n_left:] if t.num_rows]
         if not turns or not calls:
-            return pa.Table.from_pandas(_empty_join_frame(), preserve_index=False)
+            return out_schema.empty_table()
         merged = pa.concat_tables(turns).to_pandas().merge(
             pa.concat_tables(calls).to_pandas(),
             on=["conv_id", "tool"],
@@ -127,22 +142,10 @@ def join_turns_tool_calls(
         out = merged[ok][
             ["conv_id", "turn_idx", "turn_ts", "call_id", "tool", "status", "call_ts"]
         ].astype({"turn_idx": np.int32, "turn_ts": np.int64, "call_ts": np.int64})
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
 
     return two_sided_hash_exchange(
         turns_ds, tool_calls_ds, n_buckets, shard_turns, shard_calls, combine
     )
 
 
-def _empty_join_frame() -> pd.DataFrame:
-    return pd.DataFrame(
-        {
-            "conv_id": pd.Series(dtype=object),
-            "turn_idx": pd.Series(dtype=np.int32),
-            "turn_ts": pd.Series(dtype=np.int64),
-            "call_id": pd.Series(dtype=object),
-            "tool": pd.Series(dtype=object),
-            "status": pd.Series(dtype=object),
-            "call_ts": pd.Series(dtype=np.int64),
-        }
-    )
