@@ -32,7 +32,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..config import BuildConfiguration, KeySpec
-from ..stages.extract import KeyExtractor, ts_to_us
+from ..stages.extract import KeyExtractor, stratum_codes, ts_to_us
 from ..synopses.base import Synopsis
 from ..synopses.registry import make_synopsis
 from ..windows import (
@@ -89,19 +89,9 @@ class PartialSynopsisBuilder:
             values = self.extractor(batch)
 
         if self.stratify_by is not None:
-            strat_col = batch[self.stratify_by]
-            if isinstance(strat_col, pa.ChunkedArray):
-                strat_col = strat_col.combine_chunks()
-            dic = strat_col.dictionary_encode()
-            strat_values = dic.dictionary.to_pylist()
-            raw = dic.indices.to_numpy(zero_copy_only=False)
-            null_mask = np.isnan(raw) if raw.dtype.kind == "f" else (raw < 0)
-            codes = np.where(null_mask, len(strat_values), raw).astype(np.int64)
-            # null stratum bucket; a GENUINE empty-string stratum escapes
-            # to "<empty>" — "" is the internal no-stratum sentinel (it
-            # must survive Ray Data's groupby, which drops null keys)
-            strat_values = [v if v != "" else "<empty>" for v in strat_values]
-            strat_values = strat_values + ["<null>"]
+            # stratum key rules (null bucket, "<empty>" escape) live in
+            # one shared kernel — see stages/extract.py:stratum_codes
+            codes, strat_values = stratum_codes(batch[self.stratify_by])
             gkey = sid * (len(strat_values) + 1) + codes
         else:
             strat_values = None
@@ -321,16 +311,7 @@ class _PartialCounts:
                     "partial": pa.array(counts, type=pa.int64()),
                 }
             )
-        strat = batch[self.stratify_by]
-        if isinstance(strat, pa.ChunkedArray):
-            strat = strat.combine_chunks()
-        dic = strat.dictionary_encode()
-        svals = dic.dictionary.to_pylist()
-        raw = dic.indices.to_numpy(zero_copy_only=False)
-        null_mask = np.isnan(raw) if raw.dtype.kind == "f" else (raw < 0)
-        codes = np.where(null_mask, len(svals), raw).astype(np.int64)
-        svals = [v if v != "" else "<empty>" for v in svals]
-        svals = svals + ["<null>"]
+        codes, svals = stratum_codes(batch[self.stratify_by])
         gkey = wid * (len(svals) + 1) + codes
         uniq, counts = np.unique(gkey, return_counts=True)
         return pa.table(

@@ -130,6 +130,24 @@ class StreamingJoinJob:
             for f in os.listdir(self.out_dir)
             if f.startswith("join-") and f.endswith(".parquet")
         )
+        if not files:  # zero matches: atomic_emit wrote nothing and
+            # read_parquet([]) raises — return the empty typed result
+            # (same guard as the asof/synopsis/session engines)
+            import pyarrow as _pa
+
+            return rd.from_arrow(
+                _pa.schema(
+                    [
+                        ("conv_id", _pa.string()),
+                        ("turn_idx", _pa.int32()),
+                        ("turn_ts", _pa.int64()),
+                        ("call_id", _pa.string()),
+                        ("tool", _pa.string()),
+                        ("status", _pa.string()),
+                        ("call_ts", _pa.int64()),
+                    ]
+                ).empty_table()
+            )
         return rd.read_parquet(files)
 
     def shutdown(self) -> None:

@@ -51,9 +51,11 @@ def main(argv: list[str] | None = None) -> dict:
     )
     ap.add_argument("--input", required=True, help="parquet file or directory")
     ap.add_argument("--out", required=True, help="emission directory")
-    ap.add_argument("--window-ms", type=int, default=60_000)
+    ap.add_argument("--window-ms", type=int, default=None,
+                    help="window size in ms (cm/hll/counts/wavelets/cep; default 60000)")
     ap.add_argument("--slide-ms", type=int, default=None)
-    ap.add_argument("--gap-ms", type=int, default=30 * 60 * 1000)
+    ap.add_argument("--gap-ms", type=int, default=None,
+                    help="session gap in ms (sessions only; default 1800000)")
     ap.add_argument("--key", default="conv_id")
     ap.add_argument("--parallelism", type=int, default=None)
     ap.add_argument("--checkpoint-dir", default=None)
@@ -90,6 +92,25 @@ def main(argv: list[str] | None = None) -> dict:
             f"--slide-ms only applies to cm/hll (sliding synopsis windows); "
             f"--pipeline {args.pipeline} ignores it"
         )
+    # --window-ms / --gap-ms default to None so an explicit value on a
+    # pipeline that ignores it errors instead of silently dropping (the
+    # same rule --slide-ms already follows); the per-pipeline defaults
+    # are applied after validation
+    if args.window_ms is not None and args.pipeline in ("sessions", "asof"):
+        ap.error(
+            f"--window-ms is ignored by --pipeline {args.pipeline} "
+            "(sessions windows are gap-defined via --gap-ms; asof has no "
+            "window)"
+        )
+    if args.gap_ms is not None and args.pipeline != "sessions":
+        ap.error(
+            f"--gap-ms only applies to sessions (gap-defined windows); "
+            f"--pipeline {args.pipeline} ignores it"
+        )
+    if args.window_ms is None:
+        args.window_ms = 60_000
+    if args.gap_ms is None:
+        args.gap_ms = 30 * 60 * 1000
     if args.slide_ms is not None and args.slide_ms <= 0:
         # the window constructor below uses `if args.slide_ms` — a falsy 0
         # would silently build a tumbling window the operator didn't ask for

@@ -283,6 +283,13 @@ def write_time_ordered_fragments(ds, out_dir: str, n_frag: int,
 
     from ..stages.extract import ts_to_us
 
+    # materialize once: the stats pass below and the hash exchange both
+    # consume ds, and a lazy Dataset would re-execute its whole derive
+    # chain for each (a fragment-cache build holds the full stream in
+    # exchange shards anyway, so object-store-resident blocks cost nothing
+    # extra and the input is scanned a single time)
+    ds = ds.materialize()
+
     stats = ds.map_batches(
         lambda t: pa.table(
             {
@@ -326,14 +333,22 @@ def write_time_ordered_fragments(ds, out_dir: str, n_frag: int,
         manifest_schema = pa.schema([("frag", pa.int64()), ("rows", pa.int64())])
         if not tables:
             return manifest_schema.empty_table()
-        g = pa.concat_tables(tables).to_pandas()
+        combined = pa.concat_tables(tables)
+        g = combined.to_pandas()
         g = g.sort_values(cols, kind="mergesort")
         frag = int(
             np.searchsorted(bounds, int(ts_to_us(tables[0]["ts"]).min()), side="right")
         )
         path = os.path.join(out_dir, f"fragment-{frag:05d}.parquet")
         tmp = path + f".tmp-{os.getpid()}"
-        _pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp)
+        # pin the shards' Arrow schema through the pandas round-trip: an
+        # all-null column (e.g. a fragment with no tool turns) would
+        # otherwise be inferred as parquet type null, poisoning the cache
+        # with mixed fragment schemas
+        _pq.write_table(
+            pa.Table.from_pandas(g, schema=combined.schema, preserve_index=False),
+            tmp,
+        )
         os.replace(tmp, path)
         return pa.table({"frag": pa.array([frag]), "rows": pa.array([len(g)])})
 
@@ -896,35 +911,44 @@ def _shaped_count_stream(sf_dir: str):
 
 
 def _count_window_tools_exact(sf_dir: str, size: int) -> pd.DataFrame:
-    """Exact (window_id, tool) pairs per count window — the query keys."""
-    import ray.data as rd
+    """Exact (window_id, tool) pairs per count window — the query keys.
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
-    )
+    Derived from the SAME shaped stream the sketches ingest
+    (``_shaped_count_stream``), so the event filter and tool-name rule
+    live in exactly one place: a drift between the probe keys and the
+    sketch keys would flip the oracle hash with no error pointing at
+    the cause."""
 
     def wt_pairs(batch: pa.Table) -> pa.Table:
-        ev = batch["event_id"].to_numpy()
-        et = batch["event_type"]
-        if isinstance(et, pa.ChunkedArray):
-            et = et.combine_chunks()
-        is_tool = pa.compute.invert(
-            pa.compute.is_in(
-                et, value_set=pa.array(["view", "signup", "click", "purchase"])
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "window_id": pa.array([], type=pa.int64()),
+                    "tool": pa.array([], type=pa.string()),
+                }
             )
-        ).to_numpy(zero_copy_only=False)
-        ev = ev[is_tool]
-        gkey = (ev // size) * 100 + ev % 20
+        from ..stages.extract import ts_to_us
+
+        # ordinal == event_id (the shaped stream sets ts := event_id ms)
+        ordinal = ts_to_us(batch["ts"]) // 1000
+        tool = batch["tool"]
+        if isinstance(tool, pa.ChunkedArray):
+            tool = tool.combine_chunks()
+        dic = tool.dictionary_encode()
+        labels = dic.dictionary
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        gkey = (ordinal // size) * len(labels) + codes
         uniq = np.unique(gkey)
         return pa.table(
             {
-                "window_id": pa.array(uniq // 100, type=pa.int64()),
-                "tool": pa.array(np.char.add("tool_", (uniq % 100).astype(str))),
+                "window_id": pa.array(uniq // len(labels), type=pa.int64()),
+                "tool": labels.take(pa.array(uniq % len(labels))),
             }
         )
 
     return (
-        ds.map_batches(wt_pairs, batch_format="pyarrow")
+        _shaped_count_stream(sf_dir)
+        .map_batches(wt_pairs, batch_format="pyarrow")
         .groupby(["window_id", "tool"])
         .count()
         .drop_columns(["count()"])

@@ -69,7 +69,17 @@ def generate_stream_fixture(
         out_dir = os.path.join(_CACHE_ROOT, digest)
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
-        return out_dir
+        with open(done) as f:
+            cached_spec = f.read()
+        if cached_spec == spec:
+            return out_dir
+        # explicit out_dir reused with a different spec: returning the
+        # stale fixture would silently run benchmarks at the wrong scale
+        raise ValueError(
+            f"fixture dir {out_dir} was built with spec {cached_spec!r}, "
+            f"requested {spec!r} — pass a fresh out_dir (or omit it for "
+            "the spec-hashed cache path)"
+        )
     os.makedirs(os.path.join(out_dir, "transcripts"), exist_ok=True)
 
     rng = np.random.default_rng(seed)

@@ -65,3 +65,31 @@ class KeyExtractor:
     def _hash_strings(self, col) -> np.ndarray:
         # vectorized over the Arrow buffer (nulls hash to 0, documented)
         return java_string_hash_arrow(col)
+
+
+def stratum_codes(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, list[str]]:
+    """Dictionary-encode a stratum column into (codes, labels).
+
+    The single source of truth for the stratum key rules shared by the
+    batch aggregator, the windowed-count kernel and the streaming store
+    (they must agree byte-for-byte or batch vs streaming stratified
+    results silently diverge):
+
+    - nulls land in a trailing ``"<null>"`` bucket (Ray Data's groupby
+      drops null keys, so they must become a real label);
+    - a GENUINE empty-string stratum escapes to ``"<empty>"`` — ``""``
+      is reserved as the internal no-stratum sentinel.
+
+    Returns ``codes`` (int64, one label index per row) and ``labels``
+    (the dictionary with the escapes applied, ``"<null>"`` last).  Key
+    packing at the call sites uses multiplier ``len(labels) + 1``.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    dic = col.dictionary_encode()
+    labels = dic.dictionary.to_pylist()
+    raw = dic.indices.to_numpy(zero_copy_only=False)
+    null_mask = np.isnan(raw) if raw.dtype.kind == "f" else (raw < 0)
+    codes = np.where(null_mask, len(labels), raw).astype(np.int64)
+    labels = [v if v != "" else "<empty>" for v in labels]
+    return codes, labels + ["<null>"]

@@ -31,6 +31,7 @@ class JoinStateStore:
         self._calls: list[pd.DataFrame] = []
         self._emitted_through = -(2**62)
         self.max_buffered = 0  # buffer high-water mark (bounded-state proof)
+        self.late_dropped = 0
 
     def ingest_turns(self, batch: pa.Table, watermark_us: int = -(2**62)) -> int:
         """Buffer turn rows; a turn whose emission horizon (ts + bound) is
@@ -54,7 +55,7 @@ class JoinStateStore:
                         }
                     )
                 )
-        self.late_dropped = getattr(self, "late_dropped", 0) + n_late
+        self.late_dropped += n_late
         self._track_hwm()
         return n_late
 
@@ -80,7 +81,7 @@ class JoinStateStore:
                     }
                 )
             )
-        self.late_dropped = getattr(self, "late_dropped", 0) + n_late
+        self.late_dropped += n_late
         self._track_hwm()
         return n_late
 
@@ -142,4 +143,5 @@ class JoinStateStore:
             "turns": sum(len(t) for t in self._turns),
             "calls": sum(len(c) for c in self._calls),
             "max_buffered": self.max_buffered,
+            "late_dropped": self.late_dropped,
         }

@@ -74,18 +74,9 @@ class PartitionStateStore:
         else:
             values = self.extractor(batch)
         if self.stratify_by is not None:
-            strat_col = batch[self.stratify_by]
-            if isinstance(strat_col, pa.ChunkedArray):
-                strat_col = strat_col.combine_chunks()
-            dic = strat_col.dictionary_encode()
-            svals = dic.dictionary.to_pylist()
-            raw = dic.indices.to_numpy(zero_copy_only=False)
-            null_mask = np.isnan(raw) if raw.dtype.kind == "f" else (raw < 0)
-            codes = np.where(null_mask, len(svals), raw).astype(np.int64)
-            # null bucket; genuine "" escapes to "<empty>" ("" is the
-            # internal no-stratum sentinel — see engine/batch.py)
-            svals = [v if v != "" else "<empty>" for v in svals]
-            svals = svals + ["<null>"]
+            from ..stages.extract import stratum_codes
+
+            codes, svals = stratum_codes(batch[self.stratify_by])
             gkey = sid * (len(svals) + 1) + codes
         else:
             svals = None

@@ -330,3 +330,59 @@ class TestEvaluatorEdgeCases:
                 ds.schema().names
             )
             assert len(ds.to_pandas()) == 0
+
+
+class TestStreamingJoinEmptyResult:
+    def test_zero_matches_returns_empty_typed_frame(self, ray_session, tmp_path):
+        """A stream where no pair satisfies the bound writes no emission
+        files; result_dataset() must return the empty typed frame instead
+        of crashing on read_parquet([])."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+
+        from condor_ray.engine.streaming_join import StreamingJoinJob
+
+        ts0 = 1_000_000_000
+        turns = pa.table(
+            {
+                "conv_id": pa.array(["c1", "c2"]),
+                "turn_idx": pa.array([0, 0], type=pa.int32()),
+                "role": pa.array(["assistant", "assistant"]),
+                "tool": pa.array(["tool_a", "tool_b"]),
+                "ts": pa.array([ts0, ts0 + 10], type=pa.timestamp("us")),
+            }
+        )
+        # calls far outside the 1 ms bound -> zero matches
+        calls = pa.table(
+            {
+                "conv_id": pa.array(["c1", "c2"]),
+                "call_id": pa.array(["k1", "k2"]),
+                "tool": pa.array(["tool_a", "tool_b"]),
+                "status": pa.array(["ok", "ok"]),
+                "ts": pa.array(
+                    [ts0 + 10_000_000, ts0 + 10_000_000], type=pa.timestamp("us")
+                ),
+            }
+        )
+        tdir, cdir = tmp_path / "t", tmp_path / "c"
+        tdir.mkdir(), cdir.mkdir()
+        pq_.write_table(turns, str(tdir / "t-00000.parquet"))
+        pq_.write_table(calls, str(cdir / "c-00000.parquet"))
+        job = StreamingJoinJob(
+            parallelism=2, bound_ms=1, out_dir=str(tmp_path / "empty_out")
+        )
+        summary = job.run(
+            [str(tdir / "t-00000.parquet")], [str(cdir / "c-00000.parquet")]
+        )
+        res = job.result_dataset()
+        names = res.schema().names
+        got = res.to_pandas()
+        job.shutdown()
+        assert summary["matches"] == 0
+        assert len(got) == 0
+        # Ray's to_pandas drops columns for 0-row datasets; the schema is
+        # the stable surface for the typed empty result
+        assert names == [
+            "conv_id", "turn_idx", "turn_ts", "call_id", "tool", "status",
+            "call_ts",
+        ]

@@ -296,3 +296,65 @@ class TestWaveBoundedExchange:
         assert got["k"].tolist() == list(range(0, 60, 2))
         assert (got["rv"].to_numpy() == got["k"].to_numpy() // 2 * 10).all()
         assert ex.LAST_EXCHANGE_STATS["waves"] >= 3
+
+
+class TestFragmentSchemaPin:
+    def test_all_null_column_keeps_declared_type(self, ray_session, tmp_path):
+        """A fragment whose ``tool`` column is all-null must still be
+        written as parquet type string (the shards' Arrow schema is pinned
+        through the pandas sort round-trip) — a ``null``-typed fragment
+        poisons the cache with mixed schemas for every later consumer."""
+        import os
+
+        import ray.data as rd
+
+        from condor_ray.pipelines.core import write_time_ordered_fragments
+
+        n = 600
+        src = pa.table(
+            {
+                "conv_id": pa.array([f"c{i % 7}" for i in range(n)]),
+                "turn_idx": pa.array(np.arange(n, dtype=np.int32)),
+                "tool": pa.array([None] * n, type=pa.string()),
+                "ts": pa.array(
+                    np.arange(n, dtype=np.int64) * 1000, type=pa.timestamp("us")
+                ),
+            }
+        )
+        out = str(tmp_path / "frags_nulltool")
+        os.makedirs(out)
+        manifest = write_time_ordered_fragments(
+            rd.from_arrow(src).repartition(4), out, n_frag=3
+        )
+        assert manifest["rows"].sum() == n
+        import pyarrow.parquet as pq
+
+        for f in sorted(os.listdir(out)):
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(out, f))
+            assert t.schema.field("tool").type == pa.string()
+            assert t.schema.field("ts").type == pa.timestamp("us")
+
+
+class TestFixtureSpecGuard:
+    def test_explicit_out_dir_spec_mismatch_raises(self, tmp_path):
+        from condor_ray.sources.transcripts import generate_stream_fixture
+
+        out = str(tmp_path / "fix")
+        generate_stream_fixture(
+            n_rows=300, n_convs=10, seed=1, n_fragments=2, out_dir=out
+        )
+        # same spec: cached reuse is fine
+        assert (
+            generate_stream_fixture(
+                n_rows=300, n_convs=10, seed=1, n_fragments=2, out_dir=out
+            )
+            == out
+        )
+        # different spec into the same explicit dir: must refuse, not
+        # silently return the stale 300-row fixture
+        with pytest.raises(ValueError, match="spec"):
+            generate_stream_fixture(
+                n_rows=900, n_convs=10, seed=1, n_fragments=2, out_dir=out
+            )
