@@ -213,13 +213,11 @@ def run_bench() -> dict:
     # path, ~50x slower by design; compute-bound => the scaling demonstrator)
     from condor_ray.engine.ordered import build_windowed_wavelets_from_fragments
 
-    wl_rows = min(total_rows, 6_000_000)
-    wl_fix = generate_stream_fixture(
-        n_rows=wl_rows, n_convs=max(wl_rows // 1000, 600), seed=42, n_fragments=128
-    )
+    # same spec as the stress fixture above — reuse it rather than keeping
+    # a second parameter copy that could silently drift
     t0 = time.perf_counter()
     build_windowed_wavelets_from_fragments(
-        transcript_fragments(wl_fix), TumblingWindow(60_000), size=1024,
+        stress_frags, TumblingWindow(60_000), size=1024,
         parallelism=4, key=KeySpec("turn_idx", "value"),
         columns=["conv_id", "turn_idx", "ts"],
     ).materialize()

@@ -102,7 +102,7 @@ def _flush_first_synopsis(cycle, buffered_frames, query_fn, payload, ws, we, res
     (QueryTimestampedFunction.java:74-84); the rest are dropped by callers."""
     synopsis = Synopsis.from_bytes(payload)
     for q in buffered_frames:
-        ts = q["query_ts"].to_numpy()
+        ts = _ts_us(q["query_ts"])
         hit = q[(ts >= ws) & (ts <= we)]
         if len(hit):
             out = hit.copy()
@@ -111,6 +111,15 @@ def _flush_first_synopsis(cycle, buffered_frames, query_fn, payload, ws, we, res
             out["window_end"] = we
             out.insert(0, "cycle", cycle)
             results.append(out)
+
+
+def _ts_us(col) -> np.ndarray:
+    """Epoch-microseconds from a query_ts column regardless of pandas'
+    datetime64 unit (astype(int64) on a datetime64[ns] series yields
+    ns-scale ints that never land inside a us window)."""
+    if getattr(col.dtype, "kind", "") == "M":
+        return col.to_numpy(dtype="datetime64[us]").astype(np.int64)
+    return col.to_numpy().astype(np.int64)
 
 
 def _new_emit_tables(out_dir: str, seen: set, columns: list[str]):
@@ -186,10 +195,14 @@ class ContinuousQueryLatestStratified:
         if queries is None or len(queries) == 0:
             return
         for stratum, g in queries.groupby("stratum", sort=False):
+            # normalize BEFORE the membership test (emit tables store
+            # strata as strings) — testing with the raw groupby key would
+            # buffer non-string strata forever after the first flush
+            stratum = str(stratum)
             if stratum in self.latest:
-                self._evaluate(cycle, str(stratum), g)
+                self._evaluate(cycle, stratum, g)
             else:
-                self.buffered.setdefault(str(stratum), []).append(g)
+                self.buffered.setdefault(stratum, []).append(g)
 
     def run(self, fragment_paths: list[str], query_arrivals) -> pd.DataFrame:
         """Same cycle contract as ``ContinuousQueryLatest.run``."""
@@ -280,7 +293,7 @@ class ContinuousQueryTimestamped:
             self.buffered.append(queries)
             return
         starts, ends = self.archive.views()
-        ts = queries["query_ts"].to_numpy().astype(np.int64)
+        ts = _ts_us(queries["query_ts"])
         idx, ok = asof_route(starts, ends, ts)
         if not ok.any():
             return  # all outside the archive: dropped (:57-62)
@@ -390,7 +403,7 @@ class ContinuousQueryTimestampedStratified:
                 continue
             arch = self.archive[stratum]
             starts, ends = arch.views()
-            ts = g["query_ts"].to_numpy().astype(np.int64)
+            ts = _ts_us(g["query_ts"])
             idx, ok = asof_route(starts, ends, ts)
             if not ok.any():
                 continue

@@ -101,6 +101,10 @@ def _cached_broadcast(gen_key, ref):
         while len(_BCAST_CACHE) >= _BCAST_CACHE_CAP:
             _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
         _BCAST_CACHE[gen_key] = obj
+    else:
+        # refresh on hit (same LRU rule as _cached_synopsis) — insert-order
+        # eviction would drop the hottest chunk while cold ones stay
+        _BCAST_CACHE[gen_key] = _BCAST_CACHE.pop(gen_key)
     return obj
 
 
@@ -273,38 +277,75 @@ def query_latest_stratified(query_ds, synopsis_ds, query_fn: QueryFn):
     return query_ds.map_batches(evaluate, batch_format="pandas")
 
 
-def query_timestamped_stratified(query_ds, synopsis_ds, query_fn: QueryFn):
-    """As-of join keyed by (stratum, window)."""
+def query_timestamped_stratified(
+    query_ds, synopsis_ds, query_fn: QueryFn, max_synopsis_count: int = 10**6
+):
+    """As-of join keyed by (stratum, window).
+
+    Mirrors ``query_timestamped``'s two bounds: each stratum keeps only
+    its newest ``max_synopsis_count`` windows (the per-stratum TreeSet
+    bound, QueryStratifiedTimestampedFunction.java:30-96), and payload
+    bytes are broadcast in ``_ARCHIVE_CHUNK``-window chunks so a worker
+    pins at most ``_BCAST_CACHE_CAP`` chunks — never the full archive.
+    Only the small per-stratum (starts, ends, base-offset) routing table
+    ships as one object."""
     import ray
 
-    syn = _collect_synopses(synopsis_ds)
-    per_stratum = {
-        s: (
+    syn = (
+        _collect_synopses(synopsis_ds)
+        .groupby("stratum", dropna=False)
+        .tail(max_synopsis_count)
+        .reset_index(drop=True)
+    )
+    if syn.empty:
+        return _empty_result_evaluator(query_ds)
+    # global payload order: grouped by stratum so each stratum's windows
+    # are contiguous and addressable as base + local-window-index
+    syn = syn.sort_values("stratum", kind="mergesort").reset_index(drop=True)
+    routing = {}
+    base = 0
+    for s, g in syn.groupby("stratum", dropna=False, sort=False):
+        routing[s] = (
             g["window_start"].to_numpy(np.int64),
             g["window_end"].to_numpy(np.int64),
-            list(g["payload"]),
+            base,
         )
-        for s, g in syn.groupby("stratum", dropna=False)
-    }
-    ref = ray.put(per_stratum)
-    gen = ref.hex()
+        base += len(g)
+    payloads = list(syn["payload"])
+    chunk_refs = [
+        ray.put(payloads[i : i + _ARCHIVE_CHUNK])
+        for i in range(0, len(payloads), _ARCHIVE_CHUNK)
+    ]
+    route_ref = ray.put(routing)
+    gen = route_ref.hex()
 
     def evaluate(batch: pd.DataFrame) -> pd.DataFrame:
-        tbl = _cached_broadcast(gen, ref)
+        tbl = _cached_broadcast(gen, route_ref)
         out = []
         for stratum, grp in batch.groupby("stratum", dropna=True):
             entry = tbl.get(stratum)
             if entry is None:
                 continue
-            starts, ends, payloads = entry
-            q_ts = grp["query_ts"].astype("int64").to_numpy()
+            starts, ends, base = entry
+            q_col = grp["query_ts"]
+            if q_col.dtype.kind == "M":
+                # normalize any datetime64 unit (ns on older stacks) to
+                # epoch-us — astype('int64') alone would yield ns-scale
+                # ints that never land inside a us window
+                q_ts = q_col.to_numpy(dtype="datetime64[us]").astype(np.int64)
+            else:
+                q_ts = q_col.astype("int64").to_numpy()
             idx, valid = asof_route(starts, ends, q_ts)
             g = grp[valid].copy()
             gi = idx[valid]
             results = np.empty(len(g), dtype=np.float64)
             for w in np.unique(gi):
+                gw = base + int(w)
+                ci, off = gw // _ARCHIVE_CHUNK, gw % _ARCHIVE_CHUNK
                 syn_w = _cached_synopsis(
-                    gen, (stratum, int(w)), lambda: payloads[int(w)]
+                    gen,
+                    (stratum, int(w)),
+                    lambda: _cached_broadcast((gen, ci), chunk_refs[ci])[off],
                 )
                 m = gi == w
                 results[m] = query_fn(syn_w, g["query_key"].to_numpy()[m])

@@ -93,6 +93,14 @@ def assign_sliding_bucketing(ts_us: np.ndarray, window: SlidingWindow):
     Returns (row_indices, window_ids): parallel arrays, one entry per
     (row, window) pair — the caller repeats the row's values.
     Window w spans [w*slide, w*slide + size).
+
+    Documented deviation: window ids are clamped at 0, so a row with
+    ts < size - slide joins fewer windows than Flink's sliding assigner
+    (which also emits the negative-start windows reaching back past the
+    epoch).  Real streams carry epoch-us timestamps ~1.7e15, where the
+    first size/slide windows of year 1970 never occur; the oracle SQL
+    twins clamp the same way (``windows_of_slice`` mirrors this with its
+    ``w >= 0`` floor).
     """
     n = len(ts_us)
     k = window.windows_per_row

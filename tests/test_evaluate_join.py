@@ -386,3 +386,125 @@ class TestStreamingJoinEmptyResult:
             "conv_id", "turn_idx", "turn_ts", "call_id", "tool", "status",
             "call_ts",
         ]
+
+
+def _cm_payload(count: int) -> bytes:
+    """CM sketch payload containing key 1 `count` times."""
+    from condor_ray.synopses.registry import make_synopsis
+
+    s = make_synopsis("CountMinSketch", (1024, 3, 7))
+    s.update_batch(np.full(count, 1, dtype=np.int32))
+    return s.to_bytes()
+
+
+class TestQueryTimestampedStratified:
+    def _syn_frame(self, n_windows: int, strata=("A", "B")) -> pd.DataFrame:
+        rows = []
+        for s in strata:
+            for w in range(n_windows):
+                rows.append(
+                    {
+                        "stratum": s,
+                        "window_start": w * 1000,
+                        "window_end": (w + 1) * 1000,
+                        # distinct count per (stratum, window) so routing
+                        # mistakes are visible in the result value
+                        "payload": _cm_payload(
+                            (w + 1) * (10 if s == "A" else 1)
+                        ),
+                    }
+                )
+        return pd.DataFrame(rows)
+
+    def test_routing_and_chunked_broadcast(self, ray_session, monkeypatch):
+        """Results are identical whether the archive ships as one chunk or
+        many (the chunked-broadcast path must not change routing)."""
+        import condor_ray.evaluate.queries as q
+
+        from condor_ray.evaluate.queries import (
+            query_count_min,
+            query_timestamped_stratified,
+        )
+
+        syn = self._syn_frame(8)
+        queries = pd.DataFrame(
+            {
+                "query_key": np.full(16, 1, dtype=np.int64),
+                "query_ts": pd.to_datetime(
+                    np.tile(np.arange(8) * 1000 + 500, 2), unit="us"
+                ),
+                "stratum": ["A"] * 8 + ["B"] * 8,
+            }
+        )
+        expected_a = (np.arange(8) + 1) * 10
+        expected_b = np.arange(8) + 1
+
+        for chunk in (10_000, 3):  # single-chunk vs multi-chunk broadcast
+            monkeypatch.setattr(q, "_ARCHIVE_CHUNK", chunk)
+            out = (
+                query_timestamped_stratified(
+                    rd.from_pandas(queries), syn, query_count_min
+                )
+                .to_pandas()
+                .sort_values(["stratum", "window_start"])
+            )
+            assert len(out) == 16
+            a = out[out["stratum"] == "A"]["result"].to_numpy()
+            b = out[out["stratum"] == "B"]["result"].to_numpy()
+            assert (a == expected_a).all(), chunk
+            assert (b == expected_b).all(), chunk
+
+    def test_per_stratum_archive_bound(self, ray_session):
+        """max_synopsis_count keeps only the newest N windows PER STRATUM
+        (the reference's per-stratum TreeSet bound): queries routed to an
+        evicted window are dropped, newest-window queries still answer."""
+        from condor_ray.evaluate.queries import (
+            query_count_min,
+            query_timestamped_stratified,
+        )
+
+        syn = self._syn_frame(4)
+        queries = pd.DataFrame(
+            {
+                "query_key": np.full(8, 1, dtype=np.int64),
+                "query_ts": pd.to_datetime(
+                    np.tile(np.arange(4) * 1000 + 500, 2), unit="us"
+                ),
+                "stratum": ["A"] * 4 + ["B"] * 4,
+            }
+        )
+        out = query_timestamped_stratified(
+            rd.from_pandas(queries), syn, query_count_min, max_synopsis_count=1
+        ).to_pandas()
+        # only the newest window (start=3000) survives per stratum
+        assert len(out) == 2
+        assert (out["window_start"] == 3000).all()
+        assert sorted(out["stratum"]) == ["A", "B"]
+        assert sorted(out["result"]) == [4, 40]
+
+
+class TestStratifiedLatestNonStringStrata:
+    def test_int_strata_answer_after_first_flush(self, tmp_path):
+        """_arrive must normalize the stratum BEFORE the membership test:
+        emit tables store strata as strings, so an int-keyed query group
+        would buffer forever once the one-time first flush passed."""
+        from condor_ray.evaluate.continuous import (
+            ContinuousQueryLatestStratified,
+        )
+        from condor_ray.evaluate.queries import query_count_min
+
+        class _DummyJob:
+            out_dir = str(tmp_path)
+
+        ev = ContinuousQueryLatestStratified(_DummyJob(), query_count_min)
+        # state as _refresh_latest builds it: string-keyed
+        ev.latest["7"] = (_cm_payload(5), 0, 1000)
+        ev._arrive(
+            0,
+            pd.DataFrame(
+                {"query_key": np.asarray([1], dtype=np.int64), "stratum": [7]}
+            ),
+        )
+        assert not ev.buffered, "int stratum was buffered instead of answered"
+        assert len(ev.results) == 1
+        assert (ev.results[0]["result"] == 5).all()
