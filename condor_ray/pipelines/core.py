@@ -283,13 +283,13 @@ def write_time_ordered_fragments(ds, out_dir: str, n_frag: int,
 
     from ..stages.extract import ts_to_us
 
-    # materialize once: the stats pass below and the hash exchange both
-    # consume ds, and a lazy Dataset would re-execute its whole derive
-    # chain for each (a fragment-cache build holds the full stream in
-    # exchange shards anyway, so object-store-resident blocks cost nothing
-    # extra and the input is scanned a single time)
-    ds = ds.materialize()
-
+    # Two-pass by design: the stats pass below and the hash exchange each
+    # execute the input's derive chain once (classic min/max-then-shuffle).
+    # Deliberately NOT ds.materialize() — that would pin the entire stream
+    # in the object store on top of the exchange's wave-bounded shards,
+    # the exact O(stream) footprint the wave bounding removed.  Callers
+    # with an expensive derive chain and a small input may pre-materialize
+    # themselves.
     stats = ds.map_batches(
         lambda t: pa.table(
             {
