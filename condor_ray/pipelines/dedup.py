@@ -924,6 +924,114 @@ def jaccard_verify_pairs(docs_ds, pairs: pd.DataFrame, shingle: int = 3,
     )
 
 
+def benchmark_ngram_hashes(texts, n: int = 13) -> np.ndarray:
+    """Sorted distinct word-``n``-gram hashes of a benchmark / eval set.
+
+    ``texts`` is a polars Series[str] (or anything ``pl.Series`` accepts).
+    Uses the exact ``shingle_hash_csr`` kernel the corpus side probes with,
+    so membership is hash-equal iff the word n-gram is string-equal (up to
+    the documented ~1/2⁶⁴ collision odds).  The empty-gram sentinel (rows
+    with zero words) is dropped — an empty benchmark row must not flag
+    every empty training doc."""
+    pl = worker_polars()
+
+    if not isinstance(texts, pl.Series):
+        texts = pl.Series([t if t is None else str(t) for t in texts])
+    if texts.dtype != pl.String:  # empty/all-null inputs infer Null dtype
+        texts = texts.cast(pl.String)
+    sh, _off = shingle_hash_csr(texts, n)
+    with np.errstate(over="ignore"):
+        empty_hash = (_FOLD_INIT ^ np.uint64(0)) * _GOLDEN
+    return np.unique(sh[sh != empty_hash])
+
+
+def decontaminate(docs_ds, benchmark, n: int = 13, text_col: str = "text",
+                  id_col: str = "doc_id", bench_text_col: str = "text"):
+    """Flag training documents sharing any word ``n``-gram with a benchmark
+    set (the classic 13-gram eval-decontamination rule).
+
+    Returns one row per input doc: ``(id_col, matched_ngrams int64,
+    total_ngrams int64, contaminated bool)``.  Docs shorter than ``n``
+    words probe ONE gram folding all their words (so an exact short-text
+    benchmark hit still flags — same collapse rule as the MinHash
+    shingler); empty/null docs never flag.
+
+    Scale shape (100 TB corpus, small eval side — the only shape the
+    operator supports): the benchmark's distinct n-gram hashes build once
+    into ONE sorted uint64 array shipped via ``ray.put`` (workers read it
+    zero-copy from plasma per task — numpy over the object store, never
+    re-serialized per batch).  The corpus streams through a single
+    ``map_batches``: per-batch CSR shingling (the shared
+    ``shingle_hash_csr`` kernel), one ``np.searchsorted`` membership probe,
+    per-doc hit counts via ``np.add.reduceat`` — no shuffle, no
+    materialization, no per-row Python."""
+    import ray
+
+    pl = worker_polars()
+
+    if hasattr(benchmark, "to_arrow_refs"):  # a (small) ray Dataset
+        tables = ray.get(benchmark.select_columns([bench_text_col]).to_arrow_refs())
+        tables = [t for t in tables if t.num_rows]
+        col = (
+            pa.concat_tables(tables)[bench_text_col].combine_chunks()
+            if tables
+            else pa.array([], type=pa.string())
+        )
+        texts = pl.from_arrow(col)
+    elif isinstance(benchmark, pd.DataFrame):
+        texts = pl.from_pandas(benchmark[bench_text_col])
+    else:  # sequence of strings / polars Series
+        texts = benchmark
+    bench = benchmark_ngram_hashes(texts, n)
+    bench_ref = ray.put(bench)
+
+    # pin the id column's face once so zero-row/schemaless blocks from long
+    # plans cannot drift the output schema
+    id_type = dict(zip(docs_ds.schema().names, docs_ds.schema().types)).get(id_col)
+    if not isinstance(id_type, pa.DataType):
+        id_type = pa.int64()
+    elif pa.types.is_dictionary(id_type):
+        id_type = id_type.value_type
+    out_schema = pa.schema(
+        [
+            (id_col, id_type),
+            ("matched_ngrams", pa.int64()),
+            ("total_ngrams", pa.int64()),
+            ("contaminated", pa.bool_()),
+        ]
+    )
+
+    def stage(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or text_col not in batch.schema.names:
+            return out_schema.empty_table()
+        pl = worker_polars()
+
+        bench_sorted = ray.get(bench_ref)  # zero-copy plasma read
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        sh, off = shingle_hash_csr(pl.from_arrow(text), n)
+        if len(bench_sorted):
+            pos = np.searchsorted(bench_sorted, sh)
+            hit = np.zeros(len(sh), dtype=np.int64)
+            inb = pos < len(bench_sorted)
+            hit[inb] = (bench_sorted[pos[inb]] == sh[inb]).astype(np.int64)
+        else:
+            hit = np.zeros(len(sh), dtype=np.int64)
+        # every doc owns >= 1 CSR entry, so reduceat over starts is total
+        counts = np.add.reduceat(hit, off[:-1]) if len(sh) else np.zeros(0, np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "matched_ngrams": pa.array(counts.astype(np.int64)),
+                "total_ngrams": pa.array(np.diff(off).astype(np.int64)),
+                "contaminated": pa.array(counts > 0),
+            }
+        ).cast(out_schema)
+
+    return docs_ds.map_batches(stage, batch_format="pyarrow")
+
+
 def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
     """Exact word n-gram Jaccard (the verification oracle for LSH pairs)."""
 

@@ -595,3 +595,114 @@ def document_fingerprints(ds, concurrency: int = 2):
     return ds.map_batches(
         Fingerprinter, batch_format="pyarrow", concurrency=concurrency
     )
+
+
+def repetition_scores(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style within-document repetition signals, one streaming
+    ``map_batches`` pass (no shuffle, no per-row Python):
+
+    - ``dup_line_frac``: fraction of lines ('\\n'-split) that are repeats
+      of an earlier-or-later identical line (0 when every line is unique).
+    - ``dup_line_char_frac``: fraction of line characters living in lines
+      that occur more than once (all occurrences count, the Gopher rule).
+    - ``top_bigram_frac``: occurrences of the most frequent word 2-gram
+      divided by the total 2-gram count (COUNT-based; Gopher's variant
+      weighs by characters — the count form is hash-computable without
+      materializing gram strings and ranks documents near-identically).
+      Docs with fewer than two words score 0.
+
+    Vectorized shape: lines explode once per batch into a (doc, line)
+    polars group_by (bounded by the batch's line count); 2-gram counts
+    reuse the dedup ``shingle_hash_csr`` kernel + one lexsort run-length
+    pass.  Typical use: filter ``dup_line_frac > 0.3`` or
+    ``top_bigram_frac > 0.2`` before training."""
+    from .dedup import shingle_hash_csr
+
+    def stage(batch: pa.Table) -> pa.Table:
+        from ..runtime import worker_polars
+
+        pl = worker_polars()
+
+        out_schema = pa.schema(
+            [
+                (id_col, pa.int64()),
+                ("dup_line_frac", pa.float64()),
+                ("dup_line_char_frac", pa.float64()),
+                ("top_bigram_frac", pa.float64()),
+            ]
+        )
+        if batch.num_rows == 0 or text_col not in batch.schema.names:
+            return out_schema.empty_table()
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        s = pl.from_arrow(text).fill_null("")
+        n = len(s)
+
+        # --- duplicate-line fractions: explode to (doc, line), count per
+        # (doc, line) group, fold back per doc ---------------------------
+        lines = s.str.split("\n")
+        per_doc = lines.list.len().fill_null(0).to_numpy().astype(np.int64)
+        df = pl.DataFrame(
+            {
+                "doc": pl.Series(
+                    np.repeat(np.arange(n, dtype=np.int64), per_doc)
+                ),
+                "line": lines.explode(),
+            }
+        )
+        g = (
+            df.group_by(["doc", "line"])
+            .agg(pl.len().alias("c"))
+            .with_columns(
+                pl.col("line").str.len_chars().cast(pl.Int64).alias("L")
+            )
+        )
+        doc = g["doc"].to_numpy()
+        c = g["c"].to_numpy().astype(np.int64)
+        L = g["L"].to_numpy().astype(np.int64)
+        dup_lines = np.bincount(doc, weights=np.where(c > 1, c, 0), minlength=n)
+        total_lines = np.bincount(doc, weights=c, minlength=n)
+        dup_chars = np.bincount(
+            doc, weights=np.where(c > 1, c * L, 0), minlength=n
+        )
+        total_chars = np.bincount(doc, weights=c * L, minlength=n)
+        dup_line_frac = np.where(
+            total_lines > 0, dup_lines / np.maximum(total_lines, 1), 0.0
+        )
+        dup_char_frac = np.where(
+            total_chars > 0, dup_chars / np.maximum(total_chars, 1), 0.0
+        )
+
+        # --- top word-bigram count fraction ------------------------------
+        sh, off = shingle_hash_csr(s, 2)
+        counts = np.diff(off)
+        drep = np.repeat(np.arange(n, dtype=np.int64), counts)
+        o = np.lexsort((sh, drep))
+        dr, hs = drep[o], sh[o]
+        new_run = np.concatenate(
+            ([True], (dr[1:] != dr[:-1]) | (hs[1:] != hs[:-1]))
+        ) if len(dr) else np.zeros(0, bool)
+        rid = np.cumsum(new_run) - 1 if len(dr) else np.zeros(0, np.int64)
+        run_len = np.bincount(rid) if len(dr) else np.zeros(0, np.int64)
+        run_doc = dr[new_run] if len(dr) else np.zeros(0, np.int64)
+        top = np.zeros(n, dtype=np.int64)
+        np.maximum.at(top, run_doc, run_len)
+        # short docs (< 2 words) collapse to ONE pseudo-gram in the CSR
+        # kernel — their "top bigram" is meaningless, score 0 by contract
+        words = s.str.count_matches(r"[^\t\n\f\r ]+").to_numpy().astype(np.int64)
+        n_bigrams = np.maximum(words - 1, 0)
+        top_frac = np.where(
+            n_bigrams > 0, top / np.maximum(n_bigrams, 1), 0.0
+        )
+
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "dup_line_frac": pa.array(dup_line_frac.astype(np.float64)),
+                "dup_line_char_frac": pa.array(dup_char_frac.astype(np.float64)),
+                "top_bigram_frac": pa.array(top_frac.astype(np.float64)),
+            }
+        ).cast(out_schema)
+
+    return ds.map_batches(stage, batch_format="pyarrow")

@@ -959,3 +959,165 @@ class TestWave4Regressions:
             .reset_index(drop=True)
         )
         assert out["n_convs"].tolist() == [2, 1]  # nulls not counted
+
+
+class TestDecontaminate:
+    """13-gram eval-set decontamination vs a brute-force string oracle."""
+
+    WORD_RE = r"[^\t\n\f\r ]+"
+
+    @classmethod
+    def _grams(cls, text, n=13):
+        import re
+
+        w = re.findall(cls.WORD_RE, text or "")
+        if not w:
+            return set()  # empty docs never flag (empty gram excluded)
+        if len(w) < n:
+            return {" ".join(w)}  # the shingler's short-doc collapse rule
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    @classmethod
+    def _gram_list(cls, text, n=13):
+        import re
+
+        w = re.findall(cls.WORD_RE, text or "")
+        if not w:
+            return []
+        if len(w) < n:
+            return [" ".join(w)]
+        return [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+
+    def test_flags_match_string_oracle(self, ray_session, docs_pd):
+        from condor_ray.pipelines.dedup import decontaminate
+
+        docs = docs_pd[["doc_id", "text"]].head(200)
+        # benchmark: 13-word substrings lifted from docs 0-4 plus one
+        # never-seen item
+        import re
+
+        bench = []
+        for t in docs["text"].head(5):
+            w = re.findall(self.WORD_RE, t)
+            bench.append(" ".join(w[2 : 2 + 13]))
+        bench.append("totally novel benchmark sentence that matches nothing at all")
+        out = (
+            decontaminate(rd.from_pandas(docs), bench)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert len(out) == len(docs)
+        bench_grams = set().union(*[self._grams(b) for b in bench])
+        for _, r in out.iterrows():
+            text = docs.loc[docs["doc_id"] == r.doc_id, "text"].iloc[0]
+            gl = self._gram_list(text)
+            want_matched = sum(g in bench_grams for g in gl)
+            assert r.matched_ngrams == want_matched, r.doc_id
+            assert r.total_ngrams == max(len(gl), 1), r.doc_id
+            assert bool(r.contaminated) == (want_matched > 0), r.doc_id
+        # the planted sources really do flag
+        assert out.set_index("doc_id").loc[docs["doc_id"].head(5), "contaminated"].all()
+
+    def test_short_doc_collapse_rule(self, ray_session):
+        from condor_ray.pipelines.dedup import decontaminate
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "three word doc",  # == bench item -> flags
+                    "prefix three word doc suffix",  # contains it -> no flag
+                    "",  # empty -> never flags
+                ],
+            }
+        )
+        out = (
+            decontaminate(rd.from_pandas(docs), ["three word doc", ""])
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["contaminated"].tolist() == [True, False, False]
+        assert out["matched_ngrams"].tolist() == [1, 0, 0]
+
+    def test_empty_benchmark_and_dataset_input(self, ray_session, docs_pd):
+        from condor_ray.pipelines.dedup import decontaminate
+
+        docs = docs_pd[["doc_id", "text"]].head(50)
+        out = decontaminate(rd.from_pandas(docs), []).to_pandas()
+        assert len(out) == 50 and not out["contaminated"].any()
+        # Dataset benchmark side: every doc vs the corpus itself -> all flag
+        out2 = decontaminate(
+            rd.from_pandas(docs),
+            rd.from_pandas(docs.rename(columns={"text": "text"})),
+        ).to_pandas()
+        assert out2["contaminated"].all()
+
+
+class TestRepetitionScores:
+    def test_matches_python_oracle(self, ray_session, docs_pd):
+        import re
+
+        from condor_ray.pipelines.textstats import repetition_scores
+
+        # synthetic docs exercising every branch + real corpus text
+        extra = pd.DataFrame(
+            {
+                "doc_id": [9001, 9002, 9003, 9004, 9005],
+                "text": [
+                    "a b c\na b c\nunique line",  # dup lines
+                    "spam spam spam spam spam",  # one dominant bigram
+                    "",  # empty
+                    "word",  # < 2 words
+                    "x\nx\nx\ny y y y\nz",  # mixed
+                ],
+            }
+        )
+        docs = pd.concat(
+            [docs_pd[["doc_id", "text"]].head(50), extra], ignore_index=True
+        )
+        out = (
+            repetition_scores(rd.from_pandas(docs))
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert len(out) == len(docs)
+        WORD = r"[^\t\n\f\r ]+"
+        for _, row in docs.iterrows():
+            t = row["text"] or ""
+            lines = t.split("\n")
+            from collections import Counter
+
+            lc = Counter(lines)
+            dup_lines = sum(c for c in lc.values() if c > 1)
+            dup_chars = sum(c * len(l) for l, c in lc.items() if c > 1)
+            total_chars = sum(len(l) for l in lines)
+            want_dlf = dup_lines / len(lines)
+            want_dcf = dup_chars / total_chars if total_chars else 0.0
+            w = re.findall(WORD, t)
+            if len(w) >= 2:
+                bc = Counter(zip(w, w[1:]))
+                want_top = max(bc.values()) / (len(w) - 1)
+            else:
+                want_top = 0.0
+            got = out.loc[row["doc_id"]]
+            assert got["dup_line_frac"] == pytest.approx(want_dlf), row["doc_id"]
+            assert got["dup_line_char_frac"] == pytest.approx(want_dcf), row["doc_id"]
+            assert got["top_bigram_frac"] == pytest.approx(want_top), row["doc_id"]
+
+    def test_filter_shape(self, ray_session):
+        from condor_ray.pipelines.textstats import repetition_scores
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": [
+                    "go go go go go go",
+                    "a perfectly ordinary sentence with eleven distinct words in it here",
+                ],
+            }
+        )
+        out = repetition_scores(rd.from_pandas(docs)).to_pandas()
+        rep = out[out["top_bigram_frac"] > 0.2]["doc_id"].tolist()
+        assert rep == [0]
