@@ -706,3 +706,93 @@ def repetition_scores(ds, text_col: str = "text", id_col: str = "doc_id"):
         ).cast(out_schema)
 
     return ds.map_batches(stage, batch_format="pyarrow")
+
+
+# PII patterns shared by redact_pii and its SQL twin.  RE2/Rust-regex
+# COMMON SUBSET ONLY (no lookaround, no backrefs) so the polars pass and
+# the DuckDB oracle are bit-identical; applied in list order (emails
+# first — an address must not be half-eaten by the phone rule).
+_PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{7,15}|\b\d{3}[-.]\d{3,4}[-.]\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Replace emails / IPv4 addresses / phone numbers with placeholder
+    tokens — the standard scrub pass before training on scraped text.
+
+    Returns ``(id_col, text, n_email, n_ip, n_phone)`` where ``text`` is
+    the redacted body.  One vectorized polars pass per pattern (compiled
+    once per worker by polars' regex cache); counts are taken BEFORE each
+    replacement, and patterns apply in a fixed order so later rules never
+    re-match inside an earlier rule's token.  Exactly SQL-replicable —
+    ``redact_pii_sql`` is the DuckDB twin (same RE2-compatible patterns,
+    same order).  Streaming map_batches: no shuffle, no per-row Python."""
+
+    def stage(batch: pa.Table) -> pa.Table:
+        from ..runtime import worker_polars
+
+        pl = worker_polars()
+
+        out_schema = pa.schema(
+            [
+                (id_col, pa.int64()),
+                ("text", pa.string()),
+                ("n_email", pa.int64()),
+                ("n_ip", pa.int64()),
+                ("n_phone", pa.int64()),
+            ]
+        )
+        if batch.num_rows == 0 or text_col not in batch.schema.names:
+            return out_schema.empty_table()
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        s = pl.from_arrow(text).fill_null("")
+        cols = {id_col: batch[id_col]}
+        for name, pat, token in _PII_PATTERNS:
+            cols[f"n_{name}"] = pa.array(
+                s.str.count_matches(pat).to_numpy().astype(np.int64)
+            )
+            s = s.str.replace_all(pat, token)
+        cols["text"] = s.to_arrow()
+        return pa.table(
+            {k: cols[k] for k in (id_col, "text", "n_email", "n_ip", "n_phone")}
+        ).cast(out_schema)
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def redact_pii_sql(docs_table: str = "documents") -> str:
+    """DuckDB twin of :func:`redact_pii` (same patterns, same order,
+    counts before each replacement)."""
+    (e_name, e_pat, e_tok), (i_name, i_pat, i_tok), (p_name, p_pat, p_tok) = (
+        _PII_PATTERNS
+    )
+
+    def q(s: str) -> str:
+        # DuckDB string literals are standard SQL: backslashes pass through
+        # UNESCAPED (doubling them corrupts \b / \d), only quotes double
+        return s.replace("'", "''")
+
+    return f"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(coalesce(text, ''), '{q(e_pat)}', '{e_tok}', 'g'),
+               '{q(i_pat)}', '{i_tok}', 'g'),
+             '{q(p_pat)}', '{p_tok}', 'g') AS text,
+           len(regexp_extract_all(coalesce(text, ''), '{q(e_pat)}'))::BIGINT
+             AS n_email,
+           len(regexp_extract_all(
+             regexp_replace(coalesce(text, ''), '{q(e_pat)}', '{e_tok}', 'g'),
+             '{q(i_pat)}'))::BIGINT AS n_ip,
+           len(regexp_extract_all(
+             regexp_replace(
+               regexp_replace(coalesce(text, ''), '{q(e_pat)}', '{e_tok}', 'g'),
+               '{q(i_pat)}', '{i_tok}', 'g'),
+             '{q(p_pat)}'))::BIGINT AS n_phone
+    FROM {docs_table}
+    """

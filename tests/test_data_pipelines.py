@@ -1121,3 +1121,53 @@ class TestRepetitionScores:
         out = repetition_scores(rd.from_pandas(docs)).to_pandas()
         rep = out[out["top_bigram_frac"] > 0.2]["doc_id"].tolist()
         assert rep == [0]
+
+
+class TestRedactPii:
+    def test_bit_equal_vs_duckdb_twin(self, ray_session, docs_pd, tmp_path):
+        import duckdb
+
+        from condor_ray.pipelines.textstats import redact_pii, redact_pii_sql
+
+        planted = pd.DataFrame(
+            {
+                "doc_id": [8001, 8002, 8003, 8004, 8005],
+                "text": [
+                    "reach john.doe+spam@example.co.uk or admin@host.io today",
+                    "server at 10.0.0.255 and 192.168.1.1; semver 1.2.3 stays",
+                    "call +4915112345678 or 555-123-4567 now",
+                    "a@b.io next to 8.8.8.8 next to 555-000-1234",
+                    "",
+                ],
+            }
+        )
+        docs = pd.concat(
+            [docs_pd[["doc_id", "text"]].head(100), planted], ignore_index=True
+        )
+        p = tmp_path / "docs.parquet"
+        docs.to_parquet(p)
+        got = (
+            redact_pii(rd.from_pandas(docs))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')"
+        )
+        want = (
+            con.execute(redact_pii_sql())
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], want[sorted(want.columns)]
+        )
+        # the planted rows actually redact
+        row = got.set_index("doc_id")
+        assert row.loc[8001, "n_email"] == 2 and "<EMAIL>" in row.loc[8001, "text"]
+        assert row.loc[8002, "n_ip"] == 2 and "1.2.3 stays" in row.loc[8002, "text"]
+        assert row.loc[8003, "n_phone"] == 2
+        assert row.loc[8004, ["n_email", "n_ip", "n_phone"]].tolist() == [1, 1, 1]
