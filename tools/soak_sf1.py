@@ -326,6 +326,33 @@ def main() -> None:
     }
     print("minhash:", results["jobs"]["minhash_dedup_2m_docs"], flush=True)
 
+    # 9) eval-set decontamination over the same 2M-doc corpus: 1k lifted
+    # benchmark items (every base doc in the first 1k flags) + 1k novel;
+    # the broadcast-membership shape's docs/s at 10x the bench corpus
+    from condor_ray.pipelines.dedup import decontaminate
+
+    bench_items = [
+        " ".join((t or "").split()[:13])
+        for t in base["text"].head(1000).to_list()
+    ] + [f"unmatched soak filler sentence number {i} zzq" for i in range(1000)]
+    t0 = time.perf_counter()
+    n_contam = int(
+        decontaminate(corpus, bench_items, n=13)
+        .map_batches(
+            lambda t: pa.table({"c": t["contaminated"].cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .sum("c")
+    )
+    wall = time.perf_counter() - t0
+    results["jobs"]["decontam_2m_docs"] = {
+        "wall_s": round(wall, 2),
+        "docs": n_docs,
+        "flagged": n_contam,
+        "docs_per_s": round(n_docs / wall),
+    }
+    print("decontam:", results["jobs"]["decontam_2m_docs"], flush=True)
+
     with open(
         os.path.join(os.path.dirname(__file__), "..", "BENCH_soak_sf1.json"), "w"
     ) as f:
