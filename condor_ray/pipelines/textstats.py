@@ -796,3 +796,86 @@ def redact_pii_sql(docs_table: str = "documents") -> str:
              '{q(p_pat)}'))::BIGINT AS n_phone
     FROM {docs_table}
     """
+
+
+# C4-style line rules shared by c4_line_filter and its SQL twin (RE2 /
+# Rust-regex common subset, applied per '\n'-line):
+_C4_WORD_RE = r"[^\t\n\f\r ]+"
+_C4_TERMINAL_RE = r"[.!?]\s*$"
+_C4_BOILER_RE = r"javascript|cookie|lorem ipsum"
+
+
+def c4_line_filter(ds, text_col: str = "text", id_col: str = "doc_id",
+                   min_words: int = 3):
+    """C4-style boilerplate line removal: keep only lines with at least
+    ``min_words`` words, ending in terminal punctuation (. ! ?), and not
+    containing a boilerplate marker (javascript / cookie / lorem ipsum,
+    case-insensitive) — the standard scrape-cleanup pass before training.
+
+    Returns ``(id_col, text, n_lines_kept, n_lines_dropped)`` with the
+    surviving lines re-joined by '\\n' (docs where every line drops keep
+    an empty text).  One vectorized polars pass per batch
+    (``list.eval``-filtered line lists — no per-row Python); exactly
+    SQL-replicable, ``c4_line_filter_sql`` is the DuckDB twin."""
+
+    def stage(batch: pa.Table) -> pa.Table:
+        from ..runtime import worker_polars
+
+        pl = worker_polars()
+
+        out_schema = pa.schema(
+            [
+                (id_col, pa.int64()),
+                ("text", pa.string()),
+                ("n_lines_kept", pa.int64()),
+                ("n_lines_dropped", pa.int64()),
+            ]
+        )
+        if batch.num_rows == 0 or text_col not in batch.schema.names:
+            return out_schema.empty_table()
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lines = pl.from_arrow(text).fill_null("").str.split("\n")
+        kept = lines.list.eval(
+            pl.element().filter(
+                (pl.element().str.count_matches(_C4_WORD_RE) >= min_words)
+                & pl.element().str.contains(_C4_TERMINAL_RE)
+                & ~pl.element().str.to_lowercase().str.contains(_C4_BOILER_RE)
+            )
+        )
+        n_all = lines.list.len().to_numpy().astype(np.int64)
+        n_kept = kept.list.len().to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "text": kept.list.join("\n").to_arrow(),
+                "n_lines_kept": pa.array(n_kept),
+                "n_lines_dropped": pa.array(n_all - n_kept),
+            }
+        ).cast(out_schema)
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def c4_line_filter_sql(docs_table: str = "documents", min_words: int = 3) -> str:
+    """DuckDB twin of :func:`c4_line_filter` (same regexes — backslashes
+    pass through DuckDB string literals unescaped — same join)."""
+    return f"""
+    WITH kept AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(coalesce(text, ''), chr(10)),
+               x -> len(regexp_extract_all(x, '{_C4_WORD_RE}')) >= {min_words}
+                AND regexp_matches(x, '{_C4_TERMINAL_RE}')
+                AND NOT regexp_matches(lower(x), '{_C4_BOILER_RE}')
+             ) AS keep_lines,
+             len(string_split(coalesce(text, ''), chr(10))) AS n_all
+      FROM {docs_table}
+    )
+    SELECT doc_id,
+           coalesce(array_to_string(keep_lines, chr(10)), '') AS text,
+           len(keep_lines)::BIGINT AS n_lines_kept,
+           (n_all - len(keep_lines))::BIGINT AS n_lines_dropped
+    FROM kept
+    """

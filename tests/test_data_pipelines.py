@@ -1171,3 +1171,56 @@ class TestRedactPii:
         assert row.loc[8002, "n_ip"] == 2 and "1.2.3 stays" in row.loc[8002, "text"]
         assert row.loc[8003, "n_phone"] == 2
         assert row.loc[8004, ["n_email", "n_ip", "n_phone"]].tolist() == [1, 1, 1]
+
+
+class TestC4LineFilter:
+    def test_bit_equal_vs_duckdb_twin(self, ray_session, docs_pd, tmp_path):
+        import duckdb
+
+        from condor_ray.pipelines.textstats import (
+            c4_line_filter,
+            c4_line_filter_sql,
+        )
+
+        planted = pd.DataFrame(
+            {
+                "doc_id": [7001, 7002, 7003, 7004],
+                "text": [
+                    "A good first sentence here.\nok\nEnable JavaScript to view this site.\n"
+                    "This cookie banner must go away now.\nAnother keeper ends properly!",
+                    "no terminal punctuation on this line\nBut this one does end right.",
+                    "",
+                    "every\nline\ntoo short.",
+                ],
+            }
+        )
+        docs = pd.concat(
+            [docs_pd[["doc_id", "text"]].head(100), planted], ignore_index=True
+        )
+        p = tmp_path / "docs.parquet"
+        docs.to_parquet(p)
+        got = (
+            c4_line_filter(rd.from_pandas(docs))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+        want = (
+            con.execute(c4_line_filter_sql())
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], want[sorted(want.columns)]
+        )
+        row = got.set_index("doc_id")
+        assert row.loc[7001, "text"] == (
+            "A good first sentence here.\nAnother keeper ends properly!"
+        )
+        assert row.loc[7001, "n_lines_dropped"] == 3
+        assert row.loc[7002, "text"] == "But this one does end right."
+        assert row.loc[7003, "n_lines_kept"] == 0  # "" splits to one empty line
+        assert row.loc[7004, "text"] == ""  # every line under min_words
