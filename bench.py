@@ -327,6 +327,29 @@ def run_bench() -> dict:
     queries["decontam_200k_docs"] = time.perf_counter() - t0
     decontam_tput = n_docs / queries["decontam_200k_docs"]
 
+    # q7c: the composed cleaning flagship (C4 lines -> PII redaction ->
+    # fused quality/repetition/decontamination gate -> exact dedup keeping
+    # text) over the same corpus with terminal punctuation appended (the
+    # synthetic token soup has none, which would degenerate the C4 gate).
+    import pyarrow.compute as _pc
+
+    from condor_ray.pipelines.clean import clean_corpus
+
+    dotted = corpus.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("text"),
+            "text",
+            _pc.binary_join_element_wise(
+                t["text"].cast(_pa.string()), ".", ""
+            ),
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    t0 = time.perf_counter()
+    clean_kept = clean_corpus(dotted, bench_items[:200]).count()
+    queries["clean_corpus_200k"] = time.perf_counter() - t0
+    clean_tput = n_docs / queries["clean_corpus_200k"]
+
     # q8: brute-force ANN cosine top-k, 2M vectors x 2048 standing queries
     # (dgemm-dense; also the --scaling compute-bound demonstrator)
     ann_res = scaling_job("ann", ncpu)
@@ -438,6 +461,8 @@ def run_bench() -> dict:
         "dedup_docs_per_s": round(dedup_tput),
         "decontam_flagged": n_contam,
         "decontam_docs_per_s": round(decontam_tput),
+        "clean_corpus_kept": clean_kept,
+        "clean_corpus_docs_per_s": round(clean_tput),
         "ann_vecs": ann_res["rows"],
         "ann_queries": ann_res["n_queries"],
         "ann_qvec_per_s": ann_res["qvec_per_s"],
@@ -792,6 +817,9 @@ if __name__ == "__main__":
         )
         result["decontam_docs_per_s"] = max(
             result["decontam_docs_per_s"], second["decontam_docs_per_s"]
+        )
+        result["clean_corpus_docs_per_s"] = max(
+            result["clean_corpus_docs_per_s"], second["clean_corpus_docs_per_s"]
         )
         result["best_of"] = 2
         import ray

@@ -113,6 +113,62 @@ def exact_dedup(ds, n_parts: int | None = None):
     )
 
 
+def exact_dedup_keep_text(ds, n_parts: int | None = None):
+    """Exact dedup that RETURNS the surviving rows ``(doc_id, text)`` —
+    the corpus-producing sibling of :func:`exact_dedup` (which emits only
+    the keep-list).  Same 128-bit content key and h1-partitioning as
+    ``content_hash_stage`` (seeds 1/2 — keep them in sync); the shuffle
+    carries each text exactly once, and each bounded partition keeps the
+    min-doc_id row per key with one vectorized polars pass."""
+    n_parts = n_parts or default_n_parts()
+
+    def hash_stage(batch: pa.Table) -> pa.Table:
+        pl = worker_polars()
+
+        empty = pa.table(
+            {
+                "h1": pa.array([], pa.int64()),
+                "h2": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "part": pa.array([], pa.int32()),
+            }
+        )
+        if batch.num_rows == 0 or "text" not in batch.schema.names:
+            return empty
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        s = pl.from_arrow(text)
+        h1 = s.hash(seed=1).to_numpy().view(np.int64)
+        return pa.table(
+            {
+                "h1": pa.array(h1),
+                "h2": pa.array(s.hash(seed=2).to_numpy().view(np.int64)),
+                "doc_id": batch["doc_id"],
+                "text": text,
+                "part": pa.array((h1 % n_parts).astype(np.int32)),
+            }
+        )
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        pl = worker_polars()
+
+        return (
+            pl.from_pandas(g[["h1", "h2", "doc_id", "text"]])
+            .sort("doc_id")
+            .unique(subset=["h1", "h2"], keep="first", maintain_order=True)
+            .select(["doc_id", "text"])
+            .to_pandas()
+        )
+
+    return (
+        ds.map_batches(hash_stage, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(agg, batch_format="pandas")
+    )
+
+
 # -- MinHash + LSH ---------------------------------------------------------
 
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
@@ -1010,26 +1066,34 @@ def decontaminate(docs_ds, benchmark, n: int = 13, text_col: str = "text",
         text = batch[text_col]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
-        sh, off = shingle_hash_csr(pl.from_arrow(text), n)
-        if len(bench_sorted):
-            pos = np.searchsorted(bench_sorted, sh)
-            hit = np.zeros(len(sh), dtype=np.int64)
-            inb = pos < len(bench_sorted)
-            hit[inb] = (bench_sorted[pos[inb]] == sh[inb]).astype(np.int64)
-        else:
-            hit = np.zeros(len(sh), dtype=np.int64)
-        # every doc owns >= 1 CSR entry, so reduceat over starts is total
-        counts = np.add.reduceat(hit, off[:-1]) if len(sh) else np.zeros(0, np.int64)
+        counts, totals = _contam_counts(pl.from_arrow(text), bench_sorted, n)
         return pa.table(
             {
                 id_col: batch[id_col],
                 "matched_ngrams": pa.array(counts.astype(np.int64)),
-                "total_ngrams": pa.array(np.diff(off).astype(np.int64)),
+                "total_ngrams": pa.array(totals.astype(np.int64)),
                 "contaminated": pa.array(counts > 0),
             }
         ).cast(out_schema)
 
     return docs_ds.map_batches(stage, batch_format="pyarrow")
+
+
+def _contam_counts(texts_pl, bench_sorted: np.ndarray, n: int):
+    """(matched-gram counts, total grams probed) per doc — the per-batch
+    membership probe SHARED by ``decontaminate`` and ``clean_corpus``'s
+    fused gate."""
+    sh, off = shingle_hash_csr(texts_pl, n)
+    if len(bench_sorted):
+        pos = np.searchsorted(bench_sorted, sh)
+        hit = np.zeros(len(sh), dtype=np.int64)
+        inb = pos < len(bench_sorted)
+        hit[inb] = (bench_sorted[pos[inb]] == sh[inb]).astype(np.int64)
+    else:
+        hit = np.zeros(len(sh), dtype=np.int64)
+    # every doc owns >= 1 CSR entry, so reduceat over starts is total
+    counts = np.add.reduceat(hit, off[:-1]) if len(sh) else np.zeros(0, np.int64)
+    return counts, np.diff(off)
 
 
 def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:

@@ -233,6 +233,50 @@ def heavy_hitters_cm(
 _PUNCT_RE = r"[^0-9A-Za-z_\t\n\f\r ]"
 
 
+def _quality_kernel(pl, s) -> dict:
+    """Per-batch quality features over a null-filled polars Series[str].
+    SHARED between ``quality_scores`` (whose DuckDB twin is bit-identical
+    — keep the arithmetic exactly as written) and ``clean_corpus``'s fused
+    gate; returns numpy arrays keyed by output column name."""
+    stop_en = sorted(_STOPWORDS["en"])
+    words = s.str.extract_all(_WORD_RE)
+    nw = words.list.len().fill_null(0).to_numpy().astype(np.int64)
+    wc = (
+        words.list.eval(pl.element().str.len_chars())
+        .list.sum()
+        .fill_null(0)
+        .to_numpy()
+        .astype(np.int64)
+    )
+    stop = (
+        words.list.eval(
+            pl.element().str.to_lowercase().is_in(stop_en)
+        )
+        .list.sum()
+        .fill_null(0)
+        .to_numpy()
+        .astype(np.int64)
+    )
+    n_chars = s.str.len_chars().to_numpy().astype(np.int64)
+    n_punct = s.str.count_matches(_PUNCT_RE).to_numpy().astype(np.int64)
+
+    mean_len = np.where(nw > 0, wc / np.maximum(nw, 1), 0.0)
+    punct_ratio = n_punct / np.maximum(n_chars, 1)
+    stop_ratio = stop / np.maximum(nw, 1)
+    quality = (
+        np.minimum(nw / 50.0, 1.0) * 0.4
+        + np.maximum(np.minimum(1.0 - punct_ratio * 5.0, 1.0), 0.0) * 0.3
+        + np.minimum(mean_len / 8.0, 1.0) * 0.3
+    )
+    return {
+        "n_words": nw,
+        "mean_word_len": mean_len,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "quality": quality,
+    }
+
+
 def quality_scores(ds):
     """Per-doc quality features, fully vectorized and SQL-twinnable.
 
@@ -240,7 +284,6 @@ def quality_scores(ds):
     polars regex pass per batch; ``quality`` combines them with exact
     IEEE-reproducible arithmetic (integer counts, single divisions,
     min/max clips — the SQL twin computes bit-identical doubles)."""
-    stop_en = sorted(_STOPWORDS["en"])
 
     def stage(batch: pa.Table) -> pa.Table:
         from ..runtime import worker_polars
@@ -253,44 +296,15 @@ def quality_scores(ds):
         # null text ≡ '' (both sides: quality_sql coalesces identically) —
         # without it, a single null row turns len_chars' null into
         # INT64_MIN via .astype(int64) and the quality row is garbage
-        s = pl.from_arrow(text).fill_null("")
-        words = s.str.extract_all(_WORD_RE)
-        nw = words.list.len().fill_null(0).to_numpy().astype(np.int64)
-        wc = (
-            words.list.eval(pl.element().str.len_chars())
-            .list.sum()
-            .fill_null(0)
-            .to_numpy()
-            .astype(np.int64)
-        )
-        stop = (
-            words.list.eval(
-                pl.element().str.to_lowercase().is_in(stop_en)
-            )
-            .list.sum()
-            .fill_null(0)
-            .to_numpy()
-            .astype(np.int64)
-        )
-        n_chars = s.str.len_chars().to_numpy().astype(np.int64)
-        n_punct = s.str.count_matches(_PUNCT_RE).to_numpy().astype(np.int64)
-
-        mean_len = np.where(nw > 0, wc / np.maximum(nw, 1), 0.0)
-        punct_ratio = n_punct / np.maximum(n_chars, 1)
-        stop_ratio = stop / np.maximum(nw, 1)
-        quality = (
-            np.minimum(nw / 50.0, 1.0) * 0.4
-            + np.maximum(np.minimum(1.0 - punct_ratio * 5.0, 1.0), 0.0) * 0.3
-            + np.minimum(mean_len / 8.0, 1.0) * 0.3
-        )
+        q = _quality_kernel(pl, pl.from_arrow(text).fill_null(""))
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "n_words": pa.array(nw),
-                "mean_word_len": pa.array(mean_len.astype(np.float64)),
-                "punct_ratio": pa.array(punct_ratio.astype(np.float64)),
-                "stopword_ratio": pa.array(stop_ratio.astype(np.float64)),
-                "quality": pa.array(quality.astype(np.float64)),
+                "n_words": pa.array(q["n_words"]),
+                "mean_word_len": pa.array(q["mean_word_len"].astype(np.float64)),
+                "punct_ratio": pa.array(q["punct_ratio"].astype(np.float64)),
+                "stopword_ratio": pa.array(q["stopword_ratio"].astype(np.float64)),
+                "quality": pa.array(q["quality"].astype(np.float64)),
             }
         )
 
@@ -616,7 +630,6 @@ def repetition_scores(ds, text_col: str = "text", id_col: str = "doc_id"):
     reuse the dedup ``shingle_hash_csr`` kernel + one lexsort run-length
     pass.  Typical use: filter ``dup_line_frac > 0.3`` or
     ``top_bigram_frac > 0.2`` before training."""
-    from .dedup import shingle_hash_csr
 
     def stage(batch: pa.Table) -> pa.Table:
         from ..runtime import worker_polars
@@ -636,76 +649,92 @@ def repetition_scores(ds, text_col: str = "text", id_col: str = "doc_id"):
         text = batch[text_col]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
-        s = pl.from_arrow(text).fill_null("")
-        n = len(s)
-
-        # --- duplicate-line fractions: explode to (doc, line), count per
-        # (doc, line) group, fold back per doc ---------------------------
-        lines = s.str.split("\n")
-        per_doc = lines.list.len().fill_null(0).to_numpy().astype(np.int64)
-        df = pl.DataFrame(
-            {
-                "doc": pl.Series(
-                    np.repeat(np.arange(n, dtype=np.int64), per_doc)
-                ),
-                "line": lines.explode(),
-            }
-        )
-        g = (
-            df.group_by(["doc", "line"])
-            .agg(pl.len().alias("c"))
-            .with_columns(
-                pl.col("line").str.len_chars().cast(pl.Int64).alias("L")
-            )
-        )
-        doc = g["doc"].to_numpy()
-        c = g["c"].to_numpy().astype(np.int64)
-        L = g["L"].to_numpy().astype(np.int64)
-        dup_lines = np.bincount(doc, weights=np.where(c > 1, c, 0), minlength=n)
-        total_lines = np.bincount(doc, weights=c, minlength=n)
-        dup_chars = np.bincount(
-            doc, weights=np.where(c > 1, c * L, 0), minlength=n
-        )
-        total_chars = np.bincount(doc, weights=c * L, minlength=n)
-        dup_line_frac = np.where(
-            total_lines > 0, dup_lines / np.maximum(total_lines, 1), 0.0
-        )
-        dup_char_frac = np.where(
-            total_chars > 0, dup_chars / np.maximum(total_chars, 1), 0.0
-        )
-
-        # --- top word-bigram count fraction ------------------------------
-        sh, off = shingle_hash_csr(s, 2)
-        counts = np.diff(off)
-        drep = np.repeat(np.arange(n, dtype=np.int64), counts)
-        o = np.lexsort((sh, drep))
-        dr, hs = drep[o], sh[o]
-        new_run = np.concatenate(
-            ([True], (dr[1:] != dr[:-1]) | (hs[1:] != hs[:-1]))
-        ) if len(dr) else np.zeros(0, bool)
-        rid = np.cumsum(new_run) - 1 if len(dr) else np.zeros(0, np.int64)
-        run_len = np.bincount(rid) if len(dr) else np.zeros(0, np.int64)
-        run_doc = dr[new_run] if len(dr) else np.zeros(0, np.int64)
-        top = np.zeros(n, dtype=np.int64)
-        np.maximum.at(top, run_doc, run_len)
-        # short docs (< 2 words) collapse to ONE pseudo-gram in the CSR
-        # kernel — their "top bigram" is meaningless, score 0 by contract
-        words = s.str.count_matches(r"[^\t\n\f\r ]+").to_numpy().astype(np.int64)
-        n_bigrams = np.maximum(words - 1, 0)
-        top_frac = np.where(
-            n_bigrams > 0, top / np.maximum(n_bigrams, 1), 0.0
-        )
-
+        r = _repetition_kernel(pl, pl.from_arrow(text).fill_null(""))
         return pa.table(
             {
                 id_col: batch[id_col],
-                "dup_line_frac": pa.array(dup_line_frac.astype(np.float64)),
-                "dup_line_char_frac": pa.array(dup_char_frac.astype(np.float64)),
-                "top_bigram_frac": pa.array(top_frac.astype(np.float64)),
+                "dup_line_frac": pa.array(
+                    r["dup_line_frac"].astype(np.float64)
+                ),
+                "dup_line_char_frac": pa.array(
+                    r["dup_line_char_frac"].astype(np.float64)
+                ),
+                "top_bigram_frac": pa.array(
+                    r["top_bigram_frac"].astype(np.float64)
+                ),
             }
         ).cast(out_schema)
 
     return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def _repetition_kernel(pl, s) -> dict:
+    """Per-batch repetition fractions over a null-filled polars
+    Series[str] — SHARED by ``repetition_scores`` and ``clean_corpus``'s
+    fused gate."""
+    from .dedup import shingle_hash_csr
+
+    n = len(s)
+
+    # --- duplicate-line fractions: explode to (doc, line), count per
+    # (doc, line) group, fold back per doc -------------------------------
+    lines = s.str.split("\n")
+    per_doc = lines.list.len().fill_null(0).to_numpy().astype(np.int64)
+    df = pl.DataFrame(
+        {
+            "doc": pl.Series(
+                np.repeat(np.arange(n, dtype=np.int64), per_doc)
+            ),
+            "line": lines.explode(),
+        }
+    )
+    g = (
+        df.group_by(["doc", "line"])
+        .agg(pl.len().alias("c"))
+        .with_columns(
+            pl.col("line").str.len_chars().cast(pl.Int64).alias("L")
+        )
+    )
+    doc = g["doc"].to_numpy()
+    c = g["c"].to_numpy().astype(np.int64)
+    L = g["L"].to_numpy().astype(np.int64)
+    dup_lines = np.bincount(doc, weights=np.where(c > 1, c, 0), minlength=n)
+    total_lines = np.bincount(doc, weights=c, minlength=n)
+    dup_chars = np.bincount(
+        doc, weights=np.where(c > 1, c * L, 0), minlength=n
+    )
+    total_chars = np.bincount(doc, weights=c * L, minlength=n)
+    dup_line_frac = np.where(
+        total_lines > 0, dup_lines / np.maximum(total_lines, 1), 0.0
+    )
+    dup_char_frac = np.where(
+        total_chars > 0, dup_chars / np.maximum(total_chars, 1), 0.0
+    )
+
+    # --- top word-bigram count fraction ----------------------------------
+    sh, off = shingle_hash_csr(s, 2)
+    counts = np.diff(off)
+    drep = np.repeat(np.arange(n, dtype=np.int64), counts)
+    o = np.lexsort((sh, drep))
+    dr, hs = drep[o], sh[o]
+    new_run = np.concatenate(
+        ([True], (dr[1:] != dr[:-1]) | (hs[1:] != hs[:-1]))
+    ) if len(dr) else np.zeros(0, bool)
+    rid = np.cumsum(new_run) - 1 if len(dr) else np.zeros(0, np.int64)
+    run_len = np.bincount(rid) if len(dr) else np.zeros(0, np.int64)
+    run_doc = dr[new_run] if len(dr) else np.zeros(0, np.int64)
+    top = np.zeros(n, dtype=np.int64)
+    np.maximum.at(top, run_doc, run_len)
+    # short docs (< 2 words) collapse to ONE pseudo-gram in the CSR
+    # kernel — their "top bigram" is meaningless, score 0 by contract
+    words = s.str.count_matches(r"[^\t\n\f\r ]+").to_numpy().astype(np.int64)
+    n_bigrams = np.maximum(words - 1, 0)
+    top_frac = np.where(n_bigrams > 0, top / np.maximum(n_bigrams, 1), 0.0)
+    return {
+        "dup_line_frac": dup_line_frac,
+        "dup_line_char_frac": dup_char_frac,
+        "top_bigram_frac": top_frac,
+    }
 
 
 # PII patterns shared by redact_pii and its SQL twin.  RE2/Rust-regex

@@ -1224,3 +1224,82 @@ class TestC4LineFilter:
         assert row.loc[7002, "text"] == "But this one does end right."
         assert row.loc[7003, "n_lines_kept"] == 0  # "" splits to one empty line
         assert row.loc[7004, "text"] == ""  # every line under min_words
+
+
+class TestCleanCorpus:
+    def test_matches_composed_standalone_ops(self, ray_session, docs_pd):
+        """clean_corpus == the standalone operators applied in sequence
+        (each of which has its own independent oracle)."""
+        from condor_ray.pipelines.clean import clean_corpus
+        from condor_ray.pipelines.dedup import decontaminate
+        from condor_ray.pipelines.textstats import (
+            c4_line_filter,
+            quality_scores,
+            redact_pii,
+            repetition_scores,
+        )
+
+        base = docs_pd[["doc_id", "text"]].head(80).copy()
+        # give half the docs terminal punctuation so the C4 gate passes them
+        base.loc[base.index[::2], "text"] = base["text"].iloc[::2] + "."
+        extra = pd.DataFrame(
+            {
+                "doc_id": [9101, 9102, 9103, 9104],
+                "text": [
+                    "spam spam spam spam spam spam spam spam spam spam.",  # repetition
+                    "contact me at a@b.io for the full dataset details now.",  # PII, survives
+                    base["text"].iloc[0],  # exact dup of doc 0 (already "."-suffixed)
+                    "tiny.",  # < min_words
+                ],
+            }
+        )
+        docs = pd.concat([base, extra], ignore_index=True)
+        bench = [" ".join((base["text"].iloc[2] or "").split()[:13])]
+
+        got = (
+            clean_corpus(rd.from_pandas(docs), bench)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+        # oracle: the standalone ops, composed in pandas
+        step = c4_line_filter(rd.from_pandas(docs)).to_pandas()[["doc_id", "text"]]
+        step = redact_pii(rd.from_pandas(step)).to_pandas()[["doc_id", "text"]]
+        q = quality_scores(rd.from_pandas(step)).to_pandas().set_index("doc_id")
+        r = repetition_scores(rd.from_pandas(step)).to_pandas().set_index("doc_id")
+        c = decontaminate(rd.from_pandas(step), bench).to_pandas().set_index("doc_id")
+        keep = step[
+            step["doc_id"].map(
+                lambda d: q.loc[d, "quality"] >= 0.25
+                and q.loc[d, "n_words"] >= 5
+                and r.loc[d, "dup_line_frac"] <= 0.3
+                and r.loc[d, "top_bigram_frac"] <= 0.5
+                and not c.loc[d, "contaminated"]
+            )
+        ]
+        keep = (
+            keep.sort_values("doc_id")
+            .drop_duplicates("text", keep="first")
+            .reset_index(drop=True)
+        )
+        want = keep.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[["doc_id", "text"]], want)
+        ids = set(got["doc_id"])
+        assert 9101 not in ids  # repetition gate
+        assert 9104 not in ids  # min_words gate
+        assert 9103 not in ids  # exact dup of the cleaned doc 0
+        base2 = docs_pd["doc_id"].iloc[2]
+        assert base2 not in ids  # decontaminated
+        if 9102 in ids:  # survives iff quality passes; PII must be redacted
+            t = got.set_index("doc_id").loc[9102, "text"]
+            assert "<EMAIL>" in t and "a@b.io" not in t
+
+    def test_no_benchmark_no_dedup(self, ray_session, docs_pd):
+        from condor_ray.pipelines.clean import clean_corpus
+
+        docs = docs_pd[["doc_id", "text"]].head(30).copy()
+        docs["text"] = docs["text"] + "."
+        out = clean_corpus(rd.from_pandas(docs), None, dedup=False).to_pandas()
+        assert set(out.columns) == {"doc_id", "text"}
+        assert len(out) <= 30
