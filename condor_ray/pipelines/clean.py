@@ -83,7 +83,13 @@ def clean_corpus(
                 else pa.array([], type=pa.string())
             )
         else:
-            texts = benchmark
+            import pandas as pd
+
+            texts = (
+                pl.from_pandas(benchmark["text"])
+                if isinstance(benchmark, pd.DataFrame)
+                else benchmark
+            )
         bench_ref = ray.put(benchmark_ngram_hashes(texts, ngram))
     else:
         bench_ref = None

@@ -1303,3 +1303,12 @@ class TestCleanCorpus:
         out = clean_corpus(rd.from_pandas(docs), None, dedup=False).to_pandas()
         assert set(out.columns) == {"doc_id", "text"}
         assert len(out) <= 30
+
+    def test_dataframe_benchmark_input(self, ray_session, docs_pd):
+        from condor_ray.pipelines.clean import clean_corpus
+
+        docs = docs_pd[["doc_id", "text"]].head(20).copy()
+        docs["text"] = docs["text"] + "."
+        bench_df = pd.DataFrame({"text": [docs["text"].iloc[0]]})
+        out = clean_corpus(rd.from_pandas(docs), bench_df).to_pandas()
+        assert docs["doc_id"].iloc[0] not in set(out["doc_id"])
