@@ -575,15 +575,6 @@ def _q_dup_components(sf_dir: str):
     return dedup_keep_list(corpus, pairs, n_parts=n_parts)
 
 
-def _q_token_stats(sf_dir: str):
-    import ray.data as rd
-
-    from condor_ray.pipelines.textstats import token_stats
-
-    return token_stats(
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    )
-
 
 def _head_embeddings(sf_dir: str, n: int = 10):
     """The first ``n`` query vectors WITHOUT pulling the whole embeddings
@@ -745,15 +736,6 @@ def _q_streaming_query_latest(sf_dir: str):
     return streaming_query_latest_cm(sf_dir, TumblingWindow(WINDOW_MS))
 
 
-def _q_quality_scores(sf_dir: str):
-    import ray.data as rd
-
-    from condor_ray.pipelines.textstats import quality_scores
-
-    return quality_scores(
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    )
-
 
 def _q_jaccard_verify(sf_dir: str):
     """Distributed exact n-gram Jaccard over candidate pairs (the verify
@@ -807,15 +789,6 @@ def _q_jaccard_verify(sf_dir: str):
     ).map_batches(plant, batch_format="pyarrow")
     return jaccard_verify_pairs(docs, pairs)
 
-
-def _q_language_id(sf_dir: str):
-    import ray.data as rd
-
-    from condor_ray.pipelines.textstats import language_id
-
-    return language_id(
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    )
 
 
 def _q_doc_fingerprints(sf_dir: str):
@@ -885,6 +858,130 @@ def _q_streaming_pattern_matches_relaxed(sf_dir: str):
         sf_dir, _pattern_steps(), within_ms=PATTERN_WITHIN_MS,
         contiguity="relaxed",
     )
+
+
+def _q_doc_profile(sf_dir: str):
+    """token_stats + quality_scores + language_id over ``documents`` in one
+    gate row: all three REAL streaming operators run, their tiny per-doc
+    profile frames merge on doc_id driver-side (documents ≤ 5k rows at
+    gate scale; the operators themselves stream).  Oracle: the three
+    bit-identical twins joined on doc_id."""
+    import ray.data as rd
+
+    from condor_ray.pipelines.textstats import (
+        language_id,
+        quality_scores,
+        token_stats,
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    prof = token_stats(docs).to_pandas()
+    prof = prof.merge(quality_scores(docs).to_pandas(), on="doc_id")
+    return prof.merge(language_id(docs).to_pandas(), on="doc_id")
+
+
+def _variant_union(**variants: Callable[[str], Any]):
+    """Run each variant query and stack the results under a ``variant``
+    tag column — fuses same-shape operator variants (e.g. CEP strict vs
+    relaxed contiguity) into one gate row whose oracle is the UNION ALL
+    of the per-variant twins."""
+
+    def run(sf_dir: str):
+        import pandas as pd
+
+        frames = []
+        for tag, fn in variants.items():
+            df = fn(sf_dir)
+            if hasattr(df, "to_pandas") and not isinstance(df, pd.DataFrame):
+                df = df.to_pandas()
+            df = df.copy()
+            df.insert(0, "variant", tag)
+            frames.append(df)
+        return pd.concat(frames, ignore_index=True)
+
+    return run
+
+
+def _q_corpus_filters(sf_dir: str):
+    """The fused one-pass scrub/filter signals operator (C4 line filter +
+    PII redaction + Gopher repetition) over ``documents``."""
+    import ray.data as rd
+
+    from condor_ray.pipelines.textstats import corpus_filters
+
+    return corpus_filters(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+
+
+def _q_decontam_docs(sf_dir: str):
+    """Eval-set decontamination: the 13-word-gram rule with the benchmark
+    side a small slice of ``documents`` (doc_id % 101 = 7 — the realistic
+    shape: tiny driver-resident eval set, streaming corpus).  Oracle: the
+    string-gram join twin."""
+    import pandas as pd
+    import ray.data as rd
+
+    from condor_ray.pipelines.dedup import decontaminate
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    bench = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    bench = bench[bench["doc_id"] % 101 == 7]
+    return decontaminate(docs, bench)
+
+
+# clean_corpus gate derivation, shared between the Ray side and the SQL
+# oracle: the synthetic documents carry no terminal punctuation (the C4
+# line rule would drop everything), so both sides append one '.' per doc
+# and plant exact duplicates for the dedup stage — the same UNION-style
+# derivation the exact_dedup row uses.
+_CLEAN_CORPUS_TABLE = (
+    "(SELECT doc_id, text || '.' AS text FROM documents "
+    "UNION ALL "
+    "SELECT doc_id + 100000, text || '.' FROM documents WHERE doc_id % 7 = 0)"
+)
+
+
+def _q_clean_corpus(sf_dir: str):
+    """The composed corpus-cleaning flagship through every stage: C4 line
+    filter -> PII redaction -> fused quality/repetition/decontamination
+    gate -> exact dedup keeping text.  Runs over the derived corpus above
+    (terminal '.', planted duplicate docs); the benchmark is the derived
+    corpus's doc_id % 101 = 7 slice."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from condor_ray.pipelines.clean import clean_corpus
+
+    def dot(batch):
+        return batch.set_column(
+            batch.schema.get_field_index("text"),
+            "text",
+            pc.binary_join_element_wise(
+                batch["text"].cast("string"), ".", ""
+            ),
+        )
+
+    def shift(batch):
+        mask = (batch["doc_id"].to_numpy(zero_copy_only=False) % 7) == 0
+        kept = batch.filter(mask)
+        return kept.set_column(
+            kept.schema.get_field_index("doc_id"),
+            "doc_id",
+            pc.add(kept["doc_id"], 100000),
+        )
+
+    base = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(dot, batch_format="pyarrow")
+    corpus = base.union(base.map_batches(shift, batch_format="pyarrow"))
+
+    def bench_slice(batch):
+        mask = (batch["doc_id"].to_numpy(zero_copy_only=False) % 101) == 7
+        return batch.filter(mask)
+
+    bench = corpus.map_batches(bench_slice, batch_format="pyarrow")
+    return clean_corpus(corpus, bench)
 
 
 def _mk_synopsis_query(fn_name: str):
@@ -1005,10 +1102,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_window_tool_freq": _twin(
             _q_count_window_tool_freq, _q_streaming_count_window
         ),
-        # --- CEP ------------------------------------------------------------
-        "pattern_matches": _twin(_q_pattern_matches, _q_streaming_pattern_matches),
-        "pattern_matches_relaxed": _twin(
-            _q_pattern_matches_relaxed, _q_streaming_pattern_matches_relaxed
+        # --- CEP (strict + relaxed contiguity fused under a variant tag;
+        # each variant remains a batch/streaming _twin) ------------------------
+        "pattern_matches": _twin(
+            _variant_union(
+                strict=_q_pattern_matches, relaxed=_q_pattern_matches_relaxed
+            ),
+            _variant_union(
+                strict=_q_streaming_pattern_matches,
+                relaxed=_q_streaming_pattern_matches_relaxed,
+            ),
         ),
         # --- joins + concurrent windows --------------------------------------
         "turns_join_tool_calls": _twin(
@@ -1051,14 +1154,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- LLM-data pipeline: dedup / text / similarity / multimodal -------
         "exact_dedup": _q_exact_dedup,
         "dup_components": _q_dup_components,
-        "token_stats": _q_token_stats,
+        # token_stats + quality_scores + language_id fused on doc_id
+        "doc_profile": _q_doc_profile,
         "top_words": _q_top_words,
         "heavy_hitters_cm": _q_heavy_hitters,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "jaccard_verify": _q_jaccard_verify,
-        "quality_scores": _q_quality_scores,
-        "language_id": _q_language_id,
+        # --- quality-filter family (scrub signals, decontamination, the
+        # composed cleaning flagship) -----------------------------------------
+        "corpus_filters": _q_corpus_filters,
+        "decontam_docs": _q_decontam_docs,
+        "clean_corpus": _q_clean_corpus,
         "doc_fingerprints": _q_doc_fingerprints,
         "image_features": _q_image_features,
         "frame_samples": _q_frame_samples,
@@ -1169,13 +1276,14 @@ JOIN sessions s
 WHERE t.tool IS NOT NULL"""
     from condor_ray.pipelines.cep import pattern_sql
 
-    out["pattern_matches"] = pattern_sql(
-        cte, _pattern_steps(), PATTERN_WITHIN_MS
-    )
     from condor_ray.pipelines.cep import pattern_relaxed_sql
 
-    out["pattern_matches_relaxed"] = pattern_relaxed_sql(
-        cte, _pattern_steps(), PATTERN_WITHIN_MS
+    # fused CEP row: strict + relaxed under a variant tag (UNION ALL twin)
+    out["pattern_matches"] = (
+        f"SELECT 'strict' AS variant, * FROM "
+        f"({pattern_sql(cte, _pattern_steps(), PATTERN_WITHIN_MS)}) "
+        f"UNION ALL SELECT 'relaxed' AS variant, * FROM "
+        f"({pattern_relaxed_sql(cte, _pattern_steps(), PATTERN_WITHIN_MS)})"
     )
     # ts-ordered fragments => incremental relaxed matching over the
     # watermark frontier emits exactly the batch followedBy match set
@@ -1279,7 +1387,7 @@ SELECT doc_id,
        MIN(doc_id) OVER (PARTITION BY text) AS component,
        doc_id = MIN(doc_id) OVER (PARTITION BY text) AS keep
 FROM corpus"""
-    out["token_stats"] = """
+    _token_sql = """
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        CAST(length(text) AS BIGINT) AS n_chars
@@ -1309,10 +1417,30 @@ ranked AS (
 SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id
 FROM ranked WHERE rank <= 10"""
     out["ivf_topk"] = out["ann_topk"]
-    from condor_ray.pipelines.textstats import lang_id_sql, quality_sql
+    from condor_ray.pipelines.textstats import (
+        corpus_filters_sql,
+        lang_id_sql,
+        quality_sql,
+    )
 
-    out["quality_scores"] = quality_sql("documents")
-    out["language_id"] = lang_id_sql("documents")
+    # fused doc_profile row: token_stats + quality_scores + language_id
+    # joined on doc_id (each component twin is bit-identical standalone)
+    out["doc_profile"] = f"""
+SELECT t.doc_id, t.n_tokens, t.n_chars,
+       q.n_words, q.mean_word_len, q.punct_ratio, q.stopword_ratio,
+       q.quality, l.lang_pred
+FROM ({_token_sql}) t
+JOIN ({quality_sql("documents")}) q USING (doc_id)
+JOIN ({lang_id_sql("documents")}) l USING (doc_id)"""
+    out["corpus_filters"] = corpus_filters_sql("documents")
+    from condor_ray.pipelines.dedup import decontaminate_sql
+
+    out["decontam_docs"] = decontaminate_sql("documents", "doc_id % 101 = 7")
+    from condor_ray.pipelines.clean import clean_corpus_sql
+
+    out["clean_corpus"] = clean_corpus_sql(
+        _CLEAN_CORPUS_TABLE, "doc_id % 101 = 7"
+    )
     # winnowing fingerprints: HUGEINT Horner over char codepoints == the Ray
     # side's Rabin-Karp over utf-8 bytes (the documents corpus is pure ASCII
     # — verified <= U+0079 at every sf — and every doc is >= 8 chars, so the

@@ -122,3 +122,55 @@ def clean_corpus(
     if dedup:
         ds = exact_dedup_keep_text(ds, n_parts)
     return ds
+
+
+def clean_corpus_sql(
+    docs_table: str = "documents",
+    bench_where: str = "doc_id % 101 = 7",
+    *,
+    bench_table: str | None = None,
+    ngram: int = 13,
+    line_min_words: int = 3,
+    min_quality: float = 0.25,
+    max_dup_line_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.5,
+    min_words: int = 5,
+) -> str:
+    """DuckDB twin of :func:`clean_corpus` with the benchmark side a
+    predicate-selected slice of the RAW ``bench_table`` (default: the
+    corpus table itself — gate-row shape).
+
+    Chains the component twins in the operator's order — C4 line filter
+    → PII redaction → (quality / repetition / decontamination) gate →
+    min-doc_id-per-text dedup.  Every gate expression is the component
+    twin's bit-identical double, so threshold comparisons agree exactly;
+    the decontamination membership is string-gram equality (equal to the
+    kernel's hash membership up to ~1/2^64 collisions)."""
+    from .dedup import decontaminate_sql
+    from .textstats import (
+        c4_line_filter_sql,
+        quality_sql,
+        redact_pii_sql,
+        repetition_sql,
+    )
+
+    return f"""
+WITH cc_c4 AS ({c4_line_filter_sql(docs_table, line_min_words)}),
+cc_pii AS (SELECT doc_id, text FROM ({redact_pii_sql('cc_c4')})),
+cc_q AS (SELECT doc_id, n_words, quality FROM ({quality_sql('cc_pii')})),
+cc_rep AS (SELECT * FROM ({repetition_sql('cc_pii')})),
+cc_dc AS (SELECT doc_id, contaminated
+          FROM ({decontaminate_sql('cc_pii', bench_where, ngram,
+                                   bench_table=bench_table or docs_table)})),
+cc_keep AS (
+  SELECT p.doc_id, p.text
+  FROM cc_pii p
+  JOIN cc_q q USING (doc_id)
+  JOIN cc_rep r USING (doc_id)
+  JOIN cc_dc d USING (doc_id)
+  WHERE q.quality >= {min_quality} AND q.n_words >= {min_words}
+    AND r.dup_line_frac <= {max_dup_line_frac}
+    AND r.top_bigram_frac <= {max_top_bigram_frac}
+    AND NOT d.contaminated
+)
+SELECT min(doc_id) AS doc_id, text FROM cc_keep GROUP BY text"""

@@ -1079,6 +1079,61 @@ def decontaminate(docs_ds, benchmark, n: int = 13, text_col: str = "text",
     return docs_ds.map_batches(stage, batch_format="pyarrow")
 
 
+def decontaminate_sql(docs_table: str = "documents",
+                      bench_where: str = "doc_id % 101 = 7",
+                      n: int = 13, bench_table: str | None = None) -> str:
+    """DuckDB twin of :func:`decontaminate` where the benchmark side is a
+    predicate-selected slice of ``bench_table`` (default: the corpus table
+    itself — the gate-row shape).
+
+    Equivalent on STRING n-grams: the kernel's 64-bit hash membership
+    equals string membership up to the documented ~1/2^64 collision odds
+    (words contain no spaces, so joining with ' ' is injective).  Mirrors
+    the kernel's collapse rules exactly: docs with 0 < L < n words probe
+    ONE gram folding all words; empty docs probe nothing but still report
+    total_ngrams = 1 (the CSR pseudo-entry); the benchmark side drops its
+    empty-doc grams."""
+    gram_case = f"""
+         CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+              WHEN len(w) < {n} THEN [array_to_string(w, ' ')]
+              ELSE list_transform(range(1, len(w) - {n - 2}),
+                                  i -> array_to_string(w[i:i+{n - 1}], ' '))
+         END"""
+    if bench_table is None:
+        bench_cte = (
+            f"SELECT DISTINCT unnest(g) AS gram FROM dc_grams"
+            f" WHERE {bench_where}"
+        )
+    else:
+        bench_cte = f"""
+  SELECT DISTINCT unnest({gram_case}) AS gram
+  FROM (SELECT regexp_extract_all(COALESCE(text, ''), '[^\t\n\f\r ]+') AS w
+        FROM {bench_table} WHERE {bench_where})"""
+    return f"""
+WITH dc_w AS (
+  SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '[^\t\n\f\r ]+') AS w
+  FROM {docs_table}
+), dc_grams AS (
+  SELECT doc_id,
+         {gram_case} AS g,
+         greatest(len(w) - {n - 1}, 1) AS total
+  FROM dc_w
+), dc_bench AS (
+  {bench_cte}
+), dc_probe AS (
+  SELECT doc_id, unnest(g) AS gram FROM dc_grams
+), dc_hits AS (
+  SELECT p.doc_id, count(*) AS matched
+  FROM dc_probe p JOIN dc_bench b ON p.gram = b.gram
+  GROUP BY p.doc_id
+)
+SELECT g.doc_id,
+       CAST(COALESCE(h.matched, 0) AS BIGINT) AS matched_ngrams,
+       CAST(g.total AS BIGINT) AS total_ngrams,
+       COALESCE(h.matched, 0) > 0 AS contaminated
+FROM dc_grams g LEFT JOIN dc_hits h USING (doc_id)"""
+
+
 def _contam_counts(texts_pl, bench_sorted: np.ndarray, n: int):
     """(matched-gram counts, total grams probed) per doc — the per-batch
     membership probe SHARED by ``decontaminate`` and ``clean_corpus``'s

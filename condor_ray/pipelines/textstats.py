@@ -737,6 +737,53 @@ def _repetition_kernel(pl, s) -> dict:
     }
 
 
+def repetition_sql(docs_table: str = "documents") -> str:
+    """DuckDB twin of :func:`repetition_scores` — bit-identical doubles.
+
+    Line fractions: per-(doc, line) counts via group-by (polars does the
+    same explode + group), integer sums, one double division each.  Top
+    bigram: the string-gram max count equals the kernel's hash-gram max
+    count up to the documented ~1/2^64 per-pair collision odds (words
+    contain no spaces, so joining with ' ' is injective)."""
+    return rf"""
+WITH rep_src AS (
+  SELECT doc_id, COALESCE(text, '') AS text FROM {docs_table}
+), rep_lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM rep_src
+), rep_lg AS (
+  SELECT doc_id, count(*) AS c, length(line) AS L
+  FROM rep_lines GROUP BY doc_id, line
+), rep_linefrac AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+           / greatest(sum(c), 1) AS dup_line_frac,
+         CASE WHEN sum(c * L) > 0
+              THEN CAST(sum(CASE WHEN c > 1 THEN c * L ELSE 0 END) AS DOUBLE)
+                   / greatest(sum(c * L), 1)
+              ELSE 0.0 END AS dup_line_char_frac
+  FROM rep_lg GROUP BY doc_id
+), rep_w AS (
+  SELECT doc_id, regexp_extract_all(text, '[^\t\n\f\r ]+') AS w FROM rep_src
+), rep_bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))
+           AS gram
+  FROM rep_w
+), rep_top AS (
+  SELECT doc_id, max(cnt) AS top
+  FROM (SELECT doc_id, gram, count(*) AS cnt FROM rep_bg GROUP BY doc_id, gram)
+  GROUP BY doc_id
+)
+SELECT s.doc_id, lf.dup_line_frac, lf.dup_line_char_frac,
+       CASE WHEN len(w.w) >= 2
+            THEN CAST(COALESCE(t.top, 0) AS DOUBLE) / greatest(len(w.w) - 1, 1)
+            ELSE 0.0 END AS top_bigram_frac
+FROM rep_src s
+JOIN rep_linefrac lf USING (doc_id)
+JOIN rep_w w ON w.doc_id = s.doc_id
+LEFT JOIN rep_top t ON t.doc_id = s.doc_id"""
+
+
 # PII patterns shared by redact_pii and its SQL twin.  RE2/Rust-regex
 # COMMON SUBSET ONLY (no lookaround, no backrefs) so the polars pass and
 # the DuckDB oracle are bit-identical; applied in list order (emails
@@ -746,6 +793,19 @@ _PII_PATTERNS = [
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
     ("phone", r"\+\d{7,15}|\b\d{3}[-.]\d{3,4}[-.]\d{4}\b", "<PHONE>"),
 ]
+
+
+def _pii_kernel(pl, s) -> dict:
+    """Per-batch PII redaction over a null-filled polars Series[str] —
+    SHARED by ``redact_pii``, ``corpus_filters`` and ``clean_corpus``'s
+    chain.  Returns count arrays (taken BEFORE each replacement, patterns
+    in ``_PII_PATTERNS`` order) plus the redacted text as Arrow."""
+    out: dict = {}
+    for name, pat, token in _PII_PATTERNS:
+        out[f"n_{name}"] = s.str.count_matches(pat).to_numpy().astype(np.int64)
+        s = s.str.replace_all(pat, token)
+    out["text"] = s.to_arrow()
+    return out
 
 
 def redact_pii(ds, text_col: str = "text", id_col: str = "doc_id"):
@@ -779,16 +839,15 @@ def redact_pii(ds, text_col: str = "text", id_col: str = "doc_id"):
         text = batch[text_col]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
-        s = pl.from_arrow(text).fill_null("")
-        cols = {id_col: batch[id_col]}
-        for name, pat, token in _PII_PATTERNS:
-            cols[f"n_{name}"] = pa.array(
-                s.str.count_matches(pat).to_numpy().astype(np.int64)
-            )
-            s = s.str.replace_all(pat, token)
-        cols["text"] = s.to_arrow()
+        r = _pii_kernel(pl, pl.from_arrow(text).fill_null(""))
         return pa.table(
-            {k: cols[k] for k in (id_col, "text", "n_email", "n_ip", "n_phone")}
+            {
+                id_col: batch[id_col],
+                "text": r["text"],
+                "n_email": pa.array(r["n_email"]),
+                "n_ip": pa.array(r["n_ip"]),
+                "n_phone": pa.array(r["n_phone"]),
+            }
         ).cast(out_schema)
 
     return ds.map_batches(stage, batch_format="pyarrow")
@@ -834,6 +893,28 @@ _C4_TERMINAL_RE = r"[.!?]\s*$"
 _C4_BOILER_RE = r"javascript|cookie|lorem ipsum"
 
 
+def _c4_kernel(pl, s, min_words: int) -> dict:
+    """Per-batch C4 line filtering over a null-filled polars Series[str] —
+    SHARED by ``c4_line_filter``, ``corpus_filters`` and ``clean_corpus``'s
+    chain.  Returns the re-joined surviving text (Arrow) + kept/dropped
+    line counts."""
+    lines = s.str.split("\n")
+    kept = lines.list.eval(
+        pl.element().filter(
+            (pl.element().str.count_matches(_C4_WORD_RE) >= min_words)
+            & pl.element().str.contains(_C4_TERMINAL_RE)
+            & ~pl.element().str.to_lowercase().str.contains(_C4_BOILER_RE)
+        )
+    )
+    n_all = lines.list.len().to_numpy().astype(np.int64)
+    n_kept = kept.list.len().to_numpy().astype(np.int64)
+    return {
+        "text": kept.list.join("\n").to_arrow(),
+        "n_lines_kept": n_kept,
+        "n_lines_dropped": n_all - n_kept,
+    }
+
+
 def c4_line_filter(ds, text_col: str = "text", id_col: str = "doc_id",
                    min_words: int = 3):
     """C4-style boilerplate line removal: keep only lines with at least
@@ -865,26 +946,105 @@ def c4_line_filter(ds, text_col: str = "text", id_col: str = "doc_id",
         text = batch[text_col]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
-        lines = pl.from_arrow(text).fill_null("").str.split("\n")
-        kept = lines.list.eval(
-            pl.element().filter(
-                (pl.element().str.count_matches(_C4_WORD_RE) >= min_words)
-                & pl.element().str.contains(_C4_TERMINAL_RE)
-                & ~pl.element().str.to_lowercase().str.contains(_C4_BOILER_RE)
-            )
-        )
-        n_all = lines.list.len().to_numpy().astype(np.int64)
-        n_kept = kept.list.len().to_numpy().astype(np.int64)
+        r = _c4_kernel(pl, pl.from_arrow(text).fill_null(""), min_words)
         return pa.table(
             {
                 id_col: batch[id_col],
-                "text": kept.list.join("\n").to_arrow(),
-                "n_lines_kept": pa.array(n_kept),
-                "n_lines_dropped": pa.array(n_all - n_kept),
+                "text": r["text"],
+                "n_lines_kept": pa.array(r["n_lines_kept"]),
+                "n_lines_dropped": pa.array(r["n_lines_dropped"]),
             }
         ).cast(out_schema)
 
     return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def corpus_filters(ds, text_col: str = "text", id_col: str = "doc_id",
+                   min_words: int = 3):
+    """All per-doc scrub/filter SIGNALS in ONE streaming pass — the
+    inspect-before-you-clean operator (``clean_corpus`` is the chained
+    transform sibling).  Each signal is computed on the ORIGINAL text,
+    independently, by the exact kernels the standalone operators use
+    (``_c4_kernel``, ``_pii_kernel``, ``_repetition_kernel`` — no drift):
+
+    - C4 line filter: ``c4_text`` (surviving lines re-joined),
+      ``n_lines_kept`` / ``n_lines_dropped``;
+    - PII redaction: ``pii_text`` (redacted body), ``n_email`` / ``n_ip``
+      / ``n_phone``;
+    - Gopher repetition: ``dup_line_frac`` / ``dup_line_char_frac`` /
+      ``top_bigram_frac``.
+
+    One tokenization per kernel instead of three corpus passes + two
+    doc_id joins; no shuffle, no per-row Python.  The DuckDB twin is
+    ``corpus_filters_sql``."""
+
+    out_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("c4_text", pa.string()),
+            ("n_lines_kept", pa.int64()),
+            ("n_lines_dropped", pa.int64()),
+            ("pii_text", pa.string()),
+            ("n_email", pa.int64()),
+            ("n_ip", pa.int64()),
+            ("n_phone", pa.int64()),
+            ("dup_line_frac", pa.float64()),
+            ("dup_line_char_frac", pa.float64()),
+            ("top_bigram_frac", pa.float64()),
+        ]
+    )
+
+    def stage(batch: pa.Table) -> pa.Table:
+        from ..runtime import worker_polars
+
+        pl = worker_polars()
+
+        if batch.num_rows == 0 or text_col not in batch.schema.names:
+            return out_schema.empty_table()
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        s = pl.from_arrow(text).fill_null("")
+        c4 = _c4_kernel(pl, s, min_words)
+        pii = _pii_kernel(pl, s)
+        rep = _repetition_kernel(pl, s)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "c4_text": c4["text"],
+                "n_lines_kept": pa.array(c4["n_lines_kept"]),
+                "n_lines_dropped": pa.array(c4["n_lines_dropped"]),
+                "pii_text": pii["text"],
+                "n_email": pa.array(pii["n_email"]),
+                "n_ip": pa.array(pii["n_ip"]),
+                "n_phone": pa.array(pii["n_phone"]),
+                "dup_line_frac": pa.array(
+                    rep["dup_line_frac"].astype(np.float64)
+                ),
+                "dup_line_char_frac": pa.array(
+                    rep["dup_line_char_frac"].astype(np.float64)
+                ),
+                "top_bigram_frac": pa.array(
+                    rep["top_bigram_frac"].astype(np.float64)
+                ),
+            }
+        ).cast(out_schema)
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def corpus_filters_sql(docs_table: str = "documents", min_words: int = 3) -> str:
+    """DuckDB twin of :func:`corpus_filters` — joins the three standalone
+    twins (each bit-identical to its kernel) on doc_id and renames the two
+    text outputs the same way."""
+    return f"""
+SELECT c4.doc_id,
+       c4.text AS c4_text, c4.n_lines_kept, c4.n_lines_dropped,
+       pii.text AS pii_text, pii.n_email, pii.n_ip, pii.n_phone,
+       rep.dup_line_frac, rep.dup_line_char_frac, rep.top_bigram_frac
+FROM ({c4_line_filter_sql(docs_table, min_words)}) c4
+JOIN ({redact_pii_sql(docs_table)}) pii USING (doc_id)
+JOIN ({repetition_sql(docs_table)}) rep USING (doc_id)"""
 
 
 def c4_line_filter_sql(docs_table: str = "documents", min_words: int = 3) -> str:

@@ -1312,3 +1312,198 @@ class TestCleanCorpus:
         bench_df = pd.DataFrame({"text": [docs["text"].iloc[0]]})
         out = clean_corpus(rd.from_pandas(docs), bench_df).to_pandas()
         assert docs["doc_id"].iloc[0] not in set(out["doc_id"])
+
+
+class TestRepetitionSqlTwin:
+    def test_bit_equal_vs_duckdb_twin(self, ray_session, docs_pd, tmp_path):
+        import duckdb
+
+        from condor_ray.pipelines.textstats import (
+            repetition_scores,
+            repetition_sql,
+        )
+
+        planted = pd.DataFrame(
+            {
+                "doc_id": [9201, 9202, 9203, 9204, 9205, 9206],
+                "text": [
+                    "",
+                    "one",
+                    "x\nx\nx",
+                    "a b a b a b a b",
+                    "line one\nline two\nline one\n",
+                    "w " * 60,
+                ],
+            }
+        )
+        docs = pd.concat(
+            [docs_pd[["doc_id", "text"]].head(100), planted], ignore_index=True
+        )
+        p = tmp_path / "docs.parquet"
+        docs.to_parquet(p)
+        got = (
+            repetition_scores(rd.from_pandas(docs))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+        want = (
+            con.execute(repetition_sql())
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], want[sorted(want.columns)],
+            check_exact=True,
+        )
+        row = got.set_index("doc_id")
+        assert row.loc[9203, "dup_line_frac"] == 1.0
+        assert row.loc[9204, "top_bigram_frac"] == 4.0 / 7.0  # 'a b' x4 of 7
+        assert row.loc[9205, "dup_line_frac"] == 0.5  # 2 of 4 lines repeat
+
+
+class TestCorpusFilters:
+    def test_bit_equal_vs_duckdb_twin(self, ray_session, docs_pd, tmp_path):
+        """The fused one-pass operator == the three standalone twins
+        joined on doc_id (bit-exact doubles)."""
+        import duckdb
+
+        from condor_ray.pipelines.textstats import (
+            corpus_filters,
+            corpus_filters_sql,
+        )
+
+        planted = pd.DataFrame(
+            {
+                "doc_id": [9301, 9302],
+                "text": [
+                    "Mail a@b.co or dial 555-123-4567 soon.\nshort\n"
+                    "This longer line ends the right way.",
+                    "x\nx\nVisit 10.0.0.1 and enable javascript now.",
+                ],
+            }
+        )
+        docs = pd.concat(
+            [docs_pd[["doc_id", "text"]].head(100), planted], ignore_index=True
+        )
+        p = tmp_path / "docs.parquet"
+        docs.to_parquet(p)
+        got = (
+            corpus_filters(rd.from_pandas(docs))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+        want = (
+            con.execute(corpus_filters_sql())
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], want[sorted(want.columns)],
+            check_exact=True,
+        )
+        row = got.set_index("doc_id")
+        assert row.loc[9301, "n_email"] == 1 and row.loc[9301, "n_phone"] == 1
+        assert row.loc[9301, "n_lines_kept"] == 2  # 'short' drops
+        assert row.loc[9302, "n_ip"] == 1
+        assert row.loc[9302, "dup_line_frac"] == 2.0 / 3.0
+
+
+class TestDecontaminateSqlTwin:
+    def test_bit_equal_vs_duckdb_twin(self, ray_session, docs_pd, tmp_path):
+        """Hash-membership decontamination == the string-gram join twin
+        (same collapse rules for short/empty docs)."""
+        import duckdb
+
+        from condor_ray.pipelines.dedup import decontaminate, decontaminate_sql
+
+        planted = pd.DataFrame(
+            {
+                # 9401..9403 % 101 = 8..10 — planted ids stay OFF the bench slice
+                "doc_id": [9401, 9402, 9403],
+                "text": ["", "one two", "a b c d e f g h i j k l m tail"],
+            }
+        )
+        docs = pd.concat(
+            [docs_pd[["doc_id", "text"]].head(300), planted], ignore_index=True
+        )
+        p = tmp_path / "docs.parquet"
+        docs.to_parquet(p)
+        bench = docs[docs["doc_id"] % 101 == 7]
+        got = (
+            decontaminate(rd.from_pandas(docs), bench)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+        want = (
+            con.execute(decontaminate_sql())
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], want[sorted(want.columns)],
+            check_exact=True,
+        )
+        # the bench docs themselves flag; empty/short non-bench docs don't
+        row = got.set_index("doc_id")
+        assert bool(row.loc[7, "contaminated"])
+        assert not bool(row.loc[9401, "contaminated"])
+        assert row.loc[9401, "total_ngrams"] == 1  # CSR pseudo-entry
+
+
+class TestCleanCorpusSqlTwin:
+    def test_bit_equal_vs_duckdb_twin(self, ray_session, docs_pd, tmp_path):
+        """The composed flagship == its chained DuckDB twin on the derived
+        corpus (terminal '.', planted duplicate docs) — the gate-row
+        shape."""
+        import duckdb
+
+        from condor_ray.pipelines.clean import clean_corpus, clean_corpus_sql
+
+        base = docs_pd[["doc_id", "text"]].head(200).copy()
+        p = tmp_path / "docs.parquet"
+        base.to_parquet(p)
+
+        derived = base.copy()
+        derived["text"] = derived["text"] + "."
+        dups = derived[derived["doc_id"] % 7 == 0].copy()
+        dups["doc_id"] += 100000
+        corpus = pd.concat([derived, dups], ignore_index=True)
+        bench = corpus[corpus["doc_id"] % 101 == 7]
+
+        got = (
+            clean_corpus(rd.from_pandas(corpus), bench)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+        table = (
+            "(SELECT doc_id, text || '.' AS text FROM documents "
+            "UNION ALL SELECT doc_id + 100000, text || '.' FROM documents "
+            "WHERE doc_id % 7 = 0)"
+        )
+        want = (
+            con.execute(clean_corpus_sql(table, "doc_id % 101 = 7"))
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], want[sorted(want.columns)]
+        )
+        # duplicates collapsed: no shifted id survives (its base text won)
+        assert not (got["doc_id"] >= 100000).any()
+        assert len(got) > 0

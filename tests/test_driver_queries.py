@@ -21,6 +21,11 @@ QUERIES = [
     "session_synopses",
     "wavelet_window_sums",
     "windowed_topk_tools",
+    # round-5 fused rows: CEP strict+relaxed under a variant tag, the
+    # 3-way doc profile, and the composed cleaning flagship
+    "pattern_matches",
+    "doc_profile",
+    "clean_corpus",
 ]
 
 
