@@ -43,13 +43,20 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument(
         "--pipeline",
         required=True,
-        choices=["cm", "hll", "counts", "wavelets", "cep", "sessions", "asof"],
+        choices=["cm", "hll", "counts", "wavelets", "cep", "sessions",
+                 "asof", "clean"],
         help="cm/hll: streaming windowed synopses; counts: exact windowed "
         "counts; wavelets: order-based Haar managers; cep: 3-step pattern "
         "matcher; sessions: gap-merged session windows; asof: every tool "
-        "turn joined to its conversation's latest user turn",
+        "turn joined to its conversation's latest user turn; clean: the "
+        "composed corpus-cleaning flagship over (doc_id, text) parquet",
     )
     ap.add_argument("--input", required=True, help="parquet file or directory")
+    ap.add_argument(
+        "--benchmark", default=None,
+        help="parquet file or directory of eval-set texts for the "
+        "decontamination gate (clean only; omit to skip the gate)",
+    )
     ap.add_argument("--out", required=True, help="emission directory")
     ap.add_argument("--window-ms", type=int, default=None,
                     help="window size in ms (cm/hll/counts/wavelets/cep; default 60000)")
@@ -96,11 +103,18 @@ def main(argv: list[str] | None = None) -> dict:
     # pipeline that ignores it errors instead of silently dropping (the
     # same rule --slide-ms already follows); the per-pipeline defaults
     # are applied after validation
-    if args.window_ms is not None and args.pipeline in ("sessions", "asof"):
+    if args.window_ms is not None and args.pipeline in (
+        "sessions", "asof", "clean"
+    ):
         ap.error(
             f"--window-ms is ignored by --pipeline {args.pipeline} "
-            "(sessions windows are gap-defined via --gap-ms; asof has no "
-            "window)"
+            "(sessions windows are gap-defined via --gap-ms; asof and "
+            "clean have no window)"
+        )
+    if args.benchmark is not None and args.pipeline != "clean":
+        ap.error(
+            f"--benchmark only applies to clean (decontamination gate); "
+            f"--pipeline {args.pipeline} ignores it"
         )
     if args.gap_ms is not None and args.pipeline != "sessions":
         ap.error(
@@ -258,6 +272,36 @@ def main(argv: list[str] | None = None) -> dict:
         from condor_ray.engine.exchange import LAST_EXCHANGE_STATS
 
         summary["exchange"] = dict(LAST_EXCHANGE_STATS)
+    elif args.pipeline == "clean":
+        import pandas as pd
+        import ray.data as rd
+
+        from condor_ray.pipelines.clean import clean_corpus
+
+        bench = None
+        if args.benchmark:
+            # eval sets are small and driver-resident by design — the
+            # corpus side is the thing that streams
+            bench = pd.concat(
+                [
+                    pd.read_parquet(p, columns=["text"])
+                    for p in _fragments(args.benchmark)
+                ],
+                ignore_index=True,
+            )
+        res = clean_corpus(
+            rd.read_parquet(frags, columns=["doc_id", "text"]), bench
+        )
+        res.write_parquet(args.out)
+        # rows from the written footers — a .count() would re-execute the
+        # whole plan (including the dedup shuffle) a second time
+        import pyarrow.parquet as pq
+
+        summary["rows_kept"] = sum(
+            pq.ParquetFile(p).metadata.num_rows
+            for p in glob.glob(os.path.join(args.out, "**", "*.parquet"),
+                               recursive=True)
+        )
     elif args.pipeline == "wavelets":
         from condor_ray.engine.ordered import (
             build_windowed_wavelets_from_fragments,

@@ -225,3 +225,68 @@ class TestCliFlagHygiene:
                  "--out", str(tmp_path / "x"), "--window-ms", "5000",
                  "--slide-ms", "0"]
             )
+
+
+class TestCleanPipeline:
+    def test_clean_end_to_end_with_benchmark(self, ray_session, tmp_path):
+        """--pipeline clean: docs parquet -> cleaned parquet; the benchmark
+        parquet drives the decontamination gate; rows_kept counted from the
+        written footers (no plan re-execution)."""
+        from condor_ray.job import main
+        from condor_ray.pipelines.clean import clean_corpus
+
+        rng = np.random.default_rng(11)
+        words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+        texts = [
+            " ".join(rng.choice(words, 20)) + "."
+            for _ in range(300)
+        ]
+        texts[5] = texts[0]  # exact dup -> dedup stage drops one
+        docs = pd.DataFrame(
+            {"doc_id": np.arange(300, dtype=np.int64), "text": texts}
+        )
+        docs_p = tmp_path / "docs.parquet"
+        docs.to_parquet(docs_p)
+        bench = pd.DataFrame({"text": [texts[7]]})  # contaminates doc 7
+        bench_p = tmp_path / "bench.parquet"
+        bench.to_parquet(bench_p)
+
+        out = str(tmp_path / "clean_out")
+        summary = main(
+            ["--pipeline", "clean", "--input", str(docs_p),
+             "--benchmark", str(bench_p), "--out", out]
+        )
+        files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+        assert files
+        got = pd.concat(
+            [pq.read_table(os.path.join(out, f)).to_pandas() for f in files]
+        )
+        assert summary["rows_kept"] == len(got)
+        import ray.data as rd
+
+        want = (
+            clean_corpus(rd.from_pandas(docs), bench)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got.sort_values("doc_id").reset_index(drop=True), want
+        )
+        ids = set(got["doc_id"])
+        assert 7 not in ids  # decontaminated
+        assert 5 not in ids and 0 in ids  # dedup keeps the min doc_id
+
+    def test_benchmark_flag_rejected_elsewhere(self, tmp_path):
+        from condor_ray.job import main
+
+        with pytest.raises(SystemExit):
+            main(["--pipeline", "cm", "--input", str(tmp_path),
+                  "--out", str(tmp_path / "o"), "--benchmark", str(tmp_path)])
+
+    def test_window_ms_rejected_for_clean(self, tmp_path):
+        from condor_ray.job import main
+
+        with pytest.raises(SystemExit):
+            main(["--pipeline", "clean", "--input", str(tmp_path),
+                  "--out", str(tmp_path / "o"), "--window-ms", "1000"])
