@@ -49,7 +49,6 @@ set, SURVEY §2.8); this operator belongs to the training-data additions.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 
@@ -284,38 +283,57 @@ def dedup_keep_list(docs_ds, pairs_ds, n_parts: int = 32):
     exactly one representative (the smallest id) per cluster."""
     comps = connected_components(pairs_ds, n_parts=n_parts)
 
+    from ..engine.exchange import hash_exchange, split_by_partition
+
+    pair_schema = pa.schema([("doc_id", pa.int64()), ("component", pa.int64())])
+
     def tag_docs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.schema.names:
+            return pair_schema.empty_table()
         doc = batch["doc_id"].to_numpy().astype(np.int64)
-        return pa.table(
-            {
-                "doc_id": pa.array(doc),
-                "component": pa.array(doc),  # default: own cluster
-                "part": pa.array((doc % n_parts).astype(np.int32)),
-            }
-        )
+        # default: own cluster (overridden by a comps row via the min)
+        return pa.table({"doc_id": pa.array(doc), "component": pa.array(doc)})
 
     def tag_comps(batch: pa.Table) -> pa.Table:
-        doc = batch["doc_id"].to_numpy().astype(np.int64)
+        if batch.num_rows == 0 or "doc_id" not in batch.schema.names:
+            return pair_schema.empty_table()
+        return pa.table(
+            {"doc_id": batch["doc_id"], "component": batch["component"]}
+        ).cast(pair_schema)
+
+    # one task-exchange pass sharded by doc_id owner (the same antidote to
+    # the sort-based groupby("part") every other full-row conquer uses —
+    # this was the dedup family's last range-sampled sort over a
+    # corpus-sized stream)
+    def shard(block, n_buckets: int):
+        if block.num_rows == 0 or "doc_id" not in block.schema.names:
+            return tuple(pair_schema.empty_table() for _ in range(n_buckets))
+        doc = block["doc_id"].to_numpy()
+        return split_by_partition(
+            block.combine_chunks(), doc % n_buckets, n_buckets
+        )
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("component", pa.int64()), ("keep", pa.bool_())]
+    )
+
+    def resolve(*tables):
+        tables = [t for t in tables if t.num_rows]
+        if not tables:
+            return out_schema.empty_table()
+        cat = pa.concat_tables(tables)
+        doc, comp = _min_label_per_doc(
+            cat["doc_id"].to_numpy(), cat["component"].to_numpy()
+        )
         return pa.table(
             {
                 "doc_id": pa.array(doc),
-                "component": batch["component"],
-                "part": pa.array((doc % n_parts).astype(np.int32)),
+                "component": pa.array(comp),
+                "keep": pa.array(doc == comp),
             }
         )
 
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        doc, comp = _min_label_per_doc(
-            g["doc_id"].to_numpy().astype(np.int64),
-            g["component"].to_numpy().astype(np.int64),
-        )
-        return pd.DataFrame(
-            {"doc_id": doc, "component": comp, "keep": doc == comp}
-        )
-
-    return (
-        docs_ds.map_batches(tag_docs, batch_format="pyarrow")
-        .union(comps.map_batches(tag_comps, batch_format="pyarrow"))
-        .groupby("part")
-        .map_groups(resolve, batch_format="pandas")
+    stream = docs_ds.map_batches(tag_docs, batch_format="pyarrow").union(
+        comps.map_batches(tag_comps, batch_format="pyarrow")
     )
+    return hash_exchange(stream, n_parts, shard, resolve)
