@@ -1507,3 +1507,80 @@ class TestCleanCorpusSqlTwin:
         # duplicates collapsed: no shifted id survives (its base text won)
         assert not (got["doc_id"] >= 100000).any()
         assert len(got) > 0
+
+
+class TestSampleStratified:
+    def test_bit_equal_vs_duckdb_twin_and_fractions(self, ray_session):
+        """Deterministic data-mixing sampler == its splitmix64 HUGEINT SQL
+        twin (same integer keep thresholds), across seeds, negative keys
+        and the default-fraction branch; per-stratum keep rates land near
+        the requested fractions."""
+        import duckdb
+
+        from condor_ray.pipelines.mixing import (
+            sample_stratified,
+            sample_stratified_sql,
+        )
+
+        n = 20000
+        rng = np.random.default_rng(1)
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64) - n // 2,  # negatives too
+                "lang": rng.choice(["en", "de", "fr", "xx"], n).astype(object),
+                "text": [f"doc {i}" for i in range(n)],
+            }
+        )
+        fracs = {"en": 0.5, "de": 0.25, "fr": 1.0}
+        for seed in (0, 7, -3):
+            got = (
+                sample_stratified(
+                    rd.from_pandas(docs), fracs, "lang", seed=seed,
+                    default_fraction=0.1,
+                )
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            con = duckdb.connect()
+            con.register("documents", docs)
+            want = (
+                con.execute(
+                    sample_stratified_sql(
+                        "documents", fracs, "lang", seed=seed,
+                        default_fraction=0.1,
+                    )
+                )
+                .df()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(got, want)
+            rates = got.groupby("lang").size() / docs.groupby("lang").size()
+            assert abs(rates["en"] - 0.5) < 0.03
+            assert abs(rates["de"] - 0.25) < 0.03
+            assert rates["fr"] == 1.0
+            assert abs(rates["xx"] - 0.1) < 0.03
+
+    def test_deterministic_and_partition_invariant(self, ray_session):
+        """The keep decision is a pure function of (key, seed): re-runs and
+        different partitionings keep exactly the same rows."""
+        from condor_ray.pipelines.mixing import sample_stratified
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.arange(5000, dtype=np.int64),
+                "lang": ["en"] * 5000,
+            }
+        )
+        kept = [
+            set(
+                sample_stratified(
+                    rd.from_pandas(docs).repartition(p), {"en": 0.3}, "lang",
+                    seed=42,
+                )
+                .to_pandas()["doc_id"]
+            )
+            for p in (1, 7)
+        ]
+        assert kept[0] == kept[1] and 1200 < len(kept[0]) < 1800
