@@ -93,6 +93,107 @@ def sample_stratified(
     return ds.map_batches(stage, batch_format="pyarrow")
 
 
+def pack_sequences(
+    ds,
+    budget_tokens: int,
+    n_parts: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Greedy first-fit sequence packing: assign docs to fixed token-budget
+    bins (the standard pretraining sample-packing step).
+
+    DETERMINISTIC AND PARTITION-INVARIANT: docs shard by ``id % n_parts``
+    through the task hash exchange, each bucket sorts by id and packs
+    greedily in id order — the output is a pure function of (corpus,
+    budget, n_parts), independent of how the input Dataset was blocked
+    (tested).  A doc longer than the budget gets a bin of its own.
+
+    Token counts are whitespace-word counts (the ``token_stats`` rule); a
+    real tokenizer slots into the same stage.  The per-bucket packer loops
+    over BINS, not rows: each step closes the largest cumsum prefix that
+    fits via ``searchsorted`` — O(bins log rows), vectorized row work.
+
+    Returns ``(id_col, bin_id, bin_pos, n_tokens)``; ``bin_id`` is globally
+    unique (``bucket << 40 | local``), ``bin_pos`` is the doc's position
+    inside its bin.
+    """
+    import pyarrow.compute as pc
+
+    from ..engine.exchange import hash_exchange, split_by_partition
+    from ..runtime import default_n_parts
+
+    n_parts = n_parts or default_n_parts()
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+
+    pair_schema = pa.schema([(id_col, pa.int64()), ("n_tokens", pa.int64())])
+    out_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("bin_id", pa.int64()),
+            ("bin_pos", pa.int32()),
+            ("n_tokens", pa.int64()),
+        ]
+    )
+
+    def shard(block, n_buckets: int):
+        # project to (id, token count) BEFORE the wire — text never shuffles
+        if not isinstance(block, pa.Table):  # pandas-backed block
+            import pandas as pd
+
+            block = pa.Table.from_pandas(block, preserve_index=False) if isinstance(
+                block, pd.DataFrame
+            ) else pa.table(block)
+        if block.num_rows == 0 or id_col not in block.schema.names:
+            return tuple(pair_schema.empty_table() for _ in range(n_buckets))
+        text = block[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n_tok = (
+            pc.count_substring_regex(
+                pc.coalesce(text.cast(pa.string()), ""), r"[^\t\n\f\r ]+"
+            )
+            .cast(pa.int64())
+            .to_numpy()
+        )
+        doc = block[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({id_col: pa.array(doc), "n_tokens": pa.array(n_tok)})
+        return split_by_partition(t, doc % n_buckets, n_buckets)
+
+    def pack(*tables):
+        tables = [t for t in tables if t.num_rows]
+        if not tables:
+            return out_schema.empty_table()
+        cat = pa.concat_tables(tables)
+        doc = cat[id_col].to_numpy()
+        tok = cat["n_tokens"].to_numpy()
+        order = np.argsort(doc, kind="stable")
+        doc, tok = doc[order], tok[order]
+        bucket = int(doc[0] % n_parts) if len(doc) else 0
+        csum = np.cumsum(tok)
+        bin_id = np.empty(len(doc), dtype=np.int64)
+        bin_pos = np.empty(len(doc), dtype=np.int32)
+        start, b = 0, 0
+        while start < len(doc):
+            base = csum[start - 1] if start else 0
+            end = int(np.searchsorted(csum, base + budget_tokens, side="right"))
+            end = max(end, start + 1)  # oversized doc: its own bin
+            bin_id[start:end] = (bucket << 40) | b
+            bin_pos[start:end] = np.arange(end - start, dtype=np.int32)
+            start, b = end, b + 1
+        return pa.table(
+            {
+                id_col: pa.array(doc),
+                "bin_id": pa.array(bin_id),
+                "bin_pos": pa.array(bin_pos),
+                "n_tokens": pa.array(tok),
+            }
+        )
+
+    return hash_exchange(ds, n_parts, shard, pack)
+
+
 def sample_stratified_sql(
     docs_table: str,
     fractions: dict[str, float],

@@ -1584,3 +1584,72 @@ class TestSampleStratified:
             for p in (1, 7)
         ]
         assert kept[0] == kept[1] and 1200 < len(kept[0]) < 1800
+
+
+class TestPackSequences:
+    def test_invariants_and_partition_invariance(self, ray_session):
+        """Coverage (every doc exactly once), budget (bins over budget are
+        oversized singletons), determinism across input partitionings."""
+        from condor_ray.pipelines.mixing import pack_sequences
+
+        rng = np.random.default_rng(2)
+        n = 3000
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "text": [" ".join(["w"] * int(k)) for k in rng.integers(1, 200, n)],
+            }
+        )
+        docs.loc[100, "text"] = " ".join(["w"] * 5000)  # oversized doc
+        outs = []
+        for parts in (1, 7):
+            out = (
+                pack_sequences(
+                    rd.from_pandas(docs).repartition(parts), 1024, n_parts=8
+                )
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            assert set(out["doc_id"]) == set(range(n)) and len(out) == n
+            g = out.groupby("bin_id")
+            over = g["n_tokens"].sum()
+            over = over[over > 1024]
+            assert all(g.size()[b] == 1 for b in over.index)
+            outs.append(out)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    def test_matches_brute_force_greedy_per_bucket(self, ray_session):
+        """Bucket-local packing == a scalar greedy first-fit in doc_id
+        order over the same bucket's docs."""
+        from condor_ray.pipelines.mixing import pack_sequences
+
+        rng = np.random.default_rng(5)
+        n, P, budget = 500, 4, 64
+        toks = rng.integers(1, 40, n)
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "text": [" ".join(["w"] * int(k)) for k in toks],
+            }
+        )
+        out = (
+            pack_sequences(rd.from_pandas(docs), budget, n_parts=P)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for bucket in range(P):
+            mine = out[out["doc_id"] % P == bucket]
+            ids = mine["doc_id"].to_numpy()
+            want_bin, want_pos, cur, used, b = [], [], 0, 0, 0
+            for t in toks[ids]:
+                if used and used + t > budget:
+                    b, used, cur = b + 1, 0, 0
+                want_bin.append((bucket << 40) | b)
+                want_pos.append(cur)
+                used += t
+                cur += 1
+            assert mine["bin_id"].tolist() == want_bin
+            assert mine["bin_pos"].tolist() == want_pos
+            assert mine["n_tokens"].tolist() == list(toks[ids])
