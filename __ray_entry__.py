@@ -861,14 +861,15 @@ def _q_streaming_pattern_matches_relaxed(sf_dir: str):
 
 
 def _q_doc_profile(sf_dir: str):
-    """token_stats + quality_scores + language_id over ``documents`` in one
-    gate row: all three REAL streaming operators run, their tiny per-doc
-    profile frames merge on doc_id driver-side (documents ≤ 5k rows at
-    gate scale; the operators themselves stream).  Oracle: the three
-    bit-identical twins joined on doc_id."""
+    """token_stats + bpe_token_stats + quality_scores + language_id over
+    ``documents`` in one gate row: all four REAL streaming operators run,
+    their tiny per-doc profile frames merge on doc_id driver-side
+    (documents ≤ 5k rows at gate scale; the operators themselves stream).
+    Oracle: the four bit-identical twins joined on doc_id."""
     import ray.data as rd
 
     from condor_ray.pipelines.textstats import (
+        bpe_token_stats,
         language_id,
         quality_scores,
         token_stats,
@@ -876,6 +877,7 @@ def _q_doc_profile(sf_dir: str):
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     prof = token_stats(docs).to_pandas()
+    prof = prof.merge(bpe_token_stats(docs).to_pandas(), on="doc_id")
     prof = prof.merge(quality_scores(docs).to_pandas(), on="doc_id")
     return prof.merge(language_id(docs).to_pandas(), on="doc_id")
 
@@ -1418,18 +1420,21 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id
 FROM ranked WHERE rank <= 10"""
     out["ivf_topk"] = out["ann_topk"]
     from condor_ray.pipelines.textstats import (
+        bpe_token_sql,
         corpus_filters_sql,
         lang_id_sql,
         quality_sql,
     )
 
-    # fused doc_profile row: token_stats + quality_scores + language_id
-    # joined on doc_id (each component twin is bit-identical standalone)
+    # fused doc_profile row: token_stats + bpe_token_stats + quality_scores
+    # + language_id joined on doc_id (each component twin is bit-identical
+    # standalone)
     out["doc_profile"] = f"""
-SELECT t.doc_id, t.n_tokens, t.n_chars,
+SELECT t.doc_id, t.n_tokens, t.n_chars, b.n_bpe_tokens,
        q.n_words, q.mean_word_len, q.punct_ratio, q.stopword_ratio,
        q.quality, l.lang_pred
 FROM ({_token_sql}) t
+JOIN ({bpe_token_sql("documents")}) b USING (doc_id)
 JOIN ({quality_sql("documents")}) q USING (doc_id)
 JOIN ({lang_id_sql("documents")}) l USING (doc_id)"""
     out["corpus_filters"] = corpus_filters_sql("documents")

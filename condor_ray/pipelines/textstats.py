@@ -49,6 +49,65 @@ def token_stats(ds):
 # (U+00A0 etc.), which would silently diverge on non-ASCII corpora
 _WORD_RE = r"[^\t\n\f\r ]+"
 
+# GPT-2-style pretokenizer, restricted to the RE2/Rust-regex COMMON SUBSET:
+# the original's trailing-whitespace lookahead `\s+(?!\S)` is unsupported in
+# both engines, and `\s` itself diverges (RE2: ASCII; Rust: Unicode), so the
+# whitespace class is explicit and whitespace runs are simply not counted as
+# tokens.  Contractions first (leftmost-first alternation in both engines),
+# then optional-leading-space letter runs, digit runs, punctuation runs.
+_BPE_TOKEN_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?\p{L}+"
+    r"| ?\p{N}+"
+    r"| ?[^\t\n\f\r \p{L}\p{N}]+"
+)
+
+
+def bpe_token_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """BPE-ish token counting: one vectorized pass with the GPT-2-style
+    pretokenizer regex (``_BPE_TOKEN_RE``) — the standard budget proxy when
+    the real tokenizer is too slow for a first corpus pass.  Exactly
+    SQL-replicable (``bpe_token_sql``); a real BPE tokenizer slots into the
+    same stage shape."""
+
+    def stage(batch: pa.Table) -> pa.Table:
+        from ..runtime import worker_polars
+
+        pl = worker_polars()
+
+        out_schema = pa.schema(
+            [(id_col, pa.int64()), ("n_bpe_tokens", pa.int64())]
+        )
+        if batch.num_rows == 0 or text_col not in batch.schema.names:
+            return out_schema.empty_table()
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        s = pl.from_arrow(text).fill_null("")
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_bpe_tokens": pa.array(
+                    s.str.count_matches(_BPE_TOKEN_RE)
+                    .to_numpy()
+                    .astype(np.int64)
+                ),
+            }
+        ).cast(out_schema)
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def bpe_token_sql(docs_table: str = "documents") -> str:
+    """DuckDB twin of :func:`bpe_token_stats` (same RE2-compatible
+    pretokenizer; single quotes doubled for the SQL literal)."""
+    pat = _BPE_TOKEN_RE.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all(coalesce(text, ''), '{pat}'))::BIGINT
+         AS n_bpe_tokens
+FROM {docs_table}"""
+
 
 def top_k_words(ds, k: int = 100, n_parts: int | None = None):
     """Exact corpus-wide top-k word frequencies (vocabulary / boilerplate

@@ -1653,3 +1653,47 @@ class TestPackSequences:
             assert mine["bin_id"].tolist() == want_bin
             assert mine["bin_pos"].tolist() == want_pos
             assert mine["n_tokens"].tolist() == list(toks[ids])
+
+
+class TestBpeTokenStats:
+    def test_bit_equal_vs_duckdb_twin(self, ray_session, docs_pd, tmp_path):
+        import duckdb
+
+        from condor_ray.pipelines.textstats import bpe_token_sql, bpe_token_stats
+
+        planted = pd.DataFrame(
+            {
+                "doc_id": [9501, 9502, 9503, 9504],
+                "text": [
+                    "it's 2024: don't stop!",
+                    "",
+                    "hello  world",
+                    "héllo wörld 123",
+                ],
+            }
+        )
+        docs = pd.concat(
+            [docs_pd[["doc_id", "text"]].head(100), planted], ignore_index=True
+        )
+        p = tmp_path / "docs.parquet"
+        docs.to_parquet(p)
+        got = (
+            bpe_token_stats(rd.from_pandas(docs))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+        want = (
+            con.execute(bpe_token_sql())
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+        row = got.set_index("doc_id")
+        # it|'s|2024|:|don|'t|stop|!
+        assert row.loc[9501, "n_bpe_tokens"] == 8
+        assert row.loc[9502, "n_bpe_tokens"] == 0
+        assert row.loc[9503, "n_bpe_tokens"] == 2
