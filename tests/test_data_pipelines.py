@@ -1697,3 +1697,72 @@ class TestBpeTokenStats:
         assert row.loc[9501, "n_bpe_tokens"] == 8
         assert row.loc[9502, "n_bpe_tokens"] == 0
         assert row.loc[9503, "n_bpe_tokens"] == 2
+
+
+class TestResizeImages:
+    def test_kernels_match_brute_force(self):
+        """Area resample == per-band double loops; nearest == floor-index
+        gather; identity-nearest is bit-exact."""
+        from condor_ray.pipelines.multimodal import _area_resize, _nearest_resize
+
+        rng = np.random.default_rng(3)
+        arr = rng.integers(0, 256, (13, 17, 3)).astype(np.uint8)
+        # identity nearest: exact
+        assert np.array_equal(_nearest_resize(arr, 17, 13), arr)
+        # 2x nearest upscale: every pixel duplicated
+        up = _nearest_resize(arr, 34, 26)
+        assert np.array_equal(up, np.repeat(np.repeat(arr, 2, 0), 2, 1))
+        # constant image survives any area resample exactly
+        const = np.full((9, 7, 3), 211, dtype=np.uint8)
+        assert (_area_resize(const, 5, 4) == 211).all()
+        # area vs brute force bands
+        tw, th = 5, 4
+        got = _area_resize(arr, tw, th)
+        h, w = arr.shape[:2]
+        for r in range(th):
+            r0, r1 = (r * h) // th, ((r + 1) * h) // th if r + 1 < th else h
+            r1 = max(r1, r0 + 1)
+            for c in range(tw):
+                c0, c1 = (c * w) // tw, ((c + 1) * w) // tw if c + 1 < tw else w
+                c1 = max(c1, c0 + 1)
+                want = np.rint(
+                    arr[r0:r1, c0:c1].astype(np.float64).mean(axis=(0, 1))
+                ).astype(np.uint8)
+                assert np.array_equal(got[r, c], want), (r, c)
+
+    def test_actor_stage_end_to_end(self, ray_session):
+        """PNG in -> resized PNG out through the actor pool; outputs decode
+        to the kernel's exact pixels."""
+        from condor_ray.pipelines.multimodal import _area_resize, resize_images
+        from condor_ray.pipelines.png import decode_png, encode_png
+
+        rng = np.random.default_rng(9)
+        arrs = [
+            rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+            for h, w in ((8, 12), (20, 5), (16, 16))
+        ]
+        tbl = pd.DataFrame(
+            {
+                "doc_id": np.arange(len(arrs), dtype=np.int64),
+                "image": [encode_png(a) for a in arrs],
+            }
+        )
+        out = (
+            resize_images(rd.from_pandas(tbl), 6, 6, mode="area")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert list(out["width"]) == [6] * 3 and list(out["height"]) == [6] * 3
+        for i, a in enumerate(arrs):
+            got = decode_png(out["image"].iloc[i])
+            assert np.array_equal(got, _area_resize(a, 6, 6))
+
+    def test_non_png_payload_raises(self):
+        from condor_ray.pipelines.multimodal import ImageResizer
+
+        r = ImageResizer(4, 4)
+        with pytest.raises(NotImplementedError):
+            r._resize_payload(b"FIMG" + b"\0" * 32)
+        with pytest.raises(ValueError):
+            ImageResizer(4, 4, mode="bilinear")
