@@ -81,10 +81,15 @@ def sample_stratified(
         if isinstance(s_col, pa.ChunkedArray):
             s_col = s_col.combine_chunks()
         if len(strata):
+            # NULL strata take the default fraction (the SQL twin's CASE
+            # falls to ELSE on NULL); mask them out before the object-dtype
+            # searchsorted, which cannot compare None with str
+            null_mask = np.asarray(s_col.is_null())
             s = np.asarray(s_col.to_pandas(), dtype=object)
-            idx = np.searchsorted(strata, s)
+            s_cmp = np.where(null_mask, strata[0], s)
+            idx = np.searchsorted(strata, s_cmp)
             idx_c = np.minimum(idx, len(strata) - 1)
-            known = (idx < len(strata)) & (strata[idx_c] == s)
+            known = (idx < len(strata)) & (strata[idx_c] == s_cmp) & ~null_mask
             thr = np.where(known, thresholds[idx_c], default_thr)
         else:
             thr = default_thr

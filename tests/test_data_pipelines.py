@@ -1562,6 +1562,50 @@ class TestSampleStratified:
             assert rates["fr"] == 1.0
             assert abs(rates["xx"] - 0.1) < 0.03
 
+    def test_null_strata_take_default_fraction(self, ray_session):
+        """NULL stratum values must take the default fraction (the SQL
+        twin's CASE falls to ELSE on NULL) instead of crashing the
+        object-dtype searchsorted."""
+        import duckdb
+
+        from condor_ray.pipelines.mixing import (
+            sample_stratified,
+            sample_stratified_sql,
+        )
+
+        n = 4000
+        rng = np.random.default_rng(3)
+        lang = rng.choice(["en", "de"], n).astype(object)
+        lang[rng.random(n) < 0.3] = None
+        docs = pd.DataFrame(
+            {"doc_id": np.arange(n, dtype=np.int64), "lang": lang}
+        )
+        fracs = {"en": 0.6, "de": 0.2}
+        got = (
+            sample_stratified(
+                rd.from_pandas(docs), fracs, "lang", seed=5,
+                default_fraction=0.5,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", docs)
+        want = (
+            con.execute(
+                sample_stratified_sql(
+                    "documents", fracs, "lang", seed=5, default_fraction=0.5
+                )
+            )
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+        null_rate = got["lang"].isna().sum() / docs["lang"].isna().sum()
+        assert abs(null_rate - 0.5) < 0.05
+
     def test_deterministic_and_partition_invariant(self, ray_session):
         """The keep decision is a pure function of (key, seed): re-runs and
         different partitionings keep exactly the same rows."""
