@@ -861,11 +861,14 @@ def _q_streaming_pattern_matches_relaxed(sf_dir: str):
 
 
 def _q_doc_profile(sf_dir: str):
-    """token_stats + bpe_token_stats + quality_scores + language_id over
-    ``documents`` in one gate row: all four REAL streaming operators run,
-    their tiny per-doc profile frames merge on doc_id driver-side
-    (documents ≤ 5k rows at gate scale; the operators themselves stream).
-    Oracle: the four bit-identical twins joined on doc_id."""
+    """token_stats + bpe_token_stats + quality_scores + language_id +
+    word_rarity_scores over ``documents`` in one gate row: all five REAL
+    streaming operators run, their tiny per-doc profile frames merge on
+    doc_id driver-side (documents ≤ 5k rows at gate scale; the operators
+    themselves stream — word_rarity's corpus pass rides the task hash
+    exchange).  Oracle: the five bit-identical twins joined on doc_id
+    (rarity keeps only its integer sums; its n_words duplicates
+    quality's)."""
     import ray.data as rd
 
     from condor_ray.pipelines.textstats import (
@@ -873,13 +876,18 @@ def _q_doc_profile(sf_dir: str):
         language_id,
         quality_scores,
         token_stats,
+        word_rarity_scores,
     )
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     prof = token_stats(docs).to_pandas()
     prof = prof.merge(bpe_token_stats(docs).to_pandas(), on="doc_id")
     prof = prof.merge(quality_scores(docs).to_pandas(), on="doc_id")
-    return prof.merge(language_id(docs).to_pandas(), on="doc_id")
+    prof = prof.merge(language_id(docs).to_pandas(), on="doc_id")
+    rarity = word_rarity_scores(docs).to_pandas()
+    return prof.merge(
+        rarity[["doc_id", "rarity_sum", "min_count"]], on="doc_id"
+    )
 
 
 def _variant_union(**variants: Callable[[str], Any]):
@@ -1426,17 +1434,21 @@ FROM ranked WHERE rank <= 10"""
         quality_sql,
     )
 
+    from condor_ray.pipelines.textstats import word_rarity_sql
+
     # fused doc_profile row: token_stats + bpe_token_stats + quality_scores
-    # + language_id joined on doc_id (each component twin is bit-identical
-    # standalone)
+    # + language_id + word_rarity joined on doc_id (each component twin is
+    # bit-identical standalone; rarity contributes only its integer sums —
+    # its n_words duplicates quality's)
     out["doc_profile"] = f"""
 SELECT t.doc_id, t.n_tokens, t.n_chars, b.n_bpe_tokens,
        q.n_words, q.mean_word_len, q.punct_ratio, q.stopword_ratio,
-       q.quality, l.lang_pred
+       q.quality, l.lang_pred, r.rarity_sum, r.min_count
 FROM ({_token_sql}) t
 JOIN ({bpe_token_sql("documents")}) b USING (doc_id)
 JOIN ({quality_sql("documents")}) q USING (doc_id)
-JOIN ({lang_id_sql("documents")}) l USING (doc_id)"""
+JOIN ({lang_id_sql("documents")}) l USING (doc_id)
+JOIN ({word_rarity_sql("documents")}) r USING (doc_id)"""
     out["corpus_filters"] = corpus_filters_sql("documents")
     from condor_ray.pipelines.dedup import decontaminate_sql
 

@@ -327,6 +327,18 @@ def run_bench() -> dict:
     queries["decontam_200k_docs"] = time.perf_counter() - t0
     decontam_tput = n_docs / queries["decontam_200k_docs"]
 
+    # q7b2: unigram word-rarity scoring over the same corpus — the
+    # two-pass corpus-statistics shape: pass 1 folds the corpus vocabulary
+    # into one broadcast (u64 hash, count) table through the task hash
+    # exchange; pass 2 streams searchsorted lookups + integer segment sums.
+    from condor_ray.pipelines.textstats import word_rarity_scores
+
+    t0 = time.perf_counter()
+    rarity_rows = word_rarity_scores(corpus).count()
+    queries["word_rarity_200k_docs"] = time.perf_counter() - t0
+    rarity_tput = n_docs / queries["word_rarity_200k_docs"]
+    assert rarity_rows == n_docs
+
     # q7c: the composed cleaning flagship (C4 lines -> PII redaction ->
     # fused quality/repetition/decontamination gate -> exact dedup keeping
     # text) over the same corpus with terminal punctuation appended (the
@@ -461,6 +473,7 @@ def run_bench() -> dict:
         "dedup_docs_per_s": round(dedup_tput),
         "decontam_flagged": n_contam,
         "decontam_docs_per_s": round(decontam_tput),
+        "word_rarity_docs_per_s": round(rarity_tput),
         "clean_corpus_kept": clean_kept,
         "clean_corpus_docs_per_s": round(clean_tput),
         "ann_vecs": ann_res["rows"],
@@ -817,6 +830,9 @@ if __name__ == "__main__":
         )
         result["decontam_docs_per_s"] = max(
             result["decontam_docs_per_s"], second["decontam_docs_per_s"]
+        )
+        result["word_rarity_docs_per_s"] = max(
+            result["word_rarity_docs_per_s"], second["word_rarity_docs_per_s"]
         )
         result["clean_corpus_docs_per_s"] = max(
             result["clean_corpus_docs_per_s"], second["clean_corpus_docs_per_s"]

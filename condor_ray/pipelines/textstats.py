@@ -1127,3 +1127,211 @@ def c4_line_filter_sql(docs_table: str = "documents", min_words: int = 3) -> str
            (n_all - len(keep_lines))::BIGINT AS n_lines_dropped
     FROM kept
     """
+
+
+def corpus_word_counts(ds, text_col: str = "text", n_parts: int | None = None):
+    """Corpus-wide word counts folded to u64 hashes: ``(sorted uint64
+    hashes, int64 counts)`` — the broadcast side of
+    :func:`word_rarity_scores` (the ``decontaminate`` benchmark-fold
+    pattern, applied to corpus-derived statistics).
+
+    Per batch ONE polars tokenize + value_counts collapses the batch to
+    its distinct words and hashes them immediately — only ``(u64, count)``
+    pairs cross the wire, never strings; the task hash exchange groups by
+    ``hash % n_parts`` and each bucket sums with one vectorized pass.  The
+    driver-side result is O(vocabulary), NOT O(corpus); for vocabularies
+    too large to hold (URL-soup corpora), ``heavy_hitters_cm`` is the
+    sketch-bounded alternative."""
+    import pyarrow as pa
+
+    from ..engine.exchange import hash_exchange, split_by_partition
+    from ..runtime import default_n_parts, worker_polars
+
+    n_parts = n_parts or default_n_parts()
+    pair_schema = pa.schema([("h", pa.uint64()), ("n", pa.int64())])
+
+    def shard(block, n_buckets: int):
+        pl = worker_polars()
+
+        if not isinstance(block, pa.Table):
+            block = pa.table(block)
+        if block.num_rows == 0 or text_col not in block.schema.names:
+            return tuple(pair_schema.empty_table() for _ in range(n_buckets))
+        text = block[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = (
+            pl.from_arrow(text)
+            .cast(pl.String)
+            .fill_null("")
+            .str.extract_all(_WORD_RE)
+            .explode()
+            .drop_nulls()
+        )
+        counts = words.value_counts(name="n")
+        h = counts.to_series(0).hash(seed=11).to_numpy()
+        t = pa.table(
+            {
+                "h": pa.array(h, type=pa.uint64()),
+                "n": counts["n"].cast(pl.Int64).to_arrow(),
+            }
+        )
+        return split_by_partition(t, (h % np.uint64(n_buckets)).astype(np.int64), n_buckets)
+
+    def combine(*tables):
+        tables = [t for t in tables if t.num_rows]
+        if not tables:
+            return pair_schema.empty_table()
+        cat = pa.concat_tables(tables)
+        h = cat["h"].to_numpy()
+        n = cat["n"].to_numpy()
+        order = np.argsort(h, kind="stable")
+        h, n = h[order], n[order]
+        starts = np.flatnonzero(np.concatenate([[True], h[1:] != h[:-1]]))
+        cs = np.concatenate([[0], np.cumsum(n)])
+        bounds = np.append(starts, len(n))
+        sums = cs[bounds[1:]] - cs[bounds[:-1]]
+        return pa.table(
+            {
+                "h": pa.array(h[starts], type=pa.uint64()),
+                "n": pa.array(sums.astype(np.int64)),
+            }
+        )
+
+    parts = hash_exchange(ds, n_parts, shard, combine).to_arrow_refs()
+    import ray
+
+    tables = [t for t in ray.get(parts) if t.num_rows]
+    if not tables:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    cat = pa.concat_tables(tables)
+    h = cat["h"].to_numpy()
+    n = cat["n"].to_numpy().astype(np.int64)
+    order = np.argsort(h, kind="stable")  # buckets are disjoint: one sort, no re-sum
+    return h[order], n[order]
+
+
+def word_rarity_scores(
+    ds,
+    counts=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_parts: int | None = None,
+):
+    """CCNet-style unigram-frequency document scoring: per doc, the sum
+    and min of each word's CORPUS-WIDE occurrence count — the standard
+    cheap perplexity proxy (gibberish / OCR noise scores low-frequency;
+    boilerplate scores high).  Integer outputs only, so the DuckDB twin
+    (:func:`word_rarity_sql`) is bit-identical with no float summation
+    order to match.
+
+    Two passes: ``counts`` (default: built from ``ds`` itself via
+    :func:`corpus_word_counts`) folds the corpus ONCE into a sorted-u64
+    ``(hashes, counts)`` pair shipped via ``ray.put`` and read zero-copy
+    per task; the scoring pass is one streaming ``map_batches`` of
+    tokenize + ``searchsorted`` + segment sums.  Pass a prebuilt
+    ``counts`` to score one dataset against another corpus's statistics
+    (unseen words count 0).  Hash-vs-string equivalence is the
+    ``decontaminate`` argument: u64 collisions (~1/2^64) are the only
+    divergence from the SQL twin.
+
+    Returns ``(id_col, n_words, rarity_sum, min_count)``; zero-word docs
+    get ``(0, 0, 0)`` (the twin's LEFT JOIN + coalesce face)."""
+    import ray
+
+    from ..runtime import worker_polars
+
+    if counts is None:
+        counts = corpus_word_counts(ds, text_col, n_parts)
+    counts_ref = ray.put(counts)
+
+    out_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("n_words", pa.int64()),
+            ("rarity_sum", pa.int64()),
+            ("min_count", pa.int64()),
+        ]
+    )
+
+    def stage(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or text_col not in batch.schema.names:
+            return out_schema.empty_table()
+        pl = worker_polars()
+
+        sorted_h, cnt = ray.get(counts_ref)
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = (
+            pl.from_arrow(text).cast(pl.String).fill_null("").str.extract_all(_WORD_RE)
+        )
+        lens = words.list.len().fill_null(0).to_numpy().astype(np.int64)
+        flat = words.explode().drop_nulls()  # empty lists explode to one null row
+        n_words_total = int(lens.sum())
+        if n_words_total == 0:
+            z = np.zeros(batch.num_rows, dtype=np.int64)
+            return pa.table(
+                {
+                    id_col: pc.cast(batch[id_col], pa.int64()),
+                    "n_words": pa.array(z),
+                    "rarity_sum": pa.array(z),
+                    "min_count": pa.array(z),
+                }
+            )
+        h = flat.hash(seed=11).to_numpy()
+        if len(sorted_h):
+            idx = np.searchsorted(sorted_h, h)
+            idx_c = np.minimum(idx, len(sorted_h) - 1)
+            c = np.where(sorted_h[idx_c] == h, cnt[idx_c], 0).astype(np.int64)
+        else:
+            c = np.zeros(len(h), dtype=np.int64)
+        bounds = np.concatenate([[0], np.cumsum(lens)])
+        cs = np.concatenate([[0], np.cumsum(c)])
+        rarity = (cs[bounds[1:]] - cs[bounds[:-1]]).astype(np.int64)
+        # segment min via reduceat; empty segments (repeated/oob starts)
+        # are poisoned by reduceat semantics — mask them to 0 afterwards
+        starts = np.minimum(bounds[:-1], len(c) - 1)
+        minc = np.minimum.reduceat(c, starts).astype(np.int64)
+        minc[lens == 0] = 0
+        return pa.table(
+            {
+                id_col: pc.cast(batch[id_col], pa.int64()),
+                "n_words": pa.array(lens),
+                "rarity_sum": pa.array(rarity),
+                "min_count": pa.array(minc),
+            }
+        )
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def word_rarity_sql(docs_table: str = "documents",
+                    corpus_table: str | None = None) -> str:
+    """DuckDB twin of :func:`word_rarity_scores` — the same ``_WORD_RE``
+    tokenize on both sides, counts joined by STRING equality (equal to the
+    kernel's u64-hash membership up to ~1/2^64 collisions), integer sums
+    only (SUM/MIN over BIGINT are exact and order-free)."""
+    corpus_table = corpus_table or docs_table
+    return f"""
+WITH wr_corpus AS (
+  SELECT unnest(regexp_extract_all(coalesce(text, ''), '{_WORD_RE}')) AS w
+  FROM {corpus_table}
+), wr_counts AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM wr_corpus GROUP BY w
+), wr_words AS (
+  SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), '{_WORD_RE}')) AS w
+  FROM {docs_table}
+), wr_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(coalesce(c.c, 0)) AS BIGINT) AS rarity_sum,
+         CAST(min(coalesce(c.c, 0)) AS BIGINT) AS min_count
+  FROM wr_words w LEFT JOIN wr_counts c USING (w)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_words, 0) AS n_words,
+       coalesce(p.rarity_sum, 0) AS rarity_sum,
+       coalesce(p.min_count, 0) AS min_count
+FROM {docs_table} d LEFT JOIN wr_doc p USING (doc_id)"""

@@ -1509,6 +1509,100 @@ class TestCleanCorpusSqlTwin:
         assert len(got) > 0
 
 
+class TestWordRarity:
+    def _docs(self, n=400, seed=0):
+        rng = np.random.default_rng(seed)
+        vocab = [f"w{i}" for i in range(50)] + ["the", "and", "zzz-rare"]
+        texts = [
+            " ".join(rng.choice(vocab, rng.integers(0, 30)))
+            for _ in range(n)
+        ]
+        texts[5] = ""  # zero-word doc
+        texts[6] = "   \t  "  # whitespace-only doc
+        texts[7] = None  # null text
+        texts[8] = "a\x0bb c"  # \x0b is NOT a separator under _WORD_RE
+        return pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64) - 10,  # negatives too
+                "text": pd.array(texts, dtype="string"),
+            }
+        )
+
+    def test_bit_equal_vs_duckdb_twin(self, ray_session):
+        """Self-scored corpus == the string-equality SQL twin exactly
+        (integer sums are order-free), across input partitionings and the
+        zero-word / null-text faces."""
+        import duckdb
+
+        from condor_ray.pipelines.textstats import (
+            word_rarity_scores,
+            word_rarity_sql,
+        )
+
+        docs = self._docs()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        want = (
+            con.execute(word_rarity_sql("documents"))
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for parts in (1, 7):
+            got = (
+                word_rarity_scores(
+                    rd.from_pandas(docs).repartition(parts), n_parts=4
+                )
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(got, want)
+        assert (want.loc[want.doc_id.isin([-5, -4, -3]), "n_words"] == 0).all()
+        assert want["rarity_sum"].max() > 0
+
+    def test_cross_corpus_scoring_unseen_words_count_zero(self, ray_session):
+        """Scoring dataset B against corpus A's statistics: B-only words
+        count 0 on both sides (hash miss == LEFT JOIN NULL -> 0)."""
+        import duckdb
+
+        from condor_ray.pipelines.textstats import (
+            corpus_word_counts,
+            word_rarity_scores,
+            word_rarity_sql,
+        )
+
+        corpus = self._docs(300, seed=1)
+        other = pd.DataFrame(
+            {
+                "doc_id": np.arange(50, dtype=np.int64),
+                "text": pd.array(
+                    ["w1 w2 UNSEEN-TOKEN"] * 25 + ["only unseen words here"] * 25,
+                    dtype="string",
+                ),
+            }
+        )
+        counts = corpus_word_counts(rd.from_pandas(corpus), n_parts=4)
+        got = (
+            word_rarity_scores(rd.from_pandas(other), counts=counts, n_parts=4)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", other)
+        con.register("corpus", corpus)
+        want = (
+            con.execute(word_rarity_sql("documents", corpus_table="corpus"))
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+        assert (got.loc[got.doc_id >= 25, "rarity_sum"] == 0).all()
+        assert (got.loc[got.doc_id < 25, "min_count"] == 0).all()
+
+
 class TestSampleStratified:
     def test_bit_equal_vs_duckdb_twin_and_fractions(self, ray_session):
         """Deterministic data-mixing sampler == its splitmix64 HUGEINT SQL

@@ -353,6 +353,29 @@ def main() -> None:
     }
     print("decontam:", results["jobs"]["decontam_2m_docs"], flush=True)
 
+    # 10) unigram word-rarity scoring over the same 2M-doc corpus: the
+    # two-pass corpus-statistics shape at 10x the bench corpus.  The
+    # bounded-state evidence is the DRIVER-SIDE table: O(vocabulary) u64
+    # hash + count pairs (measured rows/bytes below), not O(corpus words).
+    from condor_ray.pipelines.textstats import (
+        corpus_word_counts,
+        word_rarity_scores,
+    )
+
+    t0 = time.perf_counter()
+    counts = corpus_word_counts(corpus)
+    rar_rows = word_rarity_scores(corpus, counts=counts).count()
+    wall = time.perf_counter() - t0
+    assert rar_rows == n_docs
+    results["jobs"]["word_rarity_2m_docs"] = {
+        "wall_s": round(wall, 2),
+        "docs": n_docs,
+        "docs_per_s": round(n_docs / wall),
+        "vocab_rows": int(len(counts[0])),
+        "vocab_mb": round((counts[0].nbytes + counts[1].nbytes) / 1e6, 1),
+    }
+    print("word_rarity:", results["jobs"]["word_rarity_2m_docs"], flush=True)
+
     with open(
         os.path.join(os.path.dirname(__file__), "..", "BENCH_soak_sf1.json"), "w"
     ) as f:
